@@ -1,0 +1,63 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deterministic dimension tables for the medallion pipeline, synthesized
+  * from nothing but constants + `range` so the DuckDB oracle can rebuild
+  * them verbatim (CTEs in PipelineQueries.OracleCtes).
+  *
+  * Shapes mirror the reference's mapping dims:
+  *  - `metricMappings` ~ metricmappings(rawSymbol, metricId, mappingType)
+  *    joined with metrics-aggtype(aggregationType, categoryId)
+  *    (`Set Up Delta Tables/Set up Delta tables ...scala:153,299`).
+  *  - `deviceHistory` ~ remotedevicehistory(RemoteId, Serial, AddedOn,
+  *    RemovedOn) — the SCD-2 validity-interval dim behind the temporal
+  *    join (`Gold state/Step 04-04b ...scala:60,65`). Two intervals per
+  *    serial (suffix a/b split at mid-month) and, deliberately, NO rows
+  *    for user_id >= 140 so orphan detection has work to do.
+  */
+object Dims {
+
+  /** Epoch seconds of the interval boundaries (UTC). */
+  val IntervalStart = 1704067200L // 2024-01-01
+  val IntervalSplit = 1705363200L // 2024-01-16
+  val MappedUsers   = 140         // user_id >= 140 stays unmapped (orphans)
+
+  /** (rawSymbol, metricId, aggregationType, categoryId) — the raw metric
+    * symbol is "<event_type>.<field>"; SUM/AVG metrics flow to the
+    * numeric gold column, others stay strings ([G4]:69-70 semantics). */
+  val mappingRows: Seq[(String, Long, String, Long)] = Seq(
+    ("click.value", 9001L, "SUM", 1L),
+    ("view.value", 9002L, "AVG", 1L),
+    ("purchase.value", 9003L, "SUM", 2L),
+    ("signup.value", 9004L, "NONE", 2L),
+    ("error.value", 9005L, "NONE", 3L),
+    ("click.k", 9011L, "SUM", 1L),
+    ("view.k", 9012L, "AVG", 1L),
+    ("purchase.k", 9013L, "SUM", 2L),
+    ("signup.k", 9014L, "NONE", 2L),
+    ("error.k", 9015L, "NONE", 3L))
+
+  def metricMappings(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    mappingRows.toDF("raw_symbol", "metric_id", "agg_type", "category_id")
+  }
+
+  /** Two validity intervals per serial "SN<u>": remote R<u>a owns
+    * [2024-01-01, 2024-01-16), R<u>b owns [2024-01-16, open). */
+  def deviceHistory(spark: SparkSession): DataFrame = {
+    val u = spark.range(0, MappedUsers).select(col("id"))
+    val a = u.select(
+      concat(lit("SN"), col("id").cast("string")).as("serial"),
+      concat(lit("R"), col("id").cast("string"), lit("a")).as("remote_id"),
+      lit(IntervalStart).as("added_on"),
+      lit(IntervalSplit).cast("long").as("removed_on"))
+    val b = u.select(
+      concat(lit("SN"), col("id").cast("string")).as("serial"),
+      concat(lit("R"), col("id").cast("string"), lit("b")).as("remote_id"),
+      lit(IntervalSplit).as("added_on"),
+      lit(null).cast("long").as("removed_on"))
+    a.union(b)
+  }
+}

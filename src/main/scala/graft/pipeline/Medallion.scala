@@ -1,0 +1,141 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.functions.Fns
+
+/** The medallion pipeline re-expressed Spark-first. Each stage is a pure
+  * DataFrame => DataFrame transform, so the same code runs batch (driver
+  * correctness gate) and streaming (graft.streaming, file-stream in /
+  * memory-sink out).
+  *
+  * Stage semantics follow the reference:
+  *  - silver: one unified long/narrow stringly-typed metric table that
+  *    every provider funnels into (`Bronze-Silver/Part1 ...scala:219-228`)
+  *  - gold: remote-resolved, type-split fact — numeric metrics to
+  *    Decimal(30,15) `valueInDouble`, rest to `valueInString`
+  *    (`Gold state/Step 04-04b ...scala:60-73`)
+  *  - rollups: hour/day/month groupBy(5-key).agg(sum,avg,min,max)
+  *    (`Gold Aggregation/Step 05 ...scala:84-98`)
+  *  - latest: top-1 per 4-key via row_number window
+  *    (`Metric Stream to Cosmos/Step 06.c ...scala:57-64`), replacing the
+  *    groupBy(max)+self-join form (`Old ... Step 05.d:97-140`).
+  */
+object Medallion {
+
+  /** Events -> unified narrow silver. Each event yields two metric rows
+    * (fields `value` and `k`), unpivoted with a single Generate — no JSON
+    * string rebuild ([P1]:169-180 replaced, SURVEY.md J3). Stays entirely
+    * map-side: zero shuffles, codegen-friendly. */
+  def silver(events: DataFrame): DataFrame =
+    events
+      .select(
+        col("event_id"), col("user_id"), col("event_type"), col("ts"),
+        Fns.nameValueExplode(
+          "value" -> col("value"),
+          "k" -> get_json_object(col("props"), "$.k")).as("nv"))
+      .select(
+        col("event_id").cast("string").as("element"),
+        unix_timestamp(col("ts")).cast("string").as("unix_ts"),
+        Fns.datestamp(col("ts")).as("datestamp"),
+        concat(col("event_type"), lit("."), col("nv.name")).as("metric"),
+        col("nv.value").as("value"),
+        concat(lit("SN"), col("user_id").cast("string")).as("serialnumber"),
+        lit("DEV_MODEM").as("device_type"),
+        (col("event_id") % 3 + 1).as("metric_provider_id"))
+
+  /** The temporal interval join predicate (JN4): serial match + event time
+    * inside the validity window, open-ended RemovedOn ([G4]:65). */
+  def intervalJoinCond(silver: DataFrame, hist: DataFrame): Column =
+    silver("serialnumber") === hist("serial") &&
+      silver("unix_ts").cast("long") >= hist("added_on") &&
+      (hist("removed_on").isNull ||
+        silver("unix_ts").cast("long") < hist("removed_on"))
+
+  /** Silver -> gold: metric-id mapping join, temporal remote resolution,
+    * numeric/string value split. Both dims are small -> broadcast; the
+    * interval join broadcasts history and keeps the range predicate as a
+    * residual on the serial-equality hash join (no BNLJ). */
+  def gold(silver: DataFrame, mappings: DataFrame, history: DataFrame): DataFrame = {
+    val numeric = col("agg_type").isin("SUM", "AVG")
+    silver
+      .join(broadcast(mappings), silver("metric") === mappings("raw_symbol"))
+      .join(broadcast(history), intervalJoinCond(silver, history))
+      .select(
+        col("element"),
+        col("unix_ts").cast("long").as("unix_timestamp"),
+        col("datestamp"),
+        col("metric"),
+        when(numeric, col("value").cast(DecimalType(30, 15)))
+          .otherwise(lit(null).cast(DecimalType(30, 15))).as("value_double"),
+        when(!numeric, col("value"))
+          .otherwise(lit(null).cast("string")).as("value_string"),
+        col("metric_id"),
+        col("metric_provider_id").as("provider_id"),
+        col("category_id"),
+        col("remote_id"),
+        col("agg_type"))
+  }
+
+  /** Orphaned silver rows: serial has no covering validity interval —
+    * the reference's unmapped-remote report
+    * (`Detection Data Lack/...Orphaned Usage...scala:22-84`), as a
+    * distributed left_anti instead of NOT IN over a collect. */
+  def orphans(silver: DataFrame, history: DataFrame): DataFrame =
+    silver.join(broadcast(history), intervalJoinCond(silver, history), "left_anti")
+
+  /** Gold -> one rollup granularity. `bucket` maps the event-time column
+    * to the epoch-second bucket start ([A5]:84,133,186 via date_trunc).
+    * Only SUM/AVG metrics with non-zero numeric values roll up
+    * ([A5]:85). Output values are doubles derived from exact decimal
+    * sums (sumValue) so results are reproducible regardless of
+    * partitioning / aggregation order. */
+  def rollup(gold: DataFrame, bucket: Column => Column): DataFrame = {
+    val bucketTs = bucket(timestamp_seconds(col("unix_timestamp")))
+    gold
+      .filter(col("agg_type").isin("SUM", "AVG") && col("value_double") =!= 0)
+      .groupBy(
+        bucketTs.cast("long").as("bucket_ts"),
+        col("remote_id"), col("metric_id"), col("provider_id"),
+        col("category_id"))
+      .agg(
+        sum("value_double").as("dec_sum"),
+        count(lit(1)).as("n"),
+        min("value_double").cast("double").as("min_value"),
+        max("value_double").cast("double").as("max_value"))
+      .select(
+        Fns.servingId(col("remote_id"), col("bucket_ts"), col("metric_id"),
+          col("provider_id"), col("category_id")).as("id"),
+        col("bucket_ts"), col("remote_id"), col("metric_id"),
+        col("provider_id"), col("category_id"),
+        col("dec_sum").cast("double").as("sum_value"),
+        (col("dec_sum").cast("double") / col("n")).as("avg_value"),
+        col("min_value"), col("max_value"), col("n"))
+  }
+
+  def hourRollup(gold: DataFrame): DataFrame =
+    rollup(gold, ts => unix_timestamp(date_trunc("hour", ts)))
+  def dayRollup(gold: DataFrame): DataFrame =
+    rollup(gold, ts => unix_timestamp(date_trunc("day", ts)))
+  def monthRollup(gold: DataFrame): DataFrame =
+    rollup(gold, ts => unix_timestamp(date_trunc("month", ts)))
+
+  /** Latest value per 4-part key (id without timestamp, [C6A]:126).
+    * Deterministic tiebreak on the element (event) id. */
+  def latest(gold: DataFrame): DataFrame = {
+    val w = Window
+      .partitionBy("remote_id", "metric_id", "provider_id", "category_id")
+      .orderBy(col("unix_timestamp").desc, col("element").cast("long").desc)
+    gold
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(
+        Fns.servingId(col("remote_id"), col("metric_id"),
+          col("provider_id"), col("category_id")).as("id"),
+        col("remote_id"), col("metric_id"), col("provider_id"),
+        col("category_id"), col("unix_timestamp"),
+        col("value_double"), col("value_string"))
+  }
+}
