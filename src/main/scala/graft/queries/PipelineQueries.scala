@@ -13,7 +13,7 @@ import graft.sources.Tables
 object PipelineQueries {
 
   /** Oracle CTE mirror of Dims + Medallion.silver/gold. */
-  private val ctes: String =
+  private[queries] val ctes: String =
     """WITH mappings(raw_symbol, metric_id, agg_type, category_id) AS (VALUES
       |  ('click.value',9001,'SUM',1), ('view.value',9002,'AVG',1),
       |  ('purchase.value',9003,'SUM',2), ('signup.value',9004,'NONE',2),
@@ -65,7 +65,7 @@ object PipelineQueries {
       |""".stripMargin
 
   /** Rollup oracle at a given date_trunc granularity. */
-  private def rollupSql(grain: String): String =
+  private[queries] def rollupSql(grain: String): String =
     ctes +
       s"""SELECT remote_id || '|' || CAST(bucket_ts AS VARCHAR) || '|' ||
          |       CAST(metric_id AS VARCHAR) || '|' || CAST(provider_id AS VARCHAR)

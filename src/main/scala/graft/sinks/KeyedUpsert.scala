@@ -1,0 +1,86 @@
+package graft.sinks
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MERGE-semantics keyed upsert onto plain Parquet (SURVEY.md K4): the
+  * reference uses `DeltaTable.merge(batch, keys).whenMatched.updateAll.
+  * whenNotMatched.insertAll` from `foreachBatch`
+  * (`Gold Aggregation/OLD - Step 05 ...scala:41-55`). Without a
+  * transaction log, the scalable equivalent is hash-bucketed partition
+  * rewrite:
+  *
+  *  - the target table is partitioned by `__bucket = xxhash64(keys) % N`;
+  *  - a batch only touches the buckets its keys hash into: read those
+  *    buckets, anti-join out the matched keys, union the batch, and
+  *    atomically swap JUST those partition directories.
+  *
+  * Cost per micro-batch is O(|batch| + |touched buckets|), independent of
+  * total table size — the property that makes MERGE viable at 100 TB
+  * (with N sized so a bucket fits an executor; compose with a date
+  * partition for time-series tables). Replaying the same batch is
+  * idempotent: the swap converges to the same rows.
+  */
+object KeyedUpsert {
+
+  val BucketCol = "__bucket"
+
+  private def bucketed(df: DataFrame, keyCols: Seq[String], n: Int): DataFrame =
+    df.withColumn(BucketCol,
+      pmod(xxhash64(keyCols.map(col): _*), lit(n.toLong)))
+
+  /** Upsert `batch` into `targetDir` matching on `keyCols`. Within a
+    * batch, later rows win per `tieBreak` (descending) when given,
+    * otherwise any one row per key is kept. */
+  def upsert(spark: SparkSession, targetDir: String, batch: DataFrame,
+      keyCols: Seq[String], numBuckets: Int = 64,
+      tieBreak: Option[String] = None): Unit = {
+    if (batch.isEmpty) return
+    // one row per key within the batch
+    val deduped = tieBreak match {
+      case Some(tb) =>
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tb).desc)
+        batch.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+      case None => batch.dropDuplicates(keyCols)
+    }
+    val b = bucketed(deduped, keyCols, numBuckets).persist()
+    try {
+      val target = new Path(targetDir)
+      val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(target)) {
+        b.write.partitionBy(BucketCol).parquet(targetDir)
+      } else {
+        val touched = b.select(BucketCol).distinct()
+          .collect().map(_.getLong(0)).sorted // bounded by numBuckets
+        val existing = spark.read.parquet(targetDir)
+          .filter(col(BucketCol).isin(touched: _*)) // partition-pruned scan
+        val keep = existing.join(
+          b.select(keyCols.map(col): _*), keyCols, "left_anti")
+        val merged = keep.select(b.columns.map(col): _*).union(b)
+        // stage merged buckets, then swap only the touched partition dirs
+        val staging = new Path(targetDir + s".staging-${System.nanoTime()}")
+        merged.write.partitionBy(BucketCol).parquet(staging.toString)
+        touched.foreach { bk =>
+          val part = s"$BucketCol=$bk"
+          val dst = new Path(target, part)
+          val src = new Path(staging, part)
+          if (fs.exists(dst)) fs.delete(dst, true)
+          if (fs.exists(src)) fs.rename(src, dst)
+        }
+        fs.delete(staging, true)
+      }
+    } finally b.unpersist()
+  }
+
+  /** Read the upsert table back (bucket column dropped). */
+  def read(spark: SparkSession, targetDir: String): DataFrame =
+    spark.read.parquet(targetDir).drop(BucketCol)
+
+  /** foreachBatch hook for streaming update-mode aggregates (K3/K4). */
+  def sink(targetDir: String, keyCols: Seq[String], numBuckets: Int = 64)
+      : (DataFrame, Long) => Unit =
+    (batch, _) => upsert(batch.sparkSession, targetDir, batch, keyCols, numBuckets)
+}

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.pipeline.{Dims, Medallion}
+import graft.sinks.KeyedUpsert
+import graft.sources.Topic
+
+/** The medallion pipeline run as a Structured Streaming job (SURVEY.md
+  * §3.1–§3.3): topic -> decode -> watermark dedup (ST1) -> silver ->
+  * gold (stream–static broadcast joins) -> day-rollup aggregate in
+  * update mode -> foreachBatch keyed upsert (K4).
+  *
+  * The batch transforms from [[graft.pipeline.Medallion]] are reused
+  * verbatim — the streaming topology only adds sources, state and sinks,
+  * which is exactly how the reference splits its notebooks.
+  */
+object StreamingMedallion {
+
+  /** Topic stream -> deduped silver stream. */
+  def silverStream(spark: SparkSession, topicDir: String,
+      maxFilesPerTrigger: Int = 1, dedupRetention: String = "48 hours")
+      : DataFrame = {
+    val events = Topic.decodeEvents(
+      Topic.readStream(spark, topicDir, maxFilesPerTrigger))
+    val deduped = StreamOps.watermarkDedup(events, "ts", dedupRetention,
+      tag = "evt", keyCols = Seq(col("event_id"), col("event_type")))
+    Medallion.silver(deduped)
+  }
+
+  /** Silver stream -> gold stream (stream–static broadcast joins JN1/JN4
+    * — dims are batch frames, Catalyst broadcasts per micro-batch). */
+  def goldStream(spark: SparkSession, silver: DataFrame): DataFrame =
+    Medallion.gold(silver, Dims.metricMappings(spark), Dims.deviceHistory(spark))
+
+  /** Run the whole chain bounded (Trigger.AvailableNow) and upsert the
+    * day rollup into `outDir`. Update-mode aggregate + keyed upsert is
+    * the reference's "a lot more scalable than complete mode" pattern
+    * (`Gold Aggregation/OLD - Step 05 ...scala:4-5,41-55`). Returns the
+    * number of micro-batches processed. */
+  def runDayRollup(spark: SparkSession, topicDir: String, outDir: String,
+      checkpointDir: String, maxFilesPerTrigger: Int = 1,
+      numBuckets: Int = 8, dedupRetention: String = "48 hours"): Long = {
+    val gold = goldStream(spark,
+      silverStream(spark, topicDir, maxFilesPerTrigger, dedupRetention))
+    val rollup = Medallion.dayRollup(gold)
+    var batches = 0L
+    val q = rollup.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batches += 1
+        KeyedUpsert.upsert(batch.sparkSession, outDir, batch,
+          keyCols = Seq("id"), numBuckets = numBuckets)
+      }
+      .start()
+    q.awaitTermination()
+    batches
+  }
+}

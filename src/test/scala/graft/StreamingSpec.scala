@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.pipeline.{Dims, Medallion}
+import graft.sinks.KeyedUpsert
+import graft.sources.{Tables, Topic}
+import graft.streaming.{StreamOps, StreamingMedallion}
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"graft-$name").toString
+
+  test("topic publish/decode round-trips the events table exactly") {
+    val dir = tmp("topic")
+    val events = Tables.events(spark, SfDir)
+    Topic.publishEvents(events, s"$dir/t", nFiles = 2)
+    val back = Topic.decodeEvents(Topic.readBatch(spark, s"$dir/t"))
+      .select(events.columns.map(col): _*)
+    back.count() shouldBe events.count()
+    // symmetric difference empty (the reference's own equality check, SU:10-15)
+    back.exceptAll(events).count() shouldBe 0
+    events.exceptAll(back).count() shouldBe 0
+  }
+
+  test("streamed day rollup converges to the batch rollup state") {
+    val dir = tmp("stream")
+    val events = Tables.events(spark, SfDir)
+    Topic.publishEvents(events, s"$dir/topic", nFiles = 3)
+    val nBatches = StreamingMedallion.runDayRollup(spark, s"$dir/topic",
+      s"$dir/out", s"$dir/ckpt", maxFilesPerTrigger = 1, numBuckets = 4,
+      dedupRetention = "3650 days")
+    nBatches should be >= 3L // maxFilesPerTrigger honored -> real increments
+    val streamed = KeyedUpsert.read(spark, s"$dir/out")
+    val batch = Medallion.dayRollup(Medallion.gold(Medallion.silver(events),
+      Dims.metricMappings(spark), Dims.deviceHistory(spark)))
+    streamed.count() shouldBe batch.count()
+    streamed.select(batch.columns.map(col): _*).exceptAll(batch)
+      .count() shouldBe 0
+  }
+
+  test("watermark dedup drops duplicate keys fed across micro-batches") {
+    val dir = tmp("dedup")
+    val events = Tables.events(spark, SfDir).limit(200).cache()
+    // publish the same 200 events twice into the topic
+    Topic.publishEvents(events, s"$dir/t1", nFiles = 1)
+    val dup = spark.read.schema(Topic.schema).json(s"$dir/t1")
+    dup.union(dup).repartition(2).write.json(s"$dir/topic")
+    val silver = StreamingMedallion.silverStream(spark, s"$dir/topic",
+      maxFilesPerTrigger = 1, dedupRetention = "3650 days")
+    val q = silver.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // 200 events x2 metric rows, duplicates fully suppressed
+    spark.table("dedup_out").count() shouldBe events.count() * 2
+  }
+
+  test("late-data gate admits only rows within the window") {
+    val df = Seq(
+      ("2024-01-10 00:00:00", "old"),
+      ("2024-01-14 23:00:00", "fresh")).toDF("s", "tag")
+      .select(to_timestamp($"s").as("ts"), $"tag")
+    val now = to_timestamp(lit("2024-01-15 00:00:00"))
+    val kept = StreamOps.lateDataGate(df, "ts", maxAgeSec = 48 * 3600, now = now)
+    kept.select("tag").as[String].collect().toSeq shouldBe Seq("fresh")
+  }
+
+  test("stream-stream join joins two topics on key (JN9)") {
+    val dir = tmp("ssjoin")
+    val left = Seq((1L, "a"), (2L, "b")).toDF("id", "l")
+      .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00")))
+    val right = Seq((1L, "x"), (3L, "y")).toDF("id", "r")
+      .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:30")))
+    left.select(to_json(struct($"id", $"l")).as("value"),
+      unix_micros($"ts").as("timestamp")).write.json(s"$dir/L")
+    right.select(to_json(struct($"id", $"r")).as("value"),
+      unix_micros($"ts").as("timestamp")).write.json(s"$dir/R")
+    val ls = Topic.readStream(spark, s"$dir/L", 10)
+      .select(get_json_object($"value", "$.id").cast("long").as("id"),
+        get_json_object($"value", "$.l").as("l"),
+        timestamp_micros($"timestamp").as("lts"))
+      .withWatermark("lts", "1 hour")
+    val rs = Topic.readStream(spark, s"$dir/R", 10)
+      .select(get_json_object($"value", "$.id").cast("long").as("rid"),
+        get_json_object($"value", "$.r").as("r"),
+        timestamp_micros($"timestamp").as("rts"))
+      .withWatermark("rts", "1 hour")
+    val joined = ls.join(rs, $"id" === $"rid" &&
+      $"rts".between($"lts" - expr("INTERVAL 1 HOUR"),
+        $"lts" + expr("INTERVAL 1 HOUR")))
+    val q = joined.writeStream.format("memory").queryName("ss_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table("ss_out").select("id", "l", "r").as[(Long, String, String)]
+      .collect().toSeq shouldBe Seq((1L, "a", "x"))
+  }
+}
