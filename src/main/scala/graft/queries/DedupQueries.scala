@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.text.{Dedup, TextFns}
+
+/** Dedup suite over documents + embeddings, each driver-checked against
+  * a DuckDB oracle that rebuilds the same signatures bit-for-bit
+  * (md5-hex minima, polynomial word hashes, double-fold cosines).
+  */
+object DedupQueries {
+
+  private val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+  /** Shared oracle CTEs: normalized words + distinct 3-gram shingles. */
+  private val shingleCtes =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split($norm, ' ') AS ws FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_distinct(
+       |           list_transform(range(1, len(ws) - 1),
+       |             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS sh
+       |  FROM w WHERE len(ws) >= 3),
+       |""".stripMargin
+
+  val all: Map[String, Q] = Map(
+
+    // exact dedup: corpus-level duplicate accounting on the normalized
+    // fingerprint (group detail is exercised in DedupSpec on a corpus
+    // with planted exact dups).
+    "d01_exact_dedup" -> Q(
+      s"""SELECT count(*) AS n_docs,
+         |       count(DISTINCT md5($norm)) AS n_distinct,
+         |       count(*) - count(DISTINCT md5($norm)) AS n_dup_docs
+         |FROM documents""".stripMargin) { (s, d) =>
+      val fp = TextFns.fingerprintMd5(col("text"))
+      Tables.documents(s, d).agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(fp).as("n_distinct"),
+        (count(lit(1)) - countDistinct(fp)).as("n_dup_docs"))
+    },
+
+    // n-gram Jaccard near-dup: rare-shingle blocking + exact Jaccard.
+    "d02_ngram_jaccard" -> Q(
+      shingleCtes +
+        """sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+          |rare AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY 1)
+          |         WHERE df <= 50),
+          |blocked AS (SELECT doc_id, s.sh FROM sh s JOIN rare USING (sh)),
+          |inter AS (
+          |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
+          |  FROM blocked a JOIN blocked b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          |  GROUP BY 1, 2)
+          |SELECT a, b, round(i * 1.0 / (x.n_sh + y.n_sh - i), 4) AS jaccard
+          |FROM inter JOIN sizes x ON a = x.doc_id JOIN sizes y ON b = y.doc_id
+          |WHERE round(i * 1.0 / (x.n_sh + y.n_sh - i), 4) >= 0.8
+          |ORDER BY a, b""".stripMargin) { (s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d),
+          maxDF = 50, minJaccard = 0.8)
+        .orderBy("a", "b")
+    },
+
+    // MinHash(12) + LSH(4 bands x 3): candidates sharing any band
+    // bucket, estimated Jaccard = signature agreement rate.
+    "d03_minhash_lsh" -> Q(
+      shingleCtes +
+        """sigs AS (
+          |  SELECT doc_id,
+          |         list_transform(range(0, 12), s ->
+          |           list_min(list_transform(shs, x ->
+          |             md5(CAST(s AS VARCHAR) || '|' || x)))) AS sig
+          |  FROM (SELECT doc_id, list(sh) AS shs FROM sh GROUP BY 1)),
+          |buckets AS (
+          |  SELECT doc_id, unnest(list_transform(range(0, 4), b ->
+          |           md5(CAST(b AS VARCHAR) || '|' || sig[b*3+1] || '|' ||
+          |               sig[b*3+2] || '|' || sig[b*3+3]))) AS bucket
+          |  FROM sigs),
+          |cand AS (
+          |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+          |  FROM buckets a JOIN buckets b
+          |    ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+          |SELECT a, b,
+          |       round(len(list_filter(range(1, 13),
+          |             i -> sa.sig[i] = sb.sig[i])) / 12.0, 4) AS est_jaccard
+          |FROM cand JOIN sigs sa ON a = sa.doc_id JOIN sigs sb ON b = sb.doc_id
+          |WHERE len(list_filter(range(1, 13), i -> sa.sig[i] = sb.sig[i])) / 12.0 >= 0.5
+          |ORDER BY a, b""".stripMargin) { (s, d) =>
+      Dedup.minhashLshPairs(Tables.documents(s, d),
+          k = 12, bands = 4, minEst = 0.5)
+        .orderBy("a", "b")
+    },
+
+    // 24-bit SimHash near-dup: byte-band blocking, Hamming <= 6.
+    "d04_simhash" -> Q(
+      s"""WITH hsx AS (
+         |  SELECT doc_id,
+         |         list_transform(string_split($norm, ' '), w ->
+         |           list_reduce(list_transform(string_split(w, ''),
+         |               c -> CAST(ascii(c) AS BIGINT)),
+         |             (acc, x) -> (acc * 31 + x) % 1000000007) % 16777216) AS hs
+         |  FROM documents),
+         |sims AS (
+         |  SELECT doc_id,
+         |         list_sum(list_transform(range(0, 24), j ->
+         |           CASE WHEN list_sum(list_transform(hs,
+         |                  h -> ((h >> j) & 1) * 2 - 1)) > 0
+         |                THEN (1::BIGINT << j) ELSE 0 END)) AS sim
+         |  FROM hsx),
+         |bands AS (
+         |  SELECT doc_id, sim, unnest(list_transform(range(0, 3), b ->
+         |           CAST(b AS VARCHAR) || '|' ||
+         |           CAST((sim >> (8 * CAST(b AS INTEGER))) & 255 AS VARCHAR))) AS band
+         |  FROM sims),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
+         |         a.sim AS sima, b.sim AS simb
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.doc_id < b.doc_id)
+         |SELECT a, b, bit_count(xor(sima, simb)) AS hamming
+         |FROM cand WHERE bit_count(xor(sima, simb)) <= 6
+         |ORDER BY a, b""".stripMargin) { (s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 6)
+        .orderBy("a", "b")
+    },
+
+    // embedding-cosine near-dup (double-fold cosine, both engines
+    // compute the identical sequential sum).
+    "d05_cosine_neardup" -> Q(
+      """SELECT a.vec_id AS a, b.vec_id AS b,
+        |       round(list_dot_product(av, bv) /
+        |             (sqrt(list_dot_product(av, av)) *
+        |              sqrt(list_dot_product(bv, bv))), 6) AS cos
+        |FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS av
+        |      FROM embeddings) a
+        |JOIN (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS bv
+        |      FROM embeddings) b
+        |  ON a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(av, bv) /
+        |            (sqrt(list_dot_product(av, av)) *
+        |             sqrt(list_dot_product(bv, bv))), 6) >= 0.4
+        |ORDER BY a, b""".stripMargin) { (s, d) =>
+      Dedup.cosineNearDupPairs(Tables.embeddings(s, d), minCos = 0.4)
+        .orderBy("a", "b")
+    }
+  )
+}
