@@ -1,0 +1,74 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.vector.Ann
+
+/** Similarity-search suite over the embeddings table. The oracle ranks
+  * with full-precision doubles (both engines fold the dot product in
+  * the same order, so ranking order is bit-identical) and rounds only
+  * for output.
+  */
+object AnnQueries {
+
+  private val vCte =
+    """WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+      |  FROM embeddings),
+      |""".stripMargin
+
+  private val cosExpr =
+    """list_dot_product(q.v, c.v) /
+      |  (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))"""
+      .stripMargin
+
+  val all: Map[String, Q] = Map(
+
+    // exact cosine top-5 for a 1-in-25 query sample — the ANN baseline.
+    "s01_ann_brute" -> Q(
+      vCte +
+        s"""ranked AS (
+           |  SELECT q.vec_id AS q, c.vec_id AS b,
+           |         $cosExpr AS cos,
+           |         row_number() OVER (PARTITION BY q.vec_id
+           |           ORDER BY $cosExpr DESC, c.vec_id) AS rank
+           |  FROM e q JOIN e c ON q.vec_id != c.vec_id
+           |  WHERE q.vec_id % 25 = 0)
+           |SELECT q, rank, b, round(cos, 6) AS cos
+           |FROM ranked WHERE rank <= 5 ORDER BY q, rank""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Ann.bruteForceTopK(emb.filter(col("vec_id") % 25 === 0), emb, k = 5)
+        .orderBy("q", "rank")
+    },
+
+    // multi-table LSH top-3: 8 tables x 3 hyperplane sign bits,
+    // candidates share any table bucket, exact ranking within the
+    // candidate set (the OR-construction for high recall).
+    "s02_ann_lsh" -> Q(
+      vCte +
+        s"""b AS (
+           |  SELECT vec_id, v,
+           |         unnest(list_transform(range(0, 8), t ->
+           |           t * 8 + list_sum(list_transform(range(0, 3), j ->
+           |             CASE WHEN list_dot_product(v, list_transform(range(0, 64),
+           |                    i -> (((t*3+j)*7919 + i*104729 + 12345) % 2001 - 1000) / 1000.0)) > 0
+           |                  THEN (1::BIGINT << j) ELSE 0 END)))) AS bucket
+           |  FROM e),
+           |cand AS (
+           |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+           |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+           |  WHERE q.vec_id % 25 = 0),
+           |ranked AS (
+           |  SELECT qid AS qq, cid,
+           |         $cosExpr AS cos,
+           |         row_number() OVER (PARTITION BY qid
+           |           ORDER BY $cosExpr DESC, cid) AS rank
+           |  FROM cand JOIN e q ON qid = q.vec_id JOIN e c ON cid = c.vec_id)
+           |SELECT qq AS q, rank, cid AS b, round(cos, 6) AS cos
+           |FROM ranked WHERE rank <= 3 ORDER BY q, rank""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Ann.lshTopK(emb.filter(col("vec_id") % 25 === 0), emb, k = 3)
+        .orderBy("q", "rank")
+    }
+  )
+}

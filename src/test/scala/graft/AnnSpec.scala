@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.vector.{Ann, VectorFns}
+
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val emb = Tables.embeddings(spark, SfDir).cache()
+
+  test("cosine of a vector with itself is 1, with its negation -1") {
+    val r = Seq((Array(1.0f, 2.0f, 3.0f), Array(-1.0f, -2.0f, -3.0f)))
+      .toDF("a", "b")
+      .select(VectorFns.cosine($"a", $"a").as("self"),
+        VectorFns.cosine($"a", $"b").as("anti")).head
+    r.getDouble(0) shouldBe 1.0 +- 1e-12
+    r.getDouble(1) shouldBe -1.0 +- 1e-12
+  }
+
+  test("brute-force top-k is k rows per query, ranked by cosine desc") {
+    val qs = emb.filter($"vec_id" < 3)
+    val top = Ann.bruteForceTopK(qs, emb, k = 5).collect()
+    top.length shouldBe 15
+    top.groupBy(_.getLong(0)).values.foreach { rows =>
+      val byRank = rows.sortBy(_.getInt(1))
+      byRank.map(_.getDouble(3)) shouldBe
+        byRank.map(_.getDouble(3)).sorted.reverse
+    }
+  }
+
+  test("LSH buckets are deterministic, one per table, in-range") {
+    val b1 = Ann.withLshBuckets(emb).select("vec_id", "bucket")
+      .as[(Long, Long)].collect().toSeq.sorted
+    val b2 = Ann.withLshBuckets(emb).select("vec_id", "bucket")
+      .as[(Long, Long)].collect().toSeq.sorted
+    b1 shouldBe b2
+    val n = emb.count()
+    b1.size shouldBe n * 8 // 8 tables -> 8 bucket rows per vector
+    b1.foreach { case (_, b) => b should (be >= 0L and be < 64L) }
+  }
+
+  test("multi-table LSH top-1 recalls most true nearest neighbors") {
+    val qs = emb.filter($"vec_id" % 10 === 0)
+    val truth = Ann.bruteForceTopK(qs, emb, k = 1)
+      .select("q", "b").as[(Long, Long)].collect().toMap
+    val approx = Ann.lshTopK(qs, emb, k = 1)
+      .select("q", "b").as[(Long, Long)].collect().toMap
+    val hits = truth.count { case (q, b) => approx.get(q).contains(b) }
+    // 8 tables x 3 planes: P[candidate] = 1-(1-p^3)^8, ~0.9 at cos 0.4
+    hits.toDouble / truth.size should be > 0.5
+  }
+}
