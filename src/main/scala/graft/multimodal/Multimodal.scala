@@ -1,0 +1,103 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column plumbing: media travel as
+  * opaque `binary` columns with typed metadata, exactly like a 100 TB
+  * training-data lake stores them. The Spark-side machinery — schemas,
+  * typed Datasets, partition-iterator batch processing, generators over
+  * frames — is real; only the pixel/sample DECODE is a deterministic
+  * stub (`StubDecoder`), because no image/audio codec ships in this
+  * environment. Swapping the stub for a real codec changes no plan
+  * shape.
+  */
+object Multimodal {
+
+  /** A stored media object: opaque bytes + typed envelope. */
+  final case class Media(
+      media_id: Long, kind: String, content: Array[Byte])
+
+  /** Decoded per-object features (fixed schema regardless of codec). */
+  final case class MediaFeatures(
+      media_id: Long, kind: String, n_bytes: Long,
+      checksum: Long, feature: Array[Double])
+
+  /** Build a media table from the documents corpus: content is the
+    * UTF-8 text bytes; kind cycles image/audio/video. Stand-in for a
+    * real object-store scan of binary payloads. */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      col("text").cast("binary").as("content"))
+
+  // ------------------------------------------------------------ STUB ----
+  /** Deterministic fake decoder. A real implementation would parse the
+    * container format here (JPEG/FLAC/MP4); everything downstream is
+    * agnostic to that. */
+  object StubDecoder {
+    /** Fake per-object feature vector: k moments of the byte stream. */
+    def features(bytes: Array[Byte], k: Int = 4): Array[Double] = {
+      val out = new Array[Double](k)
+      var i = 0
+      while (i < bytes.length) {
+        var j = 0
+        while (j < k) {
+          out(j) += ((bytes(i) & 0xff) % (17 + j)).toDouble
+          j += 1
+        }
+        i += 1
+      }
+      out
+    }
+    def checksum(bytes: Array[Byte]): Long =
+      bytes.foldLeft(0L)((acc, b) => (acc * 31 + (b & 0xff)) % 1000000007L)
+  }
+  // ----------------------------------------------------------------------
+
+  /** Typed partition-iterator decode: the batch shape a real codec
+    * needs (amortize codec init per partition, stream records through).
+    * Runs distributed; schema is the fixed [[MediaFeatures]]. */
+  def decodeFeatures(media: Dataset[Media]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition codec init would happen here (once, not per row)
+      it.map { m =>
+        MediaFeatures(m.media_id, m.kind, m.content.length.toLong,
+          StubDecoder.checksum(m.content), StubDecoder.features(m.content))
+      }
+    }
+  }
+
+  /** Expression-level metadata decode (no codec needed): byte length,
+    * content fingerprint, and stub dimensions derived deterministically
+    * from the byte length — codegen'd, oracle-checkable. */
+  def mediaMeta(media: DataFrame): DataFrame =
+    media.select(
+      col("media_id"), col("kind"),
+      length(col("content")).cast("long").as("n_bytes"),
+      md5(col("content")).as("fp"),
+      (lit(64) + length(col("content")) % 256).cast("long").as("width"),
+      (lit(64) + (length(col("content")) * 7) % 256).cast("long").as("height"))
+
+  /** Frame sampling for video media: one row per sampled frame index
+    * (every `stride`-th frame of n_bytes/bytesPerFrame fake frames),
+    * frame fingerprint derived from content fp + index. The generator
+    * shape (explode over a per-row sequence) is the real plan a frame
+    * sampler produces. */
+  def sampleFrames(media: DataFrame, bytesPerFrame: Int = 100,
+      stride: Int = 2): DataFrame = {
+    val nFrames = (length(col("content")) / bytesPerFrame + 1).cast("long")
+    media.filter(col("kind") === "video")
+      .select(col("media_id"), md5(col("content")).as("content_fp"),
+        nFrames.as("n_frames"))
+      .select(col("media_id"), col("content_fp"), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1,
+          lit(stride.toLong))).as("frame_idx"))
+      .withColumn("frame_fp",
+        md5(concat(col("content_fp"), lit("|"),
+          col("frame_idx").cast("string"))))
+  }
+}

@@ -1,0 +1,56 @@
+package graft.queries
+
+import graft.multimodal.Multimodal
+import graft.sources.Tables
+
+/** Multimodal plumbing surfaced through the correctness gate: the
+  * media table is synthesized from documents (text bytes as opaque
+  * content), so DuckDB can rebuild the binary-side results from the
+  * text side (identical UTF-8 bytes).
+  */
+object MultimodalQueries {
+
+  private val mediaCte =
+    """WITH media AS (
+      |  SELECT doc_id AS media_id,
+      |         CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+      |              WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+      |         text AS content
+      |  FROM documents)
+      |""".stripMargin
+
+  val all: Map[String, Q] = Map(
+
+    // typed metadata decode over opaque binary content.
+    "m01_media_meta" -> Q(
+      mediaCte +
+        """SELECT media_id, kind,
+          |       octet_length(encode(content)) AS n_bytes,
+          |       md5(content) AS fp,
+          |       64 + octet_length(encode(content)) % 256 AS width,
+          |       64 + (octet_length(encode(content)) * 7) % 256 AS height
+          |FROM media ORDER BY media_id""".stripMargin) { (s, d) =>
+      Multimodal.mediaMeta(
+          Multimodal.mediaFromDocuments(Tables.documents(s, d)))
+        .orderBy("media_id")
+    },
+
+    // frame sampling: generator over per-row fake frame sequences.
+    "m02_frame_sample" -> Q(
+      mediaCte +
+        """SELECT media_id, n_frames, frame_idx,
+          |       md5(content_fp || '|' || CAST(frame_idx AS VARCHAR)) AS frame_fp
+          |FROM (
+          |  SELECT media_id, md5(content) AS content_fp,
+          |         octet_length(encode(content)) // 100 + 1 AS n_frames
+          |  FROM media WHERE kind = 'video'),
+          |  LATERAL (SELECT unnest(range(0, n_frames, 2)) AS frame_idx)
+          |ORDER BY media_id, frame_idx""".stripMargin) { (s, d) =>
+      Multimodal.sampleFrames(
+          Multimodal.mediaFromDocuments(Tables.documents(s, d)),
+          bytesPerFrame = 100, stride = 2)
+        .select("media_id", "n_frames", "frame_idx", "frame_fp")
+        .orderBy("media_id", "frame_idx")
+    }
+  )
+}
