@@ -16,7 +16,8 @@ object SparkEntry {
   private def registry: Map[String, Q] =
     CoreQueries.all ++ CoreQueries2.all ++ ExprQueries.all ++
       PipelineQueries.all ++ StreamingQueries.all ++ TextQueries.all ++
-      DedupQueries.all ++ AnnQueries.all ++ MultimodalQueries.all
+      DedupQueries.all ++ AnnQueries.all ++ MultimodalQueries.all ++
+      SinkQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Daily per-user/event_type rollup — the medallion pipeline's core

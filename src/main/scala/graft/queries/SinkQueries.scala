@@ -1,0 +1,90 @@
+package graft.queries
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.Fns
+import graft.sinks.TableSinks
+import graft.sources.{FileSources, Tables}
+
+/** Source/sink round-trips surfaced through the correctness gate: each
+  * query materializes a side table in a scratch dir with one writer,
+  * reads it back with the matching reader, and must reproduce results
+  * DuckDB derives straight from the original parquet — verifying both
+  * directions of the format plumbing.
+  */
+object SinkQueries {
+
+  private def freshDir(name: String): Path = {
+    val p = Paths.get(s"/tmp/graft-sink/$name")
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+    }
+    Files.createDirectories(p)
+    p
+  }
+
+  val all: Map[String, Q] = Map(
+
+    // K9 + S6: single-file headered CSV report written, then re-read
+    // with an explicit schema and re-aggregated.
+    "k01_csv_roundtrip" -> Q(
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val dir = freshDir(s"k01-${d.replaceAll("[^0-9a-zA-Z.]", "_")}")
+      TableSinks.csvReport(
+        Tables.events(s, d).select("event_id", "event_type", "value"),
+        s"$dir/report")
+      FileSources.csv(s, s"$dir/report", StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("event_type", StringType),
+          StructField("value", DoubleType))))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .orderBy("event_type")
+    },
+
+    // K1/K2 + K10: datestamp-partitioned write, retention purge of old
+    // partitions, then a partition-pruned read-back.
+    "k02_retention" -> Q(
+      """SELECT strftime(ts, '%Y-%m-%d') AS datestamp, count(*) AS n
+        |FROM events WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-15'
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val dir = freshDir(s"k02-${d.replaceAll("[^0-9a-zA-Z.]", "_")}")
+      val table = s"$dir/events_by_day"
+      TableSinks.writePartitioned(
+        Tables.events(s, d).withColumn("datestamp", Fns.datestamp(col("ts"))),
+        table, "datestamp", mode = "overwrite")
+      TableSinks.purgePartitionsBelow(s, table, "datestamp", "2024-01-15")
+      s.read.parquet(table)
+        .groupBy("datestamp").agg(count(lit(1)).as("n"))
+        .orderBy("datestamp")
+    },
+
+    // S5 text-glob scan over a partitioned JSON archive (the backfill
+    // path), parsed with get_json_object.
+    "k03_text_glob" -> Q(
+      """SELECT CAST(json_extract_string(j, '$.user_id') AS BIGINT) AS user_id,
+        |       count(*) AS n
+        |FROM (SELECT to_json(struct_pack(user_id := user_id,
+        |                                 event_type := event_type)) AS j
+        |      FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val dir = freshDir(s"k03-${d.replaceAll("[^0-9a-zA-Z.]", "_")}")
+      // write a month=*/ JSON archive like the reference's blob layout
+      Tables.events(s, d)
+        .withColumn("month", date_format(col("ts"), "yyyy-MM"))
+        .select(col("month"),
+          to_json(struct(col("user_id"), col("event_type"))).as("j"))
+        .write.partitionBy("month").mode("overwrite").text(s"$dir/archive")
+      FileSources.textGlob(s, s"$dir/archive/month=*/*.txt")
+        .select(get_json_object(col("value"), "$.user_id").cast("long")
+          .as("user_id"))
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+        .orderBy("user_id")
+    }
+  )
+}

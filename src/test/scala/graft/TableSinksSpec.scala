@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sinks.TableSinks
+import graft.sources.FileSources
+
+class TableSinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-sinks").toString
+
+  test("purge drops exactly the partitions below the cutoff") {
+    val dir = tmp() + "/t"
+    val df = Seq(("2024-01-01", 1), ("2024-01-02", 2), ("2024-01-03", 3))
+      .toDF("datestamp", "v")
+    TableSinks.writePartitioned(df, dir, "datestamp", "overwrite")
+    val dropped = TableSinks.purgePartitionsBelow(spark, dir, "datestamp",
+      "2024-01-03")
+    dropped shouldBe Seq("2024-01-01", "2024-01-02")
+    spark.read.parquet(dir).select("datestamp").as[String]
+      .collect().toSeq shouldBe Seq("2024-01-03")
+  }
+
+  test("compaction rewrites many-file partitions without changing rows") {
+    val dir = tmp() + "/t"
+    // 20 files in one partition (repartition before write)
+    val df = spark.range(0, 1000)
+      .select(lit("2024-01-01").as("datestamp"), col("id"))
+      .repartition(20)
+    TableSinks.writePartitioned(df, dir, "datestamp", "overwrite")
+    val before = spark.read.parquet(dir)
+    val beforeSum = before.agg(sum("id")).head.getLong(0)
+    val compacted = TableSinks.compactPartitions(spark, dir, "datestamp",
+      maxFiles = 8, targetFiles = 2)
+    compacted shouldBe Seq("2024-01-01")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val nFiles = fs.listStatus(
+        new org.apache.hadoop.fs.Path(dir, "datestamp=2024-01-01"))
+      .count(f => f.isFile && !f.getPath.getName.startsWith("_"))
+    nFiles should be <= 2
+    val after = spark.read.parquet(dir)
+    after.count() shouldBe 1000
+    after.agg(sum("id")).head.getLong(0) shouldBe beforeSum
+    // second run is a no-op (already compact)
+    TableSinks.compactPartitions(spark, dir, "datestamp", 8, 2) shouldBe empty
+  }
+
+  test("jsonString builds a DataFrame from a REST-style payload") {
+    val df = FileSources.jsonString(spark,
+      """[{"id": 1, "name": "a"}, {"id": 2, "name": "b"}]""")
+    df.count() shouldBe 2
+    df.columns.toSet shouldBe Set("id", "name")
+  }
+
+  test("partition pruning reaches the scan on datestamp filters") {
+    val dir = tmp() + "/t"
+    val df = Seq(("2024-01-01", 1), ("2024-01-02", 2)).toDF("datestamp", "v")
+    TableSinks.writePartitioned(df, dir, "datestamp", "overwrite")
+    val q = spark.read.parquet(dir).filter($"datestamp" === "2024-01-02")
+    val plan = q.queryExecution.executedPlan.toString
+    plan should include("PartitionFilters")
+    q.as[(Int, String)].collect().toSeq shouldBe Seq((2, "2024-01-02"))
+  }
+}
