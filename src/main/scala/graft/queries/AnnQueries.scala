@@ -15,12 +15,13 @@ object AnnQueries {
     """WITH e AS (
       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
       |  FROM embeddings),
+      |n AS (
+      |  SELECT vec_id,
+      |         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn
+      |  FROM e),
       |""".stripMargin
 
-  private val cosExpr =
-    """list_dot_product(q.v, c.v) /
-      |  (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))"""
-      .stripMargin
+  private val cosExpr = "list_dot_product(q.vn, c.vn)"
 
   val all: Map[String, Q] = Map(
 
@@ -32,7 +33,7 @@ object AnnQueries {
            |         $cosExpr AS cos,
            |         row_number() OVER (PARTITION BY q.vec_id
            |           ORDER BY $cosExpr DESC, c.vec_id) AS rank
-           |  FROM e q JOIN e c ON q.vec_id != c.vec_id
+           |  FROM n q JOIN n c ON q.vec_id != c.vec_id
            |  WHERE q.vec_id % 25 = 0)
            |SELECT q, rank, b, round(cos, 6) AS cos
            |FROM ranked WHERE rank <= 5 ORDER BY q, rank""".stripMargin) { (s, d) =>
@@ -63,7 +64,7 @@ object AnnQueries {
            |         $cosExpr AS cos,
            |         row_number() OVER (PARTITION BY qid
            |           ORDER BY $cosExpr DESC, cid) AS rank
-           |  FROM cand JOIN e q ON qid = q.vec_id JOIN e c ON cid = c.vec_id)
+           |  FROM cand JOIN n q ON qid = q.vec_id JOIN n c ON cid = c.vec_id)
            |SELECT qq AS q, rank, cid AS b, round(cos, 6) AS cos
            |FROM ranked WHERE rank <= 3 ORDER BY q, rank""".stripMargin) { (s, d) =>
       val emb = Tables.embeddings(s, d)

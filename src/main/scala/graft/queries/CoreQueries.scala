@@ -110,8 +110,10 @@ object CoreQueries {
         |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
         |ORDER BY c_custkey""".stripMargin) { (s, d) =>
       val c = Tables.customer(s, d)
-      val o = Tables.orders(s, d)
-      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      // distinct keys only, broadcast: the anti side never needs the
+      // full orders payload, and the key set stays small at any SF
+      val o = Tables.orders(s, d).select("o_custkey").distinct()
+      c.join(broadcast(o), c("c_custkey") === o("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
     },

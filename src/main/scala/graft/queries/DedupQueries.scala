@@ -123,21 +123,20 @@ object DedupQueries {
         .orderBy("a", "b")
     },
 
-    // embedding-cosine near-dup (double-fold cosine, both engines
-    // compute the identical sequential sum).
+    // embedding-cosine near-dup: vectors unit-normalized once, pair
+    // cosine is a single dot fold — both engines compute the identical
+    // sequential sum, so results match bit-for-bit.
     "d05_cosine_neardup" -> Q(
-      """SELECT a.vec_id AS a, b.vec_id AS b,
-        |       round(list_dot_product(av, bv) /
-        |             (sqrt(list_dot_product(av, av)) *
-        |              sqrt(list_dot_product(bv, bv))), 6) AS cos
-        |FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS av
-        |      FROM embeddings) a
-        |JOIN (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS bv
-        |      FROM embeddings) b
-        |  ON a.vec_id < b.vec_id
-        |WHERE round(list_dot_product(av, bv) /
-        |            (sqrt(list_dot_product(av, av)) *
-        |             sqrt(list_dot_product(bv, bv))), 6) >= 0.4
+      """WITH n AS (
+        |  SELECT vec_id,
+        |         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn
+        |  FROM (SELECT vec_id,
+        |               list_transform(embedding, x -> x::DOUBLE) AS v
+        |        FROM embeddings))
+        |SELECT a.vec_id AS a, b.vec_id AS b,
+        |       round(list_dot_product(a.vn, b.vn), 6) AS cos
+        |FROM n a JOIN n b ON a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.vn, b.vn), 6) >= 0.4
         |ORDER BY a, b""".stripMargin) { (s, d) =>
       Dedup.cosineNearDupPairs(Tables.embeddings(s, d), minCos = 0.4)
         .orderBy("a", "b")

@@ -35,7 +35,7 @@ object StreamingQueries {
       val topic = s"$root/topic"
       val out = s"$root/rollup"
       val ckpt = s"$root/ckpt"
-      Topic.publishEvents(Tables.events(s, d), topic, nFiles = 4)
+      Topic.publishEvents(Tables.events(s, d), topic, nFiles = 2)
       // retention wide enough that the shuffled replay has no late drops:
       // the bounded run must converge to the batch-exact state
       StreamingMedallion.runDayRollup(s, topic, out, ckpt,

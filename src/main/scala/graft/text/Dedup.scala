@@ -73,12 +73,30 @@ object Dedup {
   // -------------------------------------------------------------- minhash
 
   /** MinHash signature: k independent hash views, each the lexicographic
-    * min of md5("<seed>|<shingle>") over the shingle set. */
+    * min of md5("<seed>|<shingle>") over the shingle set. Single-row
+    * expression form (used for small/row-local cases; the distributed
+    * pipeline uses [[minhashSignatures]]). */
   def minhashSignature(text: Column, k: Int = 12, n: Int = 3): Column = {
     val sh = shingleArray(text, n)
     transform(sequence(lit(0), lit(k - 1)),
       s => array_min(transform(sh,
         x => md5(concat(s.cast("string"), lit("|"), x)))))
+  }
+
+  /** Distributed signature table (id, sig array<string>): shingles are
+    * exploded once and the k minima run as ONE codegen'd hash
+    * aggregation (k `min` aggregates over the shingle rows) — no
+    * interpreted per-row lambda over the whole shingle set, one shuffle
+    * by id. This is the form that scales: cost is O(|shingles| * k)
+    * map-side with partial aggregation. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, n: Int): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, n)
+    val minCols = (0 until k).map(s =>
+      min(md5(concat(lit(s.toString), lit("|"), col("sh")))).as(s"m$s"))
+    sh.groupBy("id")
+      .agg(minCols.head, minCols.tail: _*)
+      .select(col("id"), array((0 until k).map(s => col(s"m$s")): _*).as("sig"))
   }
 
   /** LSH band bucket ids: bands of r signature rows hashed together;
@@ -95,10 +113,9 @@ object Dedup {
       textCol: String = "text", k: Int = 12, bands: Int = 4,
       minEst: Double = 0.5, n: Int = 3): DataFrame = {
     val rows = k / bands
-    val sigs = docs
-      .filter(size(TextFns.words(col(textCol))) >= n) // no signature w/o shingles
-      .select(col(idCol).as("id"),
-        minhashSignature(col(textCol), k, n).as("sig"))
+    // one shuffle builds every signature; persisted because the plan
+    // references it three times (buckets + both pair sides)
+    val sigs = minhashSignatures(docs, idCol, textCol, k, n).persist()
     val buckets = sigs.select(col("id"),
       explode(lshBuckets(col("sig"), bands, rows)).as("bucket"))
     val cand = buckets.select(col("bucket"), col("id").as("a"))
@@ -144,12 +161,42 @@ object Dedup {
         pow(lit(2.0), j).cast("long")).otherwise(lit(0L)))
   }
 
+  /** The per-word polynomial hash used by SimHash (engine-neutral). */
+  private def wordHash(w: Column): Column = pmod(
+    aggregate(
+      slice(transform(split(w, ""), c => ascii(c).cast("long")),
+        lit(2), size(split(w, "")) - 1),
+      ascii(substring(w, 0, 1)).cast("long"),
+      (acc, x) => pmod(acc * 31 + x, lit(1000000007L))),
+    lit(WordHashMod))
+
+  /** Distributed SimHash table (id, sim): words explode once, repeated
+    * word hashes collapse via a count aggregate, and the per-bit vote
+    * sums run as codegen'd hash aggregations — the giant per-document
+    * nested lambda of [[simhash]] becomes three cheap shuffles whose
+    * map-side partial aggregation bounds the data movement by
+    * #(id, bit) groups, not token count. */
+  def simhashes(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = docs.select(col(idCol).as("id"),
+      explode(TextFns.words(col(textCol))).as("w"))
+    val counted = words.select(col("id"), wordHash(col("w")).as("h"))
+      .groupBy("id", "h").agg(count(lit(1)).as("c"))
+    val votes = counted.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(SimBits - 1)), j =>
+        (pmod(floor(col("h") / pow(lit(2.0), j)).cast("long"), lit(2L)) * 2
+          - 1) * col("c"))))
+      .toDF("id", "bit", "vote")
+    votes.groupBy("id", "bit").agg(sum("vote").as("v"))
+      .groupBy("id")
+      .agg(sum(when(col("v") > 0,
+        pow(lit(2.0), col("bit")).cast("long")).otherwise(0L)).as("sim"))
+  }
+
   /** SimHash near-dup pairs: block on any shared 8-bit byte band, keep
     * pairs with Hamming distance <= maxHamming. */
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", maxHamming: Int = 6): DataFrame = {
-    val withSim = docs.select(col(idCol).as("id"),
-      simhash(col(textCol)).as("sim"))
+    val withSim = simhashes(docs, idCol, textCol)
     val bands = withSim.select(col("id"), col("sim"),
       explode(array((0 until SimBits / 8).map(b =>
         concat(lit(s"$b|"),
@@ -172,11 +219,17 @@ object Dedup {
     * (graft.vector.Ann) or a coarse quantizer before pairing. */
   def cosineNearDupPairs(emb: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", minCos: Double = 0.4): DataFrame = {
-    val a = emb.select(col(idCol).as("a"), col(vecCol).as("va"))
-    val b = emb.select(col(idCol).as("b"), col(vecCol).as("vb"))
+    // normalize once per vector (n folds), so each of the n² pairs
+    // costs exactly one dot fold
+    val normed = emb
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", VectorFns.norm(col("v")))
+      .select(col("id"), VectorFns.normalized(col("v"), col("nrm")).as("vn"))
+    val a = normed.select(col("id").as("a"), col("vn").as("va"))
+    val b = normed.select(col("id").as("b"), col("vn").as("vb"))
     a.crossJoin(b).filter(col("a") < col("b"))
       .select(col("a"), col("b"),
-        round(VectorFns.cosine(col("va"), col("vb")), 6).as("cos"))
+        round(VectorFns.dot(col("va"), col("vb")), 6).as("cos"))
       .filter(col("cos") >= minCos)
   }
 }
