@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graftshim.Shim
+import graft.functions.{DotProduct, RegexpExtractAllNegate}
+
+/** SparkSessionExtensions entry point: makes the engine's native
+  * expressions SQL-callable. Activate at session build with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")`, or call
+  * [[GraftExtensions.register]] on an already-built session.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions", name), builder))
+    }
+}
+
+object GraftExtensions {
+
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "regexp_extract_all_negate" ->
+      ((cs: Seq[Expression]) => RegexpExtractAllNegate(cs(0), cs(1), cs(2))),
+    "vec_dot" ->
+      ((cs: Seq[Expression]) => DotProduct(cs(0), cs(1))))
+
+  /** Register on an existing session (extensions only run at build). */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, builder) =>
+      Shim.registerFunction(spark, name, builder)
+    }
+}

@@ -15,7 +15,8 @@ object SparkEntry {
   /** All registries, merged. Later waves add their own objects here. */
   private def registry: Map[String, Q] =
     CoreQueries.all ++ CoreQueries2.all ++ ExprQueries.all ++
-      PipelineQueries.all ++ StreamingQueries.all ++ TextQueries.all ++
+      PipelineQueries.all ++ PipelineQueries2.all ++
+      StreamingQueries.all ++ TextQueries.all ++
       DedupQueries.all ++ AnnQueries.all ++ MultimodalQueries.all ++
       SinkQueries.all
 

@@ -44,6 +44,18 @@ object Dims {
     mappingRows.toDF("raw_symbol", "metric_id", "agg_type", "category_id")
   }
 
+  /** Custom-metric definitions ~ custommetrics(metricId, mappingIds,
+    * mappingType) ([SU]:254-278): custom 9101 sums sources 9001+9003,
+    * 9102 sums 9011+9013. */
+  val customMetricRows: Seq[(Long, Long, String)] = Seq(
+    (9101L, 9001L, "SUM"), (9101L, 9003L, "SUM"),
+    (9102L, 9011L, "SUM"), (9102L, 9013L, "SUM"))
+
+  def customMetrics(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    customMetricRows.toDF("custom_metric_id", "mapping_id", "mapping_type")
+  }
+
   /** Two validity intervals per serial "SN<u>": remote R<u>a owns
     * [2024-01-01, 2024-01-16), R<u>b owns [2024-01-16, open). */
   def deviceHistory(spark: SparkSession): DataFrame = {

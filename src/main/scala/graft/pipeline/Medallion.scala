@@ -122,6 +122,62 @@ object Medallion {
   def monthRollup(gold: DataFrame): DataFrame =
     rollup(gold, ts => unix_timestamp(date_trunc("month", ts)))
 
+  /** Custom SUM metrics ([G4]:182-242): gold rows whose metric id is a
+    * custom-metric source are re-aggregated per (timestamp, remote,
+    * provider, category) under the custom metric id, then
+    * unit-renormalized per (metric, provider) with conditional id
+    * rewrite — the reference's 9005->9003 x1000 / 9008,9009->9006,9007
+    * /60x1000 | /300 pattern on our id space. Values move through
+    * double for engine-neutral arithmetic. Output is gold-shaped, ready
+    * for re-ingest. */
+  def customSumMetrics(gold: DataFrame, customMetrics: DataFrame): DataFrame = {
+    val joined = gold.join(broadcast(customMetrics),
+      gold("metric_id") === customMetrics("mapping_id") &&
+        customMetrics("mapping_type") === "SUM")
+    val summed = joined
+      .groupBy(col("unix_timestamp"), col("datestamp"), col("remote_id"),
+        col("provider_id"), col("category_id"), col("custom_metric_id"))
+      .agg(sum("value_double").cast("double").as("v"))
+    summed
+      .withColumn("v",
+        when(col("custom_metric_id") === 9101 && col("provider_id") === 3,
+          col("v") * 1000)
+          .when(col("custom_metric_id") === 9102 && col("provider_id") === 3,
+            col("v") / 60 * 1000)
+          .when(col("custom_metric_id") === 9102 && col("provider_id").isin(1, 2),
+            col("v") / 300)
+          .otherwise(col("v")))
+      .withColumn("custom_metric_id",
+        when(col("custom_metric_id") === 9101 && col("provider_id") === 3,
+          lit(9103L))
+          .when(col("custom_metric_id") === 9102, lit(9104L))
+          .otherwise(col("custom_metric_id")))
+      .select(
+        lit(null).cast("string").as("element"),
+        col("unix_timestamp"),
+        col("datestamp"),
+        lit(null).cast("string").as("metric"),
+        col("v").as("value_double"),
+        lit(null).cast("string").as("value_string"),
+        col("custom_metric_id").as("metric_id"),
+        col("provider_id"),
+        col("category_id"),
+        col("remote_id"),
+        lit("SUM").as("agg_type"))
+  }
+
+  /** The gold -> custom-sum -> gold cycle ([G4]:246-280) as a single
+    * batch pass. The source filter on metric id is the provenance guard
+    * that keeps re-ingested custom rows (>= 9100) from feeding the
+    * aggregation again — the batch equivalent of the streaming form's
+    * 750-h dedup against infinite reprocessing. */
+  def goldWithCustom(gold: DataFrame, customMetrics: DataFrame): DataFrame = {
+    val custom = customSumMetrics(
+      gold.filter(col("metric_id") < 9100), customMetrics)
+    gold.withColumn("value_double", col("value_double").cast("double"))
+      .unionByName(custom)
+  }
+
   /** Latest value per 4-part key (id without timestamp, [C6A]:126).
     * Deterministic tiebreak on the element (event) id. */
   def latest(gold: DataFrame): DataFrame = {

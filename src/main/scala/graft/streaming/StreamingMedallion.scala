@@ -42,6 +42,9 @@ object StreamingMedallion {
   def runDayRollup(spark: SparkSession, topicDir: String, outDir: String,
       checkpointDir: String, maxFilesPerTrigger: Int = 1,
       numBuckets: Int = 8, dedupRetention: String = "48 hours"): Long = {
+    // ST6: isolate this query in its own fair-scheduler pool, like the
+    // reference names/pools every stream ([P1]:66,216,294)
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool", "graft-rollup")
     val gold = goldStream(spark,
       silverStream(spark, topicDir, maxFilesPerTrigger, dedupRetention))
     val rollup = Medallion.dayRollup(gold)

@@ -1,0 +1,27 @@
+package graft
+
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("registered SQL functions evaluate through spark.sql") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT regexp_extract_all_negate('75.3W', '[0-9.]+[NSEW]', 0) AS c,
+        |       vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d""".stripMargin)
+      .head
+    r.getString(0) shouldBe "-75.3"
+    r.getDouble(1) shouldBe 11.0
+  }
+
+  test("a fresh session built with the extensions class resolves them too") {
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .appName("graft-ext-test")
+      .getOrCreate()
+    try {
+      GraftExtensions.register(s2) // getOrCreate may reuse the shared session
+      s2.sql("SELECT vec_dot(array(1.0D), array(2.0D))")
+        .head.getDouble(0) shouldBe 2.0
+    } finally ()
+  }
+}

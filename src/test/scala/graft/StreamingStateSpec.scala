@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.sources.{Tables, Topic}
+
+/** Streaming state-layer checks: RocksDB state store provider (ST5),
+  * and watermarked tumbling-window aggregation in append mode
+  * (A3 + ST9 — the reference derives buckets as columns, but the
+  * engine must also offer native window() semantics).
+  */
+class StreamingStateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"graft-$name").toString
+
+  test("watermark dedup runs on the RocksDB state store provider") {
+    val dir = tmp("rocks")
+    val events = Tables.events(spark, SfDir).limit(300)
+    Topic.publishEvents(events, s"$dir/t1", nFiles = 1)
+    val dup = spark.read.schema(Topic.schema).json(s"$dir/t1")
+    dup.union(dup).write.json(s"$dir/topic")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val deduped = graft.streaming.StreamOps.watermarkDedup(
+        Topic.decodeEvents(Topic.readStream(spark, s"$dir/topic", 10)),
+        "ts", "3650 days", "evt", Seq(col("event_id")))
+      val q = deduped.writeStream.format("memory").queryName("rocks_out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.table("rocks_out").count() shouldBe events.count()
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("watermarked tumbling-window agg (append mode) matches batch buckets") {
+    val dir = tmp("window")
+    val events = Tables.events(spark, SfDir)
+    Topic.publishEvents(events, s"$dir/topic", nFiles = 1)
+    val stream = Topic.decodeEvents(Topic.readStream(spark, s"$dir/topic", 10))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "1 day"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum("value").as("total"))
+      .select(unix_timestamp($"window.start").as("bucket_ts"),
+        $"event_type", $"n", $"total")
+    val q = stream.writeStream.format("memory").queryName("win_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("win_out")
+    val batch = events
+      .groupBy(unix_timestamp(date_trunc("day", $"ts")).as("bucket_ts"),
+        $"event_type")
+      .agg(count(lit(1)).as("n"), sum("value").as("total"))
+    // append mode emits only windows closed by the watermark; every
+    // emitted window must agree exactly with the batch bucket
+    streamed.count() should be > 0L
+    streamed.join(batch, Seq("bucket_ts", "event_type"))
+      .filter(streamed("n") =!= batch("n")).count() shouldBe 0
+  }
+}
