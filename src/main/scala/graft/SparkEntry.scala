@@ -15,6 +15,7 @@ object SparkEntry {
   /** All registries, merged. Later waves add their own objects here. */
   private def registry: Map[String, Q] =
     CoreQueries.all ++ CoreQueries2.all ++ ExprQueries.all ++
+      BronzeQueries.all ++
       PipelineQueries.all ++ PipelineQueries2.all ++
       StreamingQueries.all ++ TextQueries.all ++
       DedupQueries.all ++ AnnQueries.all ++ MultimodalQueries.all ++
