@@ -16,7 +16,7 @@ object SparkEntry {
   private def registry: Map[String, Q] =
     CoreQueries.all ++ CoreQueries2.all ++ ExprQueries.all ++
       BronzeQueries.all ++
-      PipelineQueries.all ++ PipelineQueries2.all ++
+      PipelineQueries.all ++ PipelineQueries2.all ++ MonitoringQueries.all ++
       StreamingQueries.all ++ TextQueries.all ++
       DedupQueries.all ++ AnnQueries.all ++ MultimodalQueries.all ++
       SinkQueries.all

@@ -1,0 +1,85 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.sinks.KeyedUpsert
+import graft.text.Dedup
+
+/** Property tests (ScalaCheck): randomized sequences checked against
+  * simple in-memory models. Iteration counts are modest because each
+  * case runs real Spark jobs.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def check(prop: Prop, n: Int): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default
+        .withMinSuccessfulTests(n).withWorkers(1), prop)
+    withClue(res.status.toString)(res.passed shouldBe true)
+  }
+
+  test("KeyedUpsert equals the in-memory last-writer-wins map model") {
+    val batchGen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.choose(0, 9).map(k => s"k$k"), Gen.choose(0, 1000)))
+    val seqGen = Gen.listOfN(3, batchGen)
+    val prop = Prop.forAll(seqGen) { batches =>
+      val dir = Files.createTempDirectory("graft-prop").toString + "/t"
+      val model = scala.collection.mutable.Map[String, Int]()
+      batches.foreach { batch =>
+        // model: within a batch the max value per key wins (tieBreak)
+        batch.groupBy(_._1).foreach { case (k, vs) =>
+          model(k) = vs.map(_._2).max
+        }
+        KeyedUpsert.upsert(spark, dir, batch.toDF("k", "v"),
+          Seq("k"), numBuckets = 4, tieBreak = Some("v"))
+      }
+      val actual = KeyedUpsert.read(spark, dir)
+        .as[(String, Int)].collect().toMap
+      actual == model.toMap
+    }
+    check(prop, 8)
+  }
+
+  test("rollup sums always reconcile with direct sums over random data") {
+    val rowGen = Gen.zip(
+      Gen.choose(1704067200L, 1704067200L + 86400 * 30),
+      Gen.choose(1, 3), Gen.choose(-50.0, 150.0))
+    val dataGen = Gen.listOfN(60, rowGen)
+    val prop = Prop.forAll(dataGen) { rows =>
+      val gold = rows.zipWithIndex.map { case ((ts, prov, v), i) =>
+        (i.toString, ts, "2024-01-01", "m",
+          BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP),
+          null.asInstanceOf[String], 9001L, prov.toLong, 1L, s"R${i % 5}", "SUM")
+      }.toDF("element", "unix_timestamp", "datestamp", "metric",
+        "value_double", "value_string", "metric_id", "provider_id",
+        "category_id", "remote_id", "agg_type")
+        .withColumn("value_double",
+          col("value_double").cast("decimal(30,15)"))
+      val rolled = graft.pipeline.Medallion.hourRollup(gold)
+      val direct = gold.filter(col("value_double") =!= 0)
+        .agg(sum("value_double").cast("double")).head.getDouble(0)
+      val viaRollup = rolled.agg(sum("sum_value")).head match {
+        case r if r.isNullAt(0) => 0.0
+        case r => r.getDouble(0)
+      }
+      math.abs(viaRollup - direct) < 1e-6
+    }
+    check(prop, 8)
+  }
+
+  test("minhash agreement is exact 1.0 for identical docs, lower otherwise") {
+    val wordGen = Gen.listOfN(12,
+      Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta"))
+    val prop = Prop.forAll(Gen.zip(wordGen, wordGen)) { case (w1, w2) =>
+      val docs = Seq((1L, w1.mkString(" ")), (2L, w1.mkString(" ")),
+        (3L, w2.mkString(" "))).toDF("doc_id", "text")
+      val sigs = Dedup.minhashSignatures(docs, "doc_id", "text", k = 8, n = 3)
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      // identical docs -> identical signatures, always
+      sigs(1L) == sigs(2L)
+    }
+    check(prop, 10)
+  }
+}
