@@ -44,6 +44,61 @@ object StreamingQueries {
         .select("id", "bucket_ts", "remote_id", "metric_id", "provider_id",
           "category_id", "sum_value", "avg_value", "min_value", "max_value", "n")
         .orderBy("id", "bucket_ts")
+    },
+
+    // streaming latest with conditional MERGE (update only if newer):
+    // must converge to the batch latest snapshot despite the shuffled
+    // topic replay feeding out-of-order micro-batches.
+    "st02_stream_latest" -> Q(
+      PipelineQueries.ctes +
+        """SELECT remote_id || '|' || CAST(metric_id AS VARCHAR) || '|' ||
+          |       CAST(provider_id AS VARCHAR) || '|' || CAST(category_id AS VARCHAR) AS id,
+          |       remote_id, metric_id, provider_id, category_id,
+          |       unix_timestamp, value_double, value_string
+          |FROM (
+          |  SELECT *, row_number() OVER (
+          |    PARTITION BY remote_id, metric_id, provider_id, category_id
+          |    ORDER BY unix_timestamp DESC, CAST(element AS BIGINT) DESC) AS rn
+          |  FROM gold) WHERE rn = 1
+          |ORDER BY id""".stripMargin) { (s, d) =>
+      val root = freshDir(s"st02-${d.replaceAll("[^0-9a-zA-Z.]", "_")}")
+      Topic.publishEvents(Tables.events(s, d), s"$root/topic", nFiles = 2)
+      StreamingMedallion.runLatest(s, s"$root/topic", s"$root/latest",
+        s"$root/ckpt", maxFilesPerTrigger = 1, numBuckets = 8)
+      KeyedUpsert.read(s, s"$root/latest")
+        .select(graft.functions.Fns.servingId(col("remote_id"),
+          col("metric_id"), col("provider_id"), col("category_id")).as("id"),
+          col("remote_id"), col("metric_id"), col("provider_id"),
+          col("category_id"), col("unix_timestamp"), col("value_double"),
+          col("value_string"))
+        .orderBy("id")
+    },
+
+    // incremental rollup maintenance ([A5]:57-83): seed the table from
+    // history, then an incremental pass re-aggregates only buckets
+    // inside the lookback window and MERGEs them in — final state must
+    // equal the full recompute.
+    "st03_incremental_rollup" -> Q(PipelineQueries.rollupSql("day")) { (s, d) =>
+      val root = freshDir(s"st03-${d.replaceAll("[^0-9a-zA-Z.]", "_")}")
+      val out = s"$root/rollup"
+      val gold = graft.pipeline.Medallion.gold(
+        graft.pipeline.Medallion.silver(Tables.events(s, d)),
+        graft.pipeline.Dims.metricMappings(s),
+        graft.pipeline.Dims.deviceHistory(s)).cache()
+      // split point: 2024-01-20; lookback covers the whole split day
+      val t0 = 1705708800L
+      KeyedUpsert.upsert(s, out,
+        graft.pipeline.Medallion.dayRollup(
+          gold.filter(col("unix_timestamp") < t0)), Seq("id"), 8)
+      // incremental pass re-scans from the bucket boundary (day floor
+      // of t0), so partially-seeded buckets are recomputed whole
+      KeyedUpsert.upsert(s, out,
+        graft.pipeline.Medallion.dayRollup(
+          gold.filter(col("unix_timestamp") >= t0 - 86400)), Seq("id"), 8)
+      KeyedUpsert.read(s, out)
+        .select("id", "bucket_ts", "remote_id", "metric_id", "provider_id",
+          "category_id", "sum_value", "avg_value", "min_value", "max_value", "n")
+        .orderBy("id", "bucket_ts")
     }
   )
 }

@@ -32,20 +32,26 @@ object KeyedUpsert {
 
   /** Upsert `batch` into `targetDir` matching on `keyCols`. Within a
     * batch, later rows win per `tieBreak` (descending) when given,
-    * otherwise any one row per key is kept. */
+    * otherwise any one row per key is kept. With `keepMaxOnMerge` the
+    * tieBreak also arbitrates against EXISTING rows — the conditional
+    * MERGE ("update only if newer") the reference's latest-table
+    * maintenance needs, which makes the sink correct under
+    * out-of-order batch replay. */
   def upsert(spark: SparkSession, targetDir: String, batch: DataFrame,
       keyCols: Seq[String], numBuckets: Int = 64,
-      tieBreak: Option[String] = None): Unit = {
+      tieBreak: Option[String] = None,
+      keepMaxOnMerge: Boolean = false): Unit = {
     if (batch.isEmpty) return
-    // one row per key within the batch
-    val deduped = tieBreak match {
+    def top1(df: DataFrame): DataFrame = tieBreak match {
       case Some(tb) =>
         import org.apache.spark.sql.expressions.Window
         val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tb).desc)
-        batch.withColumn("__rn", row_number().over(w))
+        df.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")
-      case None => batch.dropDuplicates(keyCols)
+      case None => df.dropDuplicates(keyCols)
     }
+    // one row per key within the batch
+    val deduped = top1(batch)
     val b = bucketed(deduped, keyCols, numBuckets).persist()
     try {
       val target = new Path(targetDir)
@@ -57,9 +63,17 @@ object KeyedUpsert {
           .collect().map(_.getLong(0)).sorted // bounded by numBuckets
         val existing = spark.read.parquet(targetDir)
           .filter(col(BucketCol).isin(touched: _*)) // partition-pruned scan
-        val keep = existing.join(
-          b.select(keyCols.map(col): _*), keyCols, "left_anti")
-        val merged = keep.select(b.columns.map(col): _*).union(b)
+        val merged =
+          if (keepMaxOnMerge && tieBreak.isDefined)
+            // conditional MERGE: existing and incoming rows compete on
+            // the tieBreak; replayed/out-of-order batches cannot
+            // regress a key to an older row
+            top1(existing.select(b.columns.map(col): _*).union(b))
+          else {
+            val keep = existing.join(
+              b.select(keyCols.map(col): _*), keyCols, "left_anti")
+            keep.select(b.columns.map(col): _*).union(b)
+          }
         // stage merged buckets, then swap only the touched partition dirs
         val staging = new Path(targetDir + s".staging-${System.nanoTime()}")
         merged.write.partitionBy(BucketCol).parquet(staging.toString)

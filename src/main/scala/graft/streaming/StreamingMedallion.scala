@@ -62,4 +62,42 @@ object StreamingMedallion {
     q.awaitTermination()
     batches
   }
+
+  /** Streaming latest-value table ([O5D]:97-152 semantics): update-mode
+    * max-per-4-key aggregate, upserted with a conditional MERGE so
+    * out-of-order micro-batches can never regress a key to an older
+    * value. `ord = struct(unixTimestamp, element)` reproduces the
+    * batch form's deterministic tiebreak. */
+  def runLatest(spark: SparkSession, topicDir: String, outDir: String,
+      checkpointDir: String, maxFilesPerTrigger: Int = 1,
+      numBuckets: Int = 8, dedupRetention: String = "3650 days"): Unit = {
+    val gold = goldStream(spark,
+      silverStream(spark, topicDir, maxFilesPerTrigger, dedupRetention))
+    val latest = gold
+      .groupBy("remote_id", "metric_id", "provider_id", "category_id")
+      .agg(max(struct(col("unix_timestamp"),
+        col("element").cast("long").as("element_ord"),
+        col("value_double"), col("value_string"))).as("top"))
+      .select(col("remote_id"), col("metric_id"), col("provider_id"),
+        col("category_id"),
+        col("top.unix_timestamp").as("unix_timestamp"),
+        col("top.element_ord").as("element_ord"),
+        col("top.value_double").as("value_double"),
+        col("top.value_string").as("value_string"))
+      .withColumn("ord",
+        struct(col("unix_timestamp"), col("element_ord")))
+    val q = latest.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        KeyedUpsert.upsert(batch.sparkSession, outDir, batch,
+          keyCols = Seq("remote_id", "metric_id", "provider_id",
+            "category_id"),
+          numBuckets = numBuckets, tieBreak = Some("ord"),
+          keepMaxOnMerge = true)
+      }
+      .start()
+    q.awaitTermination()
+  }
 }

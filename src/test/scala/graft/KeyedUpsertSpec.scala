@@ -37,6 +37,22 @@ class KeyedUpsertSpec extends SparkSpec {
       Seq(("a", 9))
   }
 
+  test("keepMaxOnMerge: an out-of-order older batch cannot regress a key") {
+    val dir = tmp()
+    KeyedUpsert.upsert(spark, dir,
+      Seq(("a", 10, "new")).toDF("k", "ts", "v"), Seq("k"),
+      numBuckets = 4, tieBreak = Some("ts"), keepMaxOnMerge = true)
+    // replayed batch carries an OLDER row for the same key
+    KeyedUpsert.upsert(spark, dir,
+      Seq(("a", 5, "old"), ("b", 1, "b1")).toDF("k", "ts", "v"), Seq("k"),
+      numBuckets = 4, tieBreak = Some("ts"), keepMaxOnMerge = true)
+    val out = KeyedUpsert.read(spark, dir)
+      .as[(String, Int, String)].collect()
+      .map { case (k, t, v) => k -> ((t, v)) }.toMap
+    out("a") shouldBe ((10, "new")) // not regressed
+    out("b") shouldBe ((1, "b1"))
+  }
+
   test("untouched buckets are not rewritten (scale property)") {
     val dir = tmp()
     val many = spark.range(0, 400)
