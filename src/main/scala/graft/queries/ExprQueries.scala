@@ -41,6 +41,24 @@ object ExprQueries {
           RegexpExtractAllNegate(col("raw"), lit("[0-9.]+[NSEW]"), lit(0))
             .as("coord"))
         .orderBy("event_id")
+    },
+
+    // skew-salted aggregation: event_type is a low-cardinality (hot)
+    // key; the two-stage salted aggregate must equal the plain GROUP BY
+    // exactly (sums through decimal for order independence).
+    "q30_salted_agg" -> Q(
+      """SELECT event_type,
+        |       round(sum(CAST(value AS DECIMAL(20,2))), 2) AS sum_value,
+        |       count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .withColumn("value", col("value").cast("decimal(20,2)"))
+      graft.functions.Salt
+        .saltedSumCount(ev, Seq("event_type"), "value",
+          nSalts = 16, entropy = col("event_id"))
+        .select(col("event_type"),
+          round(col("sum_value"), 2).as("sum_value"), col("n"))
+        .orderBy("event_type")
     }
   )
 }

@@ -51,7 +51,9 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", n: Int = 3, maxDF: Int = 50,
       minJaccard: Double = 0.8): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, n)
+    // the shingle table feeds three consumers (sizes, df filter, and
+    // the pair join) — materialize it once
+    val sh = shingles(docs, idCol, textCol, n).persist()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDF)

@@ -68,6 +68,30 @@ class StreamingSpec extends SparkSpec {
     kept.select("tag").as[String].collect().toSeq shouldBe Seq("fresh")
   }
 
+  test("multi-writer fan-in (ST8): branches append to one logical table") {
+    val dir = tmp("fanin")
+    val events = Tables.events(spark, SfDir)
+    Topic.publishEvents(events.filter($"event_id" % 2 === 0), s"$dir/tA", 1)
+    Topic.publishEvents(events.filter($"event_id" % 2 =!= 0), s"$dir/tB", 1)
+    // two independent streaming queries, own checkpoints, one table
+    // root with per-branch subdirs (the multi-writer layout chosen in
+    // SURVEY §7.4 — identical read semantics, no write contention)
+    val qs = Seq("A" -> "tA", "B" -> "tB").map { case (branch, topic) =>
+      Topic.decodeEvents(Topic.readStream(spark, s"$dir/$topic", 10))
+        .writeStream.format("parquet")
+        .option("path", s"$dir/silver/branch=$branch")
+        .option("checkpointLocation", s"$dir/ckpt-$branch")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    qs.foreach(_.awaitTermination())
+    val table = spark.read.parquet(s"$dir/silver")
+    table.count() shouldBe events.count()
+    table.select("branch").distinct().as[String].collect().toSet shouldBe
+      Set("A", "B")
+  }
+
   test("stream-stream join joins two topics on key (JN9)") {
     val dir = tmp("ssjoin")
     val left = Seq((1L, "a"), (2L, "b")).toDF("id", "l")
