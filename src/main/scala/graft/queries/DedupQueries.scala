@@ -140,6 +140,36 @@ object DedupQueries {
         |ORDER BY a, b""".stripMargin) { (s, d) =>
       Dedup.cosineNearDupPairs(Tables.embeddings(s, d), minCos = 0.4)
         .orderBy("a", "b")
+    },
+
+    // LSH-blocked variant — the scale path: candidates only from shared
+    // hyperplane buckets (8 tables x 3 bits, same construction as
+    // s02_ann_lsh), exact cosine within the candidate set.
+    "d06_cosine_neardup_lsh" -> Q(
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id,
+        |         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn
+        |  FROM e),
+        |b AS (
+        |  SELECT vec_id,
+        |         unnest(list_transform(range(0, 8), t ->
+        |           t * 8 + list_sum(list_transform(range(0, 3), j ->
+        |             CASE WHEN list_dot_product(v, list_transform(range(0, 64),
+        |                    i -> (((t*3+j)*7919 + i*104729 + 12345) % 2001 - 1000) / 1000.0)) > 0
+        |                  THEN (1::BIGINT << j) ELSE 0 END)))) AS bucket
+        |  FROM e),
+        |cand AS (
+        |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+        |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+        |SELECT a, b, round(list_dot_product(p.vn, q.vn), 6) AS cos
+        |FROM cand JOIN n p ON a = p.vec_id JOIN n q ON b = q.vec_id
+        |WHERE round(list_dot_product(p.vn, q.vn), 6) >= 0.4
+        |ORDER BY a, b""".stripMargin) { (s, d) =>
+      Dedup.cosineNearDupPairsLsh(Tables.embeddings(s, d), minCos = 0.4)
+        .orderBy("a", "b")
     }
   )
 }

@@ -219,6 +219,32 @@ object Dedup {
   /** Embedding near-dup pairs above a cosine threshold. Local form is a
     * self-join filtered to a < b; the scale path blocks by LSH
     * (graft.vector.Ann) or a coarse quantizer before pairing. */
+  /** LSH-blocked embedding near-dup: candidates limited to pairs
+    * sharing any multi-table hyperplane bucket (graft.vector.Ann),
+    * then exact cosine. The 100 TB path — candidate generation is a
+    * bucket-key shuffle, recall governed by the table construction. */
+  def cosineNearDupPairsLsh(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", minCos: Double = 0.4,
+      dim: Int = 64, planesPerTable: Int = 3, nTables: Int = 8): DataFrame = {
+    val buckets = graft.vector.Ann
+      .withLshBuckets(emb, vecCol, dim, planesPerTable, nTables)
+      .select(col(idCol).as("id"), col("bucket"))
+    val cand = buckets.select(col("bucket"), col("id").as("a"))
+      .join(buckets.select(col("bucket"), col("id").as("b")), Seq("bucket"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val normed = emb
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("nrm", VectorFns.norm(col("v")))
+      .select(col("id"), VectorFns.normalized(col("v"), col("nrm")).as("vn"))
+    cand
+      .join(normed.select(col("id").as("a"), col("vn").as("va")), Seq("a"))
+      .join(normed.select(col("id").as("b"), col("vn").as("vb")), Seq("b"))
+      .select(col("a"), col("b"),
+        round(VectorFns.dot(col("va"), col("vb")), 6).as("cos"))
+      .filter(col("cos") >= minCos)
+  }
+
   def cosineNearDupPairs(emb: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", minCos: Double = 0.4): DataFrame = {
     // normalize once per vector (n folds), so each of the n² pairs

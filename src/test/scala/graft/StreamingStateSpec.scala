@@ -37,6 +37,38 @@ class StreamingStateSpec extends SparkSpec {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("flatMapGroupsWithState custom tracker converges to batch truth") {
+    import graft.streaming.StatefulOps
+    val dir = tmp("fmgs")
+    val events = Tables.events(spark, SfDir)
+    Topic.publishEvents(events, s"$dir/topic", nFiles = 3)
+    val readings = Topic.decodeEvents(
+        Topic.readStream(spark, s"$dir/topic", 1))
+      .select(concat($"user_id", lit("|"), $"event_type").as("key"),
+        unix_timestamp($"ts").as("ts"), $"value")
+      .as[StatefulOps.KeyedReading]
+    val q = StatefulOps.track(spark, readings)
+      .writeStream.format("memory").queryName("fmgs_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // memory sink in update mode appends each emission; last per key wins
+    val finalState = spark.table("fmgs_out")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("key")
+          .orderBy($"n".desc)))
+      .filter($"rn" === 1)
+    val truth = events
+      .select(concat($"user_id", lit("|"), $"event_type").as("key"),
+        unix_timestamp($"ts").as("ts"), $"value")
+      .groupBy("key").agg(count(lit(1)).as("n"), max("ts").as("maxTs"))
+    finalState.join(truth, Seq("key"))
+      .filter(finalState("n") =!= truth("n") ||
+        finalState("maxTs") =!= truth("maxTs"))
+      .count() shouldBe 0
+    finalState.count() shouldBe truth.count()
+  }
+
   test("watermarked tumbling-window agg (append mode) matches batch buckets") {
     val dir = tmp("window")
     val events = Tables.events(spark, SfDir)
