@@ -22,16 +22,15 @@ object SparkEntry {
       SinkQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * Daily per-user/event_type rollup — the medallion pipeline's core
-    * aggregate shape (SURVEY.md §7.2). */
+    * The full medallion chain — silver unpivot, temporal gold
+    * enrichment, day rollup (SURVEY.md §7.2 / §3) — in one plan. */
   def entry(spark: SparkSession): DataFrame = {
+    import graft.pipeline.{Dims, Medallion}
     val dir = "/root/testdata/sf0.001"
-    graft.sources.Tables.events(spark, dir)
-      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("datestamp"),
-        col("user_id"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum("value").as("sum_value"),
-        avg("value").as("avg_value"), min("value").as("min_value"),
-        max("value").as("max_value"))
+    Medallion.dayRollup(
+      Medallion.gold(
+        Medallion.silver(graft.sources.Tables.events(spark, dir)),
+        Dims.metricMappings(spark), Dims.deviceHistory(spark)))
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

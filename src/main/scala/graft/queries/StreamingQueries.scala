@@ -17,6 +17,17 @@ import graft.streaming.StreamingMedallion
   */
 object StreamingQueries {
 
+  /** Bounded streaming runs at test scale don't benefit from wide state
+    * partitioning — fewer state stores means less per-micro-batch
+    * commit overhead. Safe to scope per run: each run starts from a
+    * fresh checkpoint, so the state partition count isn't pinned. */
+  private def withShufflePartitions[T](
+      s: org.apache.spark.sql.SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   private def freshDir(name: String): Path = {
     val p = Paths.get(s"/tmp/graft-stream/$name")
     if (Files.exists(p)) {
@@ -38,8 +49,10 @@ object StreamingQueries {
       Topic.publishEvents(Tables.events(s, d), topic, nFiles = 2)
       // retention wide enough that the shuffled replay has no late drops:
       // the bounded run must converge to the batch-exact state
-      StreamingMedallion.runDayRollup(s, topic, out, ckpt,
-        maxFilesPerTrigger = 1, numBuckets = 8, dedupRetention = "3650 days")
+      withShufflePartitions(s, 8) {
+        StreamingMedallion.runDayRollup(s, topic, out, ckpt,
+          maxFilesPerTrigger = 1, numBuckets = 8, dedupRetention = "3650 days")
+      }
       KeyedUpsert.read(s, out)
         .select("id", "bucket_ts", "remote_id", "metric_id", "provider_id",
           "category_id", "sum_value", "avg_value", "min_value", "max_value", "n")
@@ -63,8 +76,10 @@ object StreamingQueries {
           |ORDER BY id""".stripMargin) { (s, d) =>
       val root = freshDir(s"st02-${d.replaceAll("[^0-9a-zA-Z.]", "_")}")
       Topic.publishEvents(Tables.events(s, d), s"$root/topic", nFiles = 2)
-      StreamingMedallion.runLatest(s, s"$root/topic", s"$root/latest",
-        s"$root/ckpt", maxFilesPerTrigger = 1, numBuckets = 8)
+      withShufflePartitions(s, 8) {
+        StreamingMedallion.runLatest(s, s"$root/topic", s"$root/latest",
+          s"$root/ckpt", maxFilesPerTrigger = 1, numBuckets = 8)
+      }
       KeyedUpsert.read(s, s"$root/latest")
         .select(graft.functions.Fns.servingId(col("remote_id"),
           col("metric_id"), col("provider_id"), col("category_id")).as("id"),
