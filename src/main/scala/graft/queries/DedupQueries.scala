@@ -47,9 +47,13 @@ object DedupQueries {
           |rare AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY 1)
           |         WHERE df <= 50),
           |blocked AS (SELECT doc_id, s.sh FROM sh s JOIN rare USING (sh)),
+          |cand AS (
+          |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+          |  FROM blocked a JOIN blocked b ON a.sh = b.sh AND a.doc_id < b.doc_id),
           |inter AS (
-          |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS i
-          |  FROM blocked a JOIN blocked b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          |  SELECT c.a, c.b, count(*) AS i
+          |  FROM cand c JOIN sh x ON x.doc_id = c.a
+          |  JOIN sh y ON y.doc_id = c.b AND y.sh = x.sh
           |  GROUP BY 1, 2)
           |SELECT a, b, round(i * 1.0 / (x.n_sh + y.n_sh - i), 4) AS jaccard
           |FROM inter JOIN sizes x ON a = x.doc_id JOIN sizes y ON b = y.doc_id

@@ -74,17 +74,26 @@ object KeyedUpsert {
               b.select(keyCols.map(col): _*), keyCols, "left_anti")
             keep.select(b.columns.map(col): _*).union(b)
           }
-        // stage merged buckets, then swap only the touched partition dirs
+        // stage merged buckets, then swap only the touched partition
+        // dirs. The swap is rename-to-backup + rename-in: a crash
+        // between the renames leaves the previous rows recoverable in
+        // the backup dir (true atomicity needs a commit log — that is
+        // the one thing Delta's transaction log buys; documented gap)
         val staging = new Path(targetDir + s".staging-${System.nanoTime()}")
         merged.write.partitionBy(BucketCol).parquet(staging.toString)
+        val backup = new Path(targetDir + s".backup-${System.nanoTime()}")
+        fs.mkdirs(backup)
         touched.foreach { bk =>
           val part = s"$BucketCol=$bk"
           val dst = new Path(target, part)
           val src = new Path(staging, part)
-          if (fs.exists(dst)) fs.delete(dst, true)
-          if (fs.exists(src)) fs.rename(src, dst)
+          if (fs.exists(src)) {
+            if (fs.exists(dst)) fs.rename(dst, new Path(backup, part))
+            fs.rename(src, dst)
+          }
         }
         fs.delete(staging, true)
+        fs.delete(backup, true)
       }
     } finally b.unpersist()
   }

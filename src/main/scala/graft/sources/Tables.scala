@@ -30,8 +30,10 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(s, d, "events")
-    raw.withColumn("ts",
-      timestamp_micros((col("ts") / 1000L).cast("long")))
+    // integer division: ns epochs (~1.7e18) exceed double's 53-bit
+    // mantissa, so `/ 1000` would round ~12% of rows by 1us and can
+    // cross second boundaries near *.999999999 ns
+    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -20,7 +20,12 @@ object StreamOps {
       tag: String, keyCols: Seq[Column]): DataFrame =
     df.withColumn("__dedup_key", Fns.dedupKey(tag, keyCols: _*))
       .withWatermark(tsCol, retention)
-      .dropDuplicates("__dedup_key")
+      // the event-time column MUST be in the dedup subset or Spark
+      // never evicts dedup state on watermark advance (unbounded
+      // state); true duplicates carry identical event times, so
+      // semantics are unchanged — this matches the reference, whose
+      // hash keys embed the timestamp
+      .dropDuplicates("__dedup_key", tsCol)
       .drop("__dedup_key")
 
   /** ST4 late-data admission gate: drop events older than `maxAgeSec`

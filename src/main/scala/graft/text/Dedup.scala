@@ -44,23 +44,30 @@ object Dedup {
     docs.select(col(idCol).as("id"),
       explode(shingleArray(col(textCol), n)).as("sh"))
 
-  /** n-gram Jaccard near-dup pairs: block on shared shingles whose
-    * document frequency is <= maxDF (rare-feature blocking — frequent
-    * shingles contribute candidates quadratically but little signal),
-    * then exact Jaccard over the distinct-shingle sets. */
+  /** n-gram Jaccard near-dup pairs: candidate pairs come from shared
+    * RARE shingles (df <= maxDF — frequent shingles contribute
+    * candidates quadratically but little signal), then the TRUE
+    * Jaccard is computed over the full distinct-shingle sets of the
+    * surviving pairs only. Blocking gates candidate generation, never
+    * the similarity itself. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", n: Int = 3, maxDF: Int = 50,
       minJaccard: Double = 0.8): DataFrame = {
-    // the shingle table feeds three consumers (sizes, df filter, and
-    // the pair join) — materialize it once
+    // the shingle table feeds four consumers (sizes, df filter, pair
+    // generation, intersection) — materialize it once
     val sh = shingles(docs, idCol, textCol, n).persist()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDF)
     val blocked = sh.join(rare.select("sh"), "sh")
-    val a = blocked.select(col("sh"), col("id").as("a"))
-    val b = blocked.select(col("sh"), col("id").as("b"))
-    val inter = a.join(b, Seq("sh")).filter(col("a") < col("b"))
+    val cand = blocked.select(col("sh"), col("id").as("a"))
+      .join(blocked.select(col("sh"), col("id").as("b")), Seq("sh"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    // exact intersection over ALL shingles, restricted to candidates
+    val inter = cand
+      .join(sh.toDF("a", "sh"), Seq("a"))
+      .join(sh.toDF("b", "sh"), Seq("b", "sh"))
       .groupBy("a", "b").agg(count(lit(1)).as("i"))
     inter
       .join(sizes.withColumnRenamed("id", "a")
@@ -114,6 +121,8 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 12, bands: Int = 4,
       minEst: Double = 0.5, n: Int = 3): DataFrame = {
+    require(k % bands == 0,
+      s"signature length k=$k must divide into bands=$bands evenly")
     val rows = k / bands
     // one shuffle builds every signature; persisted because the plan
     // references it three times (buckets + both pair sides)
@@ -145,13 +154,7 @@ object Dedup {
     * no UDF. */
   def simhash(text: Column): Column = {
     val ws = TextFns.words(text)
-    val hs = transform(ws, w => pmod(
-      aggregate(
-        slice(transform(split(w, ""), c => ascii(c).cast("long")),
-          lit(2), size(split(w, "")) - 1),
-        ascii(substring(w, 0, 1)).cast("long"),
-        (acc, x) => pmod(acc * 31 + x, lit(1000000007L))),
-      lit(WordHashMod)))
+    val hs = transform(ws, w => wordHash(w))
     // (h >> j) & 1 written as exact double arithmetic: the shift amount
     // is a lambda-bound column, which functions.shiftright doesn't take;
     // h < 2^24 so floor(h / 2^j) is exact in double.

@@ -62,8 +62,7 @@ object TextFns {
     val scores = profiles.map { case (name, vocab) =>
       name -> vocabHits(text, vocab)
     }
-    scores.tail.foldLeft(
-      (when(lit(true), lit(scores.head._1)), scores.head._2)) {
+    scores.tail.foldLeft((lit(scores.head._1), scores.head._2)) {
       case ((bestName, bestScore), (name, score)) =>
         (when(score > bestScore, lit(name)).otherwise(bestName),
           greatest(score, bestScore))
