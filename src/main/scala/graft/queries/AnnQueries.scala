@@ -70,6 +70,36 @@ object AnnQueries {
       val emb = Tables.embeddings(s, d)
       Ann.lshTopK(emb.filter(col("vec_id") % 25 === 0), emb, k = 3)
         .orderBy("q", "rank")
+    },
+
+    // IVF top-3: nearest-centroid inverted lists (first-16 centroids),
+    // queries probe their 2 nearest lists, exact ranking inside.
+    "s03_ann_ivf" -> Q(
+      vCte +
+        s"""cent AS (SELECT vec_id AS cid, vn AS cv FROM n WHERE vec_id < 16),
+           |assign AS (
+           |  SELECT id, vn, cid FROM (
+           |    SELECT n.vec_id AS id, n.vn, c.cid,
+           |           row_number() OVER (PARTITION BY n.vec_id
+           |             ORDER BY list_dot_product(n.vn, c.cv) DESC, c.cid) AS rn
+           |    FROM n CROSS JOIN cent c) WHERE rn = 1),
+           |probes AS (
+           |  SELECT q, qv, cid FROM (
+           |    SELECT n.vec_id AS q, n.vn AS qv, c.cid,
+           |           row_number() OVER (PARTITION BY n.vec_id
+           |             ORDER BY list_dot_product(n.vn, c.cv) DESC, c.cid) AS rn
+           |    FROM n CROSS JOIN cent c WHERE n.vec_id % 25 = 0) WHERE rn <= 2),
+           |ranked AS (
+           |  SELECT q, id AS b, list_dot_product(qv, vn) AS cos,
+           |         row_number() OVER (PARTITION BY q
+           |           ORDER BY list_dot_product(qv, vn) DESC, id) AS rank
+           |  FROM probes JOIN assign USING (cid) WHERE q != id)
+           |SELECT q, rank, b, round(cos, 6) AS cos
+           |FROM ranked WHERE rank <= 3 ORDER BY q, rank""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Ann.ivfTopK(emb.filter(col("vec_id") % 25 === 0), emb, k = 3,
+          nCentroids = 16, nProbe = 2)
+        .orderBy("q", "rank")
     }
   )
 }

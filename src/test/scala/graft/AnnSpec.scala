@@ -40,6 +40,23 @@ class AnnSpec extends SparkSpec {
     b1.foreach { case (_, b) => b should (be >= 0L and be < 64L) }
   }
 
+  test("IVF assignment covers the corpus; probing beats single-list recall") {
+    val assign = Ann.ivfAssign(emb)
+    assign.count() shouldBe emb.count() // every vector lands in one list
+    assign.select("cid").distinct().count() should be > 4L
+    val qs = emb.filter($"vec_id" % 10 === 0)
+    val truth = Ann.bruteForceTopK(qs, emb, k = 1)
+      .select("q", "b").as[(Long, Long)].collect().toMap
+    val probe2 = Ann.ivfTopK(qs, emb, k = 1, nProbe = 2)
+      .select("q", "b").as[(Long, Long)].collect().toMap
+    val probe4 = Ann.ivfTopK(qs, emb, k = 1, nProbe = 4)
+      .select("q", "b").as[(Long, Long)].collect().toMap
+    def recall(m: Map[Long, Long]) =
+      truth.count { case (q, b) => m.get(q).contains(b) }.toDouble / truth.size
+    recall(probe4) should be >= recall(probe2) // more probes, never worse
+    recall(probe2) should be > 0.2
+  }
+
   test("multi-table LSH top-1 recalls most true nearest neighbors") {
     val qs = emb.filter($"vec_id" % 10 === 0)
     val truth = Ann.bruteForceTopK(qs, emb, k = 1)
