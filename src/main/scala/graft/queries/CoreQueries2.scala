@@ -190,6 +190,26 @@ object CoreQueries2 {
         .limit(10)
     },
 
+    // §2.10 date/time family: date_sub, month truncation, from_unixtime
+    // round-trips ([A5]:134, [Q1]:963-964 shapes).
+    "q31_date_funcs" -> Q(
+      """SELECT event_id,
+        |       strftime(ts - INTERVAL 7 DAY, '%Y-%m-%d') AS week_ago,
+        |       strftime(date_trunc('month', ts), '%Y-%m-%d') AS month_start,
+        |       strftime(to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)),
+        |                '%Y-%m-%d %H:%M:%S') AS rt,
+        |       CAST(floor(epoch(date_trunc('month', ts))) AS BIGINT) AS month_ts
+        |FROM events WHERE event_id < 200 ORDER BY event_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_id") < 200)
+        .select(col("event_id"),
+          date_format(date_sub(col("ts"), 7), "yyyy-MM-dd").as("week_ago"),
+          date_format(trunc(col("ts"), "month"), "yyyy-MM-dd").as("month_start"),
+          from_unixtime(unix_timestamp(col("ts")), "yyyy-MM-dd HH:mm:ss").as("rt"),
+          unix_timestamp(date_trunc("month", col("ts"))).as("month_ts"))
+        .orderBy("event_id")
+    },
+
     // S10 SQL over registered views — the ad-hoc query surface
     // (Query the delta tables.scala:28-34 + TPC-H Q3 shape).
     "q27_sql_view" -> Q(

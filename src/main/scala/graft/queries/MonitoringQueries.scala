@@ -52,6 +52,26 @@ object MonitoringQueries {
         .orderBy("stage", "provider_id")
     },
 
+    // gold dup-detection on the 5-part metric key ([Q1]:413-418: GROUP
+    // BY ... HAVING count(*)>1) — the post-dedup invariant check run as
+    // a query; reports key-collision groups (legitimately present here:
+    // events can share (user, type, second)).
+    "p14_gold_dups" -> Q(
+      PipelineQueries.ctes +
+        """SELECT remote_id, metric_id, provider_id, category_id,
+          |       unix_timestamp, count(*) AS n
+          |FROM gold
+          |GROUP BY 1, 2, 3, 4, 5 HAVING count(*) > 1
+          |ORDER BY 1, 2, 3, 4, 5""".stripMargin) { (s, d) =>
+      sfGold(s, d)
+        .groupBy("remote_id", "metric_id", "provider_id", "category_id",
+          "unix_timestamp")
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+        .orderBy("remote_id", "metric_id", "provider_id", "category_id",
+          "unix_timestamp")
+    },
+
     // staleness SLO: classify each provider's gold lag against its
     // threshold (the reference's 3.6 ks / 86.4 ks / 15.55 Ms tiers,
     // [DLM]:213), against the deterministic corpus max as "now".
