@@ -62,8 +62,8 @@ object BronzeQueries {
     "b04_intelsat_usage" -> Q(
       """SELECT 'T' || CAST(user_id AS VARCHAR) AS terminal_id,
         |       event_type AS sspc_id,
-        |       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_received,
-        |       sum(CAST(round(value * 100, 0) AS BIGINT)) AS sum_transmitted,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_received,
+        |       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS sum_transmitted,
         |       count(*) AS n
         |FROM events GROUP BY 1, 2
         |ORDER BY terminal_id, sspc_id""".stripMargin) { (s, d) =>

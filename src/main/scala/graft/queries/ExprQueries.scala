@@ -48,7 +48,7 @@ object ExprQueries {
     // exactly (sums through decimal for order independence).
     "q30_salted_agg" -> Q(
       """SELECT event_type,
-        |       round(sum(CAST(value AS DECIMAL(20,2))), 2) AS sum_value,
+        |       CAST(round(sum(CAST(value AS DECIMAL(20,2))), 2) AS DOUBLE) AS sum_value,
         |       count(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
       val ev = Tables.events(s, d)
@@ -57,7 +57,7 @@ object ExprQueries {
         .saltedSumCount(ev, Seq("event_type"), "value",
           nSalts = 16, entropy = col("event_id"))
         .select(col("event_type"),
-          round(col("sum_value"), 2).as("sum_value"), col("n"))
+          round(col("sum_value"), 2).cast("double").as("sum_value"), col("n"))
         .orderBy("event_type")
     }
   )

@@ -100,11 +100,19 @@ object PipelineQueries {
     },
 
     // §3.2 gold enrichment: JN4 temporal interval join + numeric/string
-    // value split into Decimal(30,15) ([G4]:60-73).
+    // value split into Decimal(30,15) ([G4]:60-73). DECIMAL stays internal
+    // (order-independent sums); the query EDGE casts to DOUBLE so both
+    // engines render the column identically.
     "p02_gold" -> Q(
       ctes +
-        """SELECT * FROM gold ORDER BY element, metric""".stripMargin) { (s, d) =>
-      sfGold(s, d).orderBy("element", "metric")
+        """SELECT element, unix_timestamp, datestamp, metric,
+          |       CAST(value_double AS DOUBLE) AS value_double,
+          |       value_string, metric_id, provider_id, category_id,
+          |       remote_id, agg_type
+          |FROM gold ORDER BY element, metric""".stripMargin) { (s, d) =>
+      sfGold(s, d)
+        .withColumn("value_double", col("value_double").cast("double"))
+        .orderBy("element", "metric")
     },
 
     // A1/A2 rollups at three granularities ([A5]:84-98).
@@ -124,14 +132,17 @@ object PipelineQueries {
         """SELECT remote_id || '|' || CAST(metric_id AS VARCHAR) || '|' ||
           |       CAST(provider_id AS VARCHAR) || '|' || CAST(category_id AS VARCHAR) AS id,
           |       remote_id, metric_id, provider_id, category_id,
-          |       unix_timestamp, value_double, value_string
+          |       unix_timestamp,
+          |       CAST(value_double AS DOUBLE) AS value_double, value_string
           |FROM (
           |  SELECT *, row_number() OVER (
           |    PARTITION BY remote_id, metric_id, provider_id, category_id
           |    ORDER BY unix_timestamp DESC, CAST(element AS BIGINT) DESC) AS rn
           |  FROM gold) WHERE rn = 1
           |ORDER BY id""".stripMargin) { (s, d) =>
-      Medallion.latest(sfGold(s, d)).orderBy("id")
+      Medallion.latest(sfGold(s, d))
+        .withColumn("value_double", col("value_double").cast("double"))
+        .orderBy("id")
     },
 
     // JN6/JN10 orphan detection: silver rows with no covering validity

@@ -67,7 +67,8 @@ object StreamingQueries {
         """SELECT remote_id || '|' || CAST(metric_id AS VARCHAR) || '|' ||
           |       CAST(provider_id AS VARCHAR) || '|' || CAST(category_id AS VARCHAR) AS id,
           |       remote_id, metric_id, provider_id, category_id,
-          |       unix_timestamp, value_double, value_string
+          |       unix_timestamp,
+          |       CAST(value_double AS DOUBLE) AS value_double, value_string
           |FROM (
           |  SELECT *, row_number() OVER (
           |    PARTITION BY remote_id, metric_id, provider_id, category_id
@@ -84,7 +85,8 @@ object StreamingQueries {
         .select(graft.functions.Fns.servingId(col("remote_id"),
           col("metric_id"), col("provider_id"), col("category_id")).as("id"),
           col("remote_id"), col("metric_id"), col("provider_id"),
-          col("category_id"), col("unix_timestamp"), col("value_double"),
+          col("category_id"), col("unix_timestamp"),
+          col("value_double").cast("double").as("value_double"),
           col("value_string"))
         .orderBy("id")
     },

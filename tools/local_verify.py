@@ -6,8 +6,14 @@ Usage: python3 tools/local_verify.py <outDir> <sfDir>
 Reads <outDir>/oracle_sql.json (written by graft.Verify), registers each
 parquet table in <sfDir> as a DuckDB view, runs every oracle, and compares
 against the Spark result parquet in <outDir>/<name>/. Columns are sorted by
-name, rows sorted by all columns; floats compared exactly first, then with
-1e-9 relative tolerance (flagged EXACT vs TOL so hash-risk is visible).
+name, rows sorted by all columns. Two passes per query:
+  1. tolerant value compare (floats exact, then 1e-9 rtol) -> VALUE errors
+  2. strict hash-mirror: dtype KIND must match and every cell must render
+     to the same string on both sides -> HASH-* errors. This mirrors the
+     driver's type-rendering-sensitive hash gate, so DECIMAL-vs-DOUBLE or
+     BIGINT-vs-HUGEINT edges fail HERE before a driver run.
+Only OK-EXACT counts as ok; OK-TOL (tolerance-only float match) would fail
+the driver hash and is counted bad.
 """
 import sys, os, json, glob
 import duckdb
@@ -35,6 +41,7 @@ def compare(name, got: pd.DataFrame, exp: pd.DataFrame):
     if len(got) != len(exp):
         return f"ROWCOUNT {len(got)} vs {len(exp)}"
     g, e = norm(got), norm(exp)
+    # pass 1: tolerant value compare — isolates genuine wrong-answer bugs
     exact = True
     for c in g.columns:
         gv, ev = g[c], e[c]
@@ -53,7 +60,21 @@ def compare(name, got: pd.DataFrame, exp: pd.DataFrame):
             if not (ga == ea).all():
                 i = int(np.argmin(ga == ea))
                 return f"VALUE col={c} row={i} got={ga[i]!r} exp={ea[i]!r}"
-    return "OK-EXACT" if exact else "OK-TOL"
+    if not exact:
+        return "OK-TOL(would fail driver hash)"
+    # pass 2: strict hash mirror — dtype kinds and rendered cells must be
+    # identical, like the driver's hash over rendered values
+    for c in g.columns:
+        gv, ev = g[c], e[c]
+        if gv.dtype.kind != ev.dtype.kind:
+            return (f"HASH-DTYPE col={c} got={gv.dtype} exp={ev.dtype}"
+                    " (values equal; edge type differs)")
+        ga = gv.map(str).to_numpy(); ea = ev.map(str).to_numpy()
+        if not (ga == ea).all():
+            i = int(np.argmin(ga == ea))
+            return (f"HASH-RENDER col={c} row={i} got={ga[i]!r} exp={ea[i]!r}"
+                    " (values equal; rendering differs)")
+    return "OK-EXACT"
 
 def main(out_dir, sf_dir):
     con = duckdb.connect()
@@ -82,7 +103,7 @@ def main(out_dir, sf_dir):
             results[name] = f"ORACLE SQL ERROR: {str(ex).splitlines()[0][:160]}"; n_bad += 1; continue
         r = compare(name, got, exp)
         results[name] = r
-        if r.startswith("OK"): n_ok += 1
+        if r == "OK-EXACT": n_ok += 1
         else: n_bad += 1
     for k in sorted(results):
         print(f"{k:32s} {results[k]}")
