@@ -94,34 +94,49 @@ object DedupQueries {
         .orderBy("a", "b")
     },
 
-    // 24-bit SimHash near-dup: byte-band blocking, Hamming <= 6.
+    // 64-bit SimHash near-dup (two 32-bit halves from independent
+    // polynomial word hashes): 16-bit-band blocking, Hamming <= 6.
     "d04_simhash" -> Q(
       s"""WITH hsx AS (
          |  SELECT doc_id,
          |         list_transform(string_split($norm, ' '), w ->
          |           list_reduce(list_transform(string_split(w, ''),
          |               c -> CAST(ascii(c) AS BIGINT)),
-         |             (acc, x) -> (acc * 31 + x) % 1000000007) % 16777216) AS hs
+         |             (acc, x) -> (acc * 31 + x) % 4294967291)) AS h1s,
+         |         list_transform(string_split($norm, ' '), w ->
+         |           list_reduce(list_transform(string_split(w, ''),
+         |               c -> CAST(ascii(c) AS BIGINT)),
+         |             (acc, x) -> (acc * 131 + x) % 4294967279)) AS h2s
          |  FROM documents),
          |sims AS (
          |  SELECT doc_id,
-         |         list_sum(list_transform(range(0, 24), j ->
-         |           CASE WHEN list_sum(list_transform(hs,
+         |         list_sum(list_transform(range(0, 32), j ->
+         |           CASE WHEN list_sum(list_transform(h1s,
          |                  h -> ((h >> j) & 1) * 2 - 1)) > 0
-         |                THEN (1::BIGINT << j) ELSE 0 END)) AS sim
+         |                THEN (1::BIGINT << j) ELSE 0 END)) AS sim_lo,
+         |         list_sum(list_transform(range(0, 32), j ->
+         |           CASE WHEN list_sum(list_transform(h2s,
+         |                  h -> ((h >> j) & 1) * 2 - 1)) > 0
+         |                THEN (1::BIGINT << j) ELSE 0 END)) AS sim_hi
          |  FROM hsx),
          |bands AS (
-         |  SELECT doc_id, sim, unnest(list_transform(range(0, 3), b ->
-         |           CAST(b AS VARCHAR) || '|' ||
-         |           CAST((sim >> (8 * CAST(b AS INTEGER))) & 255 AS VARCHAR))) AS band
+         |  SELECT doc_id, sim_lo, sim_hi, unnest([
+         |           '0|' || CAST(sim_lo & 65535 AS VARCHAR),
+         |           '1|' || CAST((sim_lo >> 16) & 65535 AS VARCHAR),
+         |           '2|' || CAST(sim_hi & 65535 AS VARCHAR),
+         |           '3|' || CAST((sim_hi >> 16) & 65535 AS VARCHAR)]) AS band
          |  FROM sims),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b,
-         |         a.sim AS sima, b.sim AS simb
+         |         a.sim_lo AS loa, a.sim_hi AS hia,
+         |         b.sim_lo AS lob, b.sim_hi AS hib
          |  FROM bands a JOIN bands b
          |    ON a.band = b.band AND a.doc_id < b.doc_id)
-         |SELECT a, b, bit_count(xor(sima, simb)) AS hamming
-         |FROM cand WHERE bit_count(xor(sima, simb)) <= 6
+         |SELECT a, b,
+         |       CAST(bit_count(xor(loa, lob)) + bit_count(xor(hia, hib))
+         |            AS BIGINT) AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(loa, lob)) + bit_count(xor(hia, hib)) <= 6
          |ORDER BY a, b""".stripMargin) { (s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d), maxHamming = 6)
         .orderBy("a", "b")

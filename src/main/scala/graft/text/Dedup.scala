@@ -9,9 +9,11 @@ import graft.vector.VectorFns
   *
   * Scale design: every method is blocked — candidate pairs only form
   * inside a bounded bucket (shared rare shingle, LSH band bucket,
-  * SimHash byte band, embedding label/LSH bucket), never via an O(n²)
-  * cross join. Hashing is md5-hex / integer arithmetic so any engine
-  * (the DuckDB oracle included) reproduces signatures bit-for-bit.
+  * SimHash 16-bit band, embedding label/LSH bucket), never via an
+  * O(n²) cross join, and every LSH bucket join is hot-bucket-capped
+  * ([[graft.functions.Buckets]]). Hashing is md5-hex / integer
+  * arithmetic so any engine (the DuckDB oracle included) reproduces
+  * signatures bit-for-bit.
   */
 object Dedup {
 
@@ -117,18 +119,23 @@ object Dedup {
           (1 to rows).map(r => element_at(sig, b * rows + r))): _*)))
 
   /** MinHash+LSH near-dup candidate pairs with estimated Jaccard
-    * (signature agreement rate). */
+    * (signature agreement rate). Band buckets above `maxBucketSize` are
+    * dropped and surfaced via the "graft.lsh.minhash" observation. */
   def minhashLshPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 12, bands: Int = 4,
-      minEst: Double = 0.5, n: Int = 3): DataFrame = {
+      minEst: Double = 0.5, n: Int = 3,
+      maxBucketSize: Int = graft.functions.Buckets.DefaultMaxBucketSize)
+      : DataFrame = {
     require(k % bands == 0,
       s"signature length k=$k must divide into bands=$bands evenly")
     val rows = k / bands
     // one shuffle builds every signature; persisted because the plan
     // references it three times (buckets + both pair sides)
     val sigs = minhashSignatures(docs, idCol, textCol, k, n).persist()
-    val buckets = sigs.select(col("id"),
-      explode(lshBuckets(col("sig"), bands, rows)).as("bucket"))
+    val buckets = graft.functions.Buckets.cap(
+      sigs.select(col("id"),
+        explode(lshBuckets(col("sig"), bands, rows)).as("bucket")),
+      "bucket", maxBucketSize, "graft.lsh.minhash")
     val cand = buckets.select(col("bucket"), col("id").as("a"))
       .join(buckets.select(col("bucket"), col("id").as("b")), Seq("bucket"))
       .filter(col("a") < col("b"))
@@ -144,76 +151,114 @@ object Dedup {
 
   // -------------------------------------------------------------- simhash
 
-  private val WordHashMod = 16777216L // 24-bit word hashes
-  private val SimBits = 24
+  // 64 SimHash bits held as two 32-bit halves. Two independent
+  // engine-neutral polynomial word hashes (different multiplier and
+  // < 2^32 prime modulus) supply 32 bits each; keeping halves separate
+  // means no intermediate ever exceeds 2^32, so both Spark and the
+  // DuckDB oracle stay inside exact BIGINT arithmetic (a single 64-bit
+  // value would need 2^63 shifts, and DuckDB raises on int64 overflow).
+  private val SimBits = 64
+  private val HalfBits = 32
+  private val HashMod1 = 4294967291L // largest prime < 2^32
+  private val HashMod2 = 4294967279L // next prime down
+  private val HashMult1 = 31L
+  private val HashMult2 = 131L
 
-  /** 24-bit SimHash over word tokens (with multiplicity): per bit, the
-    * sign of the +1/−1 vote sum across word hashes. Word hash is the
-    * engine-neutral polynomial char hash (TextFns.fingerprintRolling)
-    * mod 2^24. Pure SQL expression — nested higher-order functions,
-    * no UDF. */
-  def simhash(text: Column): Column = {
-    val ws = TextFns.words(text)
-    val hs = transform(ws, w => wordHash(w))
-    // (h >> j) & 1 written as exact double arithmetic: the shift amount
-    // is a lambda-bound column, which functions.shiftright doesn't take;
-    // h < 2^24 so floor(h / 2^j) is exact in double.
-    aggregate(sequence(lit(0), lit(SimBits - 1)), lit(0L),
-      (acc, j) => acc + when(
-        aggregate(hs, lit(0L),
-          (a, h) => a + pmod(floor(h / pow(lit(2.0), j)).cast("long"),
-            lit(2L)) * 2 - 1) > 0,
-        pow(lit(2.0), j).cast("long")).otherwise(lit(0L)))
-  }
-
-  /** The per-word polynomial hash used by SimHash (engine-neutral). */
-  private def wordHash(w: Column): Column = pmod(
+  /** Engine-neutral polynomial word hash: fold acc*mult + ascii(char)
+    * mod a below-2^32 prime, seeded with the first char so DuckDB's
+    * seedless list_reduce folds identically. */
+  private def wordHash(w: Column, mult: Long, mod: Long): Column =
     aggregate(
       slice(transform(split(w, ""), c => ascii(c).cast("long")),
         lit(2), size(split(w, "")) - 1),
       ascii(substring(w, 0, 1)).cast("long"),
-      (acc, x) => pmod(acc * 31 + x, lit(1000000007L))),
-    lit(WordHashMod))
+      (acc, x) => pmod(acc * mult + x, lit(mod)))
 
-  /** Distributed SimHash table (id, sim): words explode once, repeated
-    * word hashes collapse via a count aggregate, and the per-bit vote
-    * sums run as codegen'd hash aggregations — the giant per-document
-    * nested lambda of [[simhash]] becomes three cheap shuffles whose
-    * map-side partial aggregation bounds the data movement by
-    * #(id, bit) groups, not token count. */
+  /** Row-local 64-bit SimHash as struct(sim_lo, sim_hi): per bit, the
+    * sign of the +1/−1 vote sum across word hashes (with multiplicity).
+    * Pure SQL expression — nested higher-order functions, no UDF. The
+    * distributed pipeline uses [[simhashes]]. */
+  def simhash(text: Column): Column = {
+    val ws = TextFns.words(text)
+    // floor(h / 2^j) is exact in double for h < 2^32
+    def half(mult: Long, mod: Long): Column = {
+      val hs = transform(ws, w => wordHash(w, mult, mod))
+      aggregate(sequence(lit(0), lit(HalfBits - 1)), lit(0L),
+        (acc, j) => acc + when(
+          aggregate(hs, lit(0L),
+            (a, h) => a + pmod(floor(h / pow(lit(2.0), j)).cast("long"),
+              lit(2L)) * 2 - 1) > 0,
+          pow(lit(2.0), j).cast("long")).otherwise(lit(0L)))
+    }
+    struct(half(HashMult1, HashMod1).as("sim_lo"),
+      half(HashMult2, HashMod2).as("sim_hi"))
+  }
+
+  /** Distributed SimHash table (id, sim_lo, sim_hi): words explode
+    * once, repeated word hashes collapse via a count aggregate, and the
+    * per-bit vote sums run as codegen'd hash aggregations — the giant
+    * per-document nested lambda of [[simhash]] becomes three cheap
+    * shuffles whose map-side partial aggregation bounds the data
+    * movement by #(id, bit) groups, not token count. */
   def simhashes(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val words = docs.select(col(idCol).as("id"),
       explode(TextFns.words(col(textCol))).as("w"))
-    val counted = words.select(col("id"), wordHash(col("w")).as("h"))
-      .groupBy("id", "h").agg(count(lit(1)).as("c"))
-    val votes = counted.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(SimBits - 1)), j =>
-        (pmod(floor(col("h") / pow(lit(2.0), j)).cast("long"), lit(2L)) * 2
-          - 1) * col("c"))))
+    val counted = words.select(col("id"),
+        wordHash(col("w"), HashMult1, HashMod1).as("h1"),
+        wordHash(col("w"), HashMult2, HashMod2).as("h2"))
+      .groupBy("id", "h1", "h2").agg(count(lit(1)).as("c"))
+    // literal bit positions -> functions.shiftright applies (no
+    // lambda-bound shift), keeping the votes fully codegen'd
+    val voteExprs = (0 until SimBits).map { j =>
+      val (h, b) = if (j < HalfBits) (col("h1"), j)
+                   else (col("h2"), j - HalfBits)
+      (shiftright(h, b).bitwiseAND(1L) * 2 - 1) * col("c")
+    }
+    val votes = counted
+      .select(col("id"), posexplode(array(voteExprs: _*)))
       .toDF("id", "bit", "vote")
     votes.groupBy("id", "bit").agg(sum("vote").as("v"))
       .groupBy("id")
-      .agg(sum(when(col("v") > 0,
-        pow(lit(2.0), col("bit")).cast("long")).otherwise(0L)).as("sim"))
+      .agg(
+        sum(when(col("v") > 0 && col("bit") < HalfBits,
+          pow(lit(2.0), col("bit")).cast("long")).otherwise(0L)).as("sim_lo"),
+        sum(when(col("v") > 0 && col("bit") >= HalfBits,
+          pow(lit(2.0), col("bit") - HalfBits).cast("long")).otherwise(0L))
+          .as("sim_hi"))
   }
 
-  /** SimHash near-dup pairs: block on any shared 8-bit byte band, keep
-    * pairs with Hamming distance <= maxHamming. */
+  /** SimHash near-dup pairs: block on any shared 16-bit band (4 bands
+    * over 64 bits — ≥ 65k possible ids per band, so bucket occupancy
+    * grows with the corpus instead of saturating a few hundred ids),
+    * keep pairs with Hamming distance <= maxHamming. Buckets above
+    * `maxBucketSize` are dropped and surfaced via the
+    * "graft.lsh.simhash" observation ([[graft.functions.Buckets]]). */
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", maxHamming: Int = 6): DataFrame = {
+      textCol: String = "text", maxHamming: Int = 6,
+      maxBucketSize: Int = graft.functions.Buckets.DefaultMaxBucketSize)
+      : DataFrame = {
     val withSim = simhashes(docs, idCol, textCol)
-    val bands = withSim.select(col("id"), col("sim"),
-      explode(array((0 until SimBits / 8).map(b =>
-        concat(lit(s"$b|"),
-          shiftright(col("sim"), 8 * b).bitwiseAND(255).cast("string"))): _*))
+    val bands = withSim.select(col("id"), col("sim_lo"), col("sim_hi"),
+      explode(array(
+        concat(lit("0|"), col("sim_lo").bitwiseAND(65535L).cast("string")),
+        concat(lit("1|"),
+          shiftright(col("sim_lo"), 16).bitwiseAND(65535L).cast("string")),
+        concat(lit("2|"), col("sim_hi").bitwiseAND(65535L).cast("string")),
+        concat(lit("3|"),
+          shiftright(col("sim_hi"), 16).bitwiseAND(65535L).cast("string"))))
         .as("band"))
-    val cand = bands.select(col("band"), col("id").as("a"), col("sim").as("sima"))
-      .join(bands.select(col("band"), col("id").as("b"), col("sim").as("simb")),
-        Seq("band"))
+    val kept = graft.functions.Buckets.cap(bands, "band", maxBucketSize,
+      "graft.lsh.simhash")
+    val cand = kept.select(col("band"), col("id").as("a"),
+        col("sim_lo").as("loa"), col("sim_hi").as("hia"))
+      .join(kept.select(col("band"), col("id").as("b"),
+        col("sim_lo").as("lob"), col("sim_hi").as("hib")), Seq("band"))
       .filter(col("a") < col("b"))
-      .select("a", "b", "sima", "simb").distinct()
+      .select("a", "b", "loa", "hia", "lob", "hib").distinct()
     cand.select(col("a"), col("b"),
-        bit_count(col("sima").bitwiseXOR(col("simb"))).cast("long").as("hamming"))
+        (bit_count(col("loa").bitwiseXOR(col("lob"))) +
+          bit_count(col("hia").bitwiseXOR(col("hib")))).cast("long")
+          .as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
 
@@ -225,13 +270,19 @@ object Dedup {
   /** LSH-blocked embedding near-dup: candidates limited to pairs
     * sharing any multi-table hyperplane bucket (graft.vector.Ann),
     * then exact cosine. The 100 TB path — candidate generation is a
-    * bucket-key shuffle, recall governed by the table construction. */
+    * bucket-key shuffle, recall governed by the table construction.
+    * Buckets above `maxBucketSize` are dropped and surfaced via the
+    * "graft.lsh.cosine" observation. */
   def cosineNearDupPairsLsh(emb: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", minCos: Double = 0.4,
-      dim: Int = 64, planesPerTable: Int = 3, nTables: Int = 8): DataFrame = {
-    val buckets = graft.vector.Ann
-      .withLshBuckets(emb, vecCol, dim, planesPerTable, nTables)
-      .select(col(idCol).as("id"), col("bucket"))
+      dim: Int = 64, planesPerTable: Int = 3, nTables: Int = 8,
+      maxBucketSize: Int = graft.functions.Buckets.DefaultMaxBucketSize)
+      : DataFrame = {
+    val buckets = graft.functions.Buckets.cap(
+      graft.vector.Ann
+        .withLshBuckets(emb, vecCol, dim, planesPerTable, nTables)
+        .select(col(idCol).as("id"), col("bucket")),
+      "bucket", maxBucketSize, "graft.lsh.cosine")
     val cand = buckets.select(col("bucket"), col("id").as("a"))
       .join(buckets.select(col("bucket"), col("id").as("b")), Seq("bucket"))
       .filter(col("a") < col("b"))

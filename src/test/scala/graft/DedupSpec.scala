@@ -43,17 +43,65 @@ class DedupSpec extends SparkSpec {
   }
 
   test("simhash hamming distance separates near-dups from unrelated docs") {
-    val sims = corpus.select($"doc_id", Dedup.simhash($"text").as("s"))
-      .as[(Long, Long)].collect().toMap
+    val sims = corpus
+      .select($"doc_id", Dedup.simhash($"text").as("s"))
+      .select($"doc_id", $"s.sim_lo", $"s.sim_hi")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
     sims(1L) shouldBe sims(2L) // identical after normalization
-    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    def hamming(a: (Long, Long), b: (Long, Long)) =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
     hamming(sims(3L), sims(4L)) should be < hamming(sims(3L), sims(5L))
+  }
+
+  test("row-local simhash agrees with the distributed simhashes table") {
+    val local = corpus
+      .select($"doc_id", Dedup.simhash($"text").as("s"))
+      .select($"doc_id", $"s.sim_lo", $"s.sim_hi")
+      .as[(Long, Long, Long)].collect().toSet
+    val dist = Dedup.simhashes(corpus, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSet
+    dist shouldBe local
   }
 
   test("simhashPairs blocks and filters by hamming") {
     val pairs = Dedup.simhashPairs(corpus, maxHamming = 6)
       .select("a", "b").as[(Long, Long)].collect().toSet
     pairs should contain((1L, 2L))
+  }
+
+  test("simhash band-bucket cardinality grows with the corpus") {
+    // the old 24-bit/8-bit-band scheme capped at 3*256 = 768 distinct
+    // buckets no matter the corpus; 16-bit bands over 64 bits must give
+    // (roughly) one bucket per distinct doc per band
+    val docs = Tables.documents(spark, SfDir)
+    val nDocs = docs.count()
+    val sims = Dedup.simhashes(docs, "doc_id", "text")
+    val distinctBuckets = sims.select(
+      explode(array(
+        concat(lit("0|"), col("sim_lo").bitwiseAND(65535L).cast("string")),
+        concat(lit("1|"),
+          shiftright(col("sim_lo"), 16).bitwiseAND(65535L).cast("string")),
+        concat(lit("2|"), col("sim_hi").bitwiseAND(65535L).cast("string")),
+        concat(lit("3|"),
+          shiftright(col("sim_hi"), 16).bitwiseAND(65535L).cast("string"))))
+        .as("band"))
+      .select("band").distinct().count()
+    distinctBuckets should be > 768L
+    distinctBuckets should be >= nDocs
+  }
+
+  test("hot-bucket cap bounds a pathological single-bucket corpus") {
+    // 40 identical docs -> every band is one bucket of size 40: without
+    // a cap the candidate join yields 40*39/2 pairs; capped below 40 it
+    // must yield none, and the legit corpus must be unaffected
+    val degenerate = (1L to 40L).map(i => (i, "all documents identical"))
+      .toDF("doc_id", "text")
+    Dedup.simhashPairs(degenerate, maxHamming = 6).count() shouldBe 780L
+    Dedup.simhashPairs(degenerate, maxHamming = 6, maxBucketSize = 39)
+      .count() shouldBe 0L
+    Dedup.minhashLshPairs(degenerate, k = 12, bands = 4, minEst = 0.5,
+      maxBucketSize = 39).count() shouldBe 0L
   }
 
   test("minhash estimate tracks true jaccard on the real corpus") {
