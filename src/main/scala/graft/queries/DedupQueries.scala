@@ -23,6 +23,26 @@ object DedupQueries {
        |  FROM w WHERE len(ws) >= 3),
        |""".stripMargin
 
+  /** d02 variant of [[shingleCtes]]: shingles carried as the same
+    * 60-bit polynomial hash graft.functions.PolyHash64 computes, so the
+    * oracle sees the identical key set (collisions included) that the
+    * Spark plan shuffles. */
+  private val hashedShingleCtes =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split($norm, ' ') AS ws FROM documents),
+       |sh AS (
+       |  SELECT doc_id, unnest(list_transform(list_distinct(
+       |           list_transform(range(1, len(ws) - 1),
+       |             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])), s ->
+       |           list_reduce(list_transform(string_split(s, ''),
+       |               c -> CAST(ascii(c) AS BIGINT)),
+       |             (acc, x) -> (acc * 31 + x) % 1073741789) * 1073741824 +
+       |           list_reduce(list_transform(string_split(s, ''),
+       |               c -> CAST(ascii(c) AS BIGINT)),
+       |             (acc, x) -> (acc * 131 + x) % 1073741783))) AS sh
+       |  FROM w WHERE len(ws) >= 3),
+       |""".stripMargin
+
   val all: Map[String, Q] = Map(
 
     // exact dedup: corpus-level duplicate accounting on the normalized
@@ -40,9 +60,10 @@ object DedupQueries {
         (count(lit(1)) - countDistinct(fp)).as("n_dup_docs"))
     },
 
-    // n-gram Jaccard near-dup: rare-shingle blocking + exact Jaccard.
+    // n-gram Jaccard near-dup: rare-shingle blocking + exact Jaccard,
+    // shingle keys hashed to longs on both sides.
     "d02_ngram_jaccard" -> Q(
-      shingleCtes +
+      hashedShingleCtes +
         """sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
           |rare AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY 1)
           |         WHERE df <= 50),

@@ -56,8 +56,13 @@ object Dedup {
       textCol: String = "text", n: Int = 3, maxDF: Int = 50,
       minJaccard: Double = 0.8): DataFrame = {
     // the shingle table feeds four consumers (sizes, df filter, pair
-    // generation, intersection) — materialize it once
-    val sh = shingles(docs, idCol, textCol, n).persist()
+    // generation, intersection) — materialize it once. Shingles travel
+    // as 8-byte PolyHash64 keys, not multi-word strings: the same sets
+    // and counts (the oracle hashes identically, collisions included)
+    // through severalfold-narrower shuffles.
+    val sh = shingles(docs, idCol, textCol, n)
+      .select(col("id"), graft.functions.PolyHash64(col("sh")).as("sh"))
+      .persist()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDF)
