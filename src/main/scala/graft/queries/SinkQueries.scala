@@ -64,6 +64,56 @@ object SinkQueries {
         .orderBy("datestamp")
     },
 
+    // Additive schema evolution end-to-end: v1 partitions written
+    // without the `quality` column, v2 partitions with it; phase
+    // 'merged' reads the mixed table through mergeSchema (v1 rows ->
+    // null), then addColumnBackfill rewrites ONLY the legacy partitions
+    // (the reference's ALTER ADD COLUMNS + backfill) and phase
+    // 'backfilled' re-reads. Sums travel as DECIMAL for order
+    // independence, DOUBLE at the edge.
+    "k04_schema_evolution" -> Q(
+      """SELECT phase, event_type, n, sum_q FROM (
+        |  SELECT 'merged' AS phase, event_type, count(*) AS n,
+        |         CAST(sum(CASE WHEN strftime(ts, '%Y-%m-%d') >= '2024-01-20'
+        |                       THEN CAST(value AS DECIMAL(20,2)) END)
+        |              AS DOUBLE) AS sum_q
+        |  FROM events GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'backfilled', event_type, count(*),
+        |         CAST(sum(CASE WHEN strftime(ts, '%Y-%m-%d') >= '2024-01-20'
+        |                       THEN CAST(value AS DECIMAL(20,2))
+        |                       ELSE CAST(-1.0 AS DECIMAL(20,2)) END)
+        |              AS DOUBLE)
+        |  FROM events GROUP BY 2)
+        |ORDER BY phase, event_type""".stripMargin) { (s, d) =>
+      val dir = freshDir(s"k04-${d.replaceAll("[^0-9a-zA-Z.]", "_")}")
+      val table = s"$dir/evolving"
+      val ev = Tables.events(s, d)
+        .withColumn("datestamp", Fns.datestamp(col("ts")))
+      TableSinks.writePartitioned(
+        ev.filter(col("datestamp") < "2024-01-20")
+          .select("event_id", "event_type", "value", "datestamp"),
+        table, "datestamp")
+      TableSinks.writePartitioned(
+        ev.filter(col("datestamp") >= "2024-01-20")
+          .select(col("event_id"), col("event_type"), col("value"),
+            col("value").as("quality"), col("datestamp")),
+        table, "datestamp")
+      def phaseAgg(phase: String) = TableSinks.readMerged(s, table)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("quality").cast("decimal(20,2)")).cast("double").as("sum_q"))
+        .select(lit(phase).as("phase"), col("event_type"), col("n"),
+          col("sum_q"))
+      // the backfill below mutates the same files, so the pre-backfill
+      // phase must materialize eagerly, not stay a lazy plan
+      val merged = phaseAgg("merged").localCheckpoint(true)
+      TableSinks.addColumnBackfill(s, table, "datestamp", "quality",
+        lit(-1.0))
+      merged.unionByName(phaseAgg("backfilled"))
+        .orderBy("phase", "event_type")
+    },
+
     // S5 text-glob scan over a partitioned JSON archive (the backfill
     // path), parsed with get_json_object.
     "k03_text_glob" -> Q(

@@ -41,6 +41,49 @@ object TableSinks {
       .sorted
   }
 
+  /** Additive schema evolution, reader side: a long-lived table gains
+    * columns over time, so later partitions carry fields earlier ones
+    * lack. `mergeSchema` unions the per-file schemas and reads missing
+    * columns as null — the `mergeSchema`/`overwriteSchema` pattern the
+    * reference applies to its live tables (`Set Up Delta Tables/Set up
+    * Delta tables for BTS telemetry.scala:312`). Schema merging is a
+    * footer-metadata operation, not a data scan. */
+  def readMerged(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(dir)
+
+  /** ALTER TABLE ... ADD COLUMNS + backfill (the reference's live
+    * `currentTimestamp` add, `Gold Aggregation/Auto Optimization
+    * .scala:370-373,416`): add `colName` = `value` to every partition
+    * written before the column existed. Only partitions whose parquet
+    * schema lacks the column are rewritten (schema probe reads footers,
+    * not data); partitions already carrying it are untouched, so the
+    * cost is O(legacy partitions), one distributed rewrite job each,
+    * with the same staging swap as compaction. Returns the backfilled
+    * partition values. */
+  def addColumnBackfill(spark: SparkSession, dir: String,
+      partitionCol: String, colName: String,
+      value: org.apache.spark.sql.Column): Seq[String] = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val prefix = s"$partitionCol="
+    val legacy = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .map(_.getPath)
+      .filter(p => !spark.read.parquet(p.toString)
+        .schema.fieldNames.contains(colName))
+    legacy.foreach { p =>
+      val staging = new Path(p.getParent,
+        s".evolve-${p.getName}-${System.nanoTime()}")
+      spark.read.parquet(p.toString)
+        .withColumn(colName, value)
+        .write.parquet(staging.toString)
+      fs.delete(p, true)
+      fs.rename(staging, p)
+    }
+    legacy.map(_.getName.stripPrefix(prefix)).sorted
+  }
+
   /** K10 compaction: rewrite any partition holding more than
     * `maxFiles` data files into `targetFiles` files (the OPTIMIZE
     * analog, `Gold Aggregation/Auto Optimization.scala:363-366`).

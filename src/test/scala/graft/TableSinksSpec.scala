@@ -55,6 +55,32 @@ class TableSinksSpec extends SparkSpec {
     df.columns.toSet shouldBe Set("id", "name")
   }
 
+  test("schema evolution: merged read null-fills, backfill rewrites only legacy partitions") {
+    val dir = tmp() + "/t"
+    // v1 era: two partitions without `q`
+    TableSinks.writePartitioned(
+      Seq(("2024-01-01", 1L), ("2024-01-02", 2L)).toDF("datestamp", "v"),
+      dir, "datestamp")
+    // v2 era: one partition that carries `q`
+    TableSinks.writePartitioned(
+      Seq(("2024-01-03", 3L, 30.0)).toDF("datestamp", "v", "q"),
+      dir, "datestamp")
+    // plain read of the union dir picks ONE schema; merged read unions
+    val merged = TableSinks.readMerged(spark, dir)
+    merged.columns.toSet shouldBe Set("datestamp", "v", "q")
+    merged.filter($"q".isNull).select("v").as[Long]
+      .collect().toSet shouldBe Set(1L, 2L)
+    val backfilled = TableSinks.addColumnBackfill(spark, dir, "datestamp",
+      "q", lit(-1.0))
+    backfilled shouldBe Seq("2024-01-01", "2024-01-02")
+    val after = TableSinks.readMerged(spark, dir)
+      .select("v", "q").as[(Long, Double)].collect().toMap
+    after shouldBe Map(1L -> -1.0, 2L -> -1.0, 3L -> 30.0)
+    // idempotent: nothing left to backfill
+    TableSinks.addColumnBackfill(spark, dir, "datestamp", "q",
+      lit(-1.0)) shouldBe empty
+  }
+
   test("partition pruning reaches the scan on datestamp filters") {
     val dir = tmp() + "/t"
     val df = Seq(("2024-01-01", 1), ("2024-01-02", 2)).toDF("datestamp", "v")
