@@ -17,20 +17,24 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * stay bit-identical to the fold and to the DuckDB oracle's
   * list_dot_product.
   *
-  * Inputs must be non-null-element double arrays of equal length
-  * (embedding columns); behavior on null elements is undefined by
-  * design — no per-element branch in the hot loop.
+  * Inputs must be non-null-element double arrays (embedding columns);
+  * behavior on null elements is undefined by design — no per-element
+  * branch in the hot loop. Mismatched lengths return null rather than
+  * a plausible partial sum, so a schema bug upstream surfaces as
+  * missing rows instead of silently wrong scores.
   */
 case class DotProduct(left: Expression, right: Expression)
   extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "vec_dot"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var sum = 0.0
     var i = 0
     while (i < n) {
@@ -46,12 +50,16 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val sum = ctx.freshName("sum")
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $sum = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          $sum += $a.getDouble($i) * $b.getDouble($i);
+        int $n = $a.numElements();
+        if ($n != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          double $sum = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            $sum += $a.getDouble($i) * $b.getDouble($i);
+          }
+          ${ev.value} = $sum;
         }
-        ${ev.value} = $sum;
       """
     })
 

@@ -114,6 +114,50 @@ object SinkQueries {
         .orderBy("phase", "event_type")
     },
 
+    // Time travel over the KeyedUpsert snapshot manifest: two upsert
+    // commits (events before/after the split, keyed by user+type,
+    // argmax event_id), then read version 1 AND the latest snapshot —
+    // the reference's startingVersion/DESCRIBE HISTORY replay surface.
+    // The oracle recomputes both snapshots straight from events.
+    "k05_time_travel" -> Q(
+      """WITH r1 AS (
+        |  SELECT user_id, event_type, event_id, value, row_number()
+        |           OVER (PARTITION BY user_id, event_type
+        |                 ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE floor(epoch(ts)) < 1705708800
+        |), r2 AS (
+        |  SELECT user_id, event_type, event_id, value, row_number()
+        |           OVER (PARTITION BY user_id, event_type
+        |                 ORDER BY event_id DESC) AS rn
+        |  FROM events
+        |)
+        |SELECT phase, user_id, event_type, event_id, value FROM (
+        |  SELECT 'v1' AS phase, user_id, event_type, event_id, value
+        |  FROM r1 WHERE rn = 1
+        |  UNION ALL
+        |  SELECT 'latest', user_id, event_type, event_id, value
+        |  FROM r2 WHERE rn = 1)
+        |ORDER BY phase, user_id, event_type""".stripMargin) { (s, d) =>
+      val dir = freshDir(s"k05-${d.replaceAll("[^0-9a-zA-Z.]", "_")}")
+      val out = s"$dir/tbl"
+      val t0 = 1705708800L // 2024-01-20, same split as st03
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("value"), unix_timestamp(col("ts")).as("uts"))
+      def put(batch: org.apache.spark.sql.DataFrame): Unit =
+        KeyedUpsert.upsert(s, out, batch.drop("uts"),
+          Seq("user_id", "event_type"), numBuckets = 8,
+          tieBreak = Some("event_id"), keepMaxOnMerge = true)
+      put(ev.filter(col("uts") < t0))
+      put(ev.filter(col("uts") >= t0))
+      def phased(phase: String, df: org.apache.spark.sql.DataFrame) =
+        df.select(lit(phase).as("phase"), col("user_id"),
+          col("event_type"), col("event_id"), col("value"))
+      phased("v1", KeyedUpsert.read(s, out, version = Some(1L)))
+        .unionByName(phased("latest", KeyedUpsert.read(s, out)))
+        .orderBy("phase", "user_id", "event_type")
+    },
+
     // S5 text-glob scan over a partitioned JSON archive (the backfill
     // path), parsed with get_json_object.
     "k03_text_glob" -> Q(

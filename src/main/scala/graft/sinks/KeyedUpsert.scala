@@ -1,34 +1,114 @@
 package graft.sinks
 
-import org.apache.hadoop.fs.Path
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** MERGE-semantics keyed upsert onto plain Parquet (SURVEY.md K4): the
   * reference uses `DeltaTable.merge(batch, keys).whenMatched.updateAll.
   * whenNotMatched.insertAll` from `foreachBatch`
-  * (`Gold Aggregation/OLD - Step 05 ...scala:41-55`). Without a
-  * transaction log, the scalable equivalent is hash-bucketed partition
-  * rewrite:
+  * (`Gold Aggregation/OLD - Step 05 ...scala:41-55`). The scalable
+  * equivalent without Delta is hash-bucketed rewrite behind a snapshot
+  * manifest — a minimal transaction log:
   *
-  *  - the target table is partitioned by `__bucket = xxhash64(keys) % N`;
+  *  - rows are hash-bucketed on `__bucket = xxhash64(keys) % N`;
   *  - a batch only touches the buckets its keys hash into: read those
-  *    buckets, anti-join out the matched keys, union the batch, and
-  *    atomically swap JUST those partition directories.
+  *    buckets' live directories, merge, and write the result into a
+  *    fresh immutable commit directory (`data/c<version>-<nonce>/`);
+  *  - the commit point is ONE atomic file rename publishing
+  *    `_manifests/v<version>.txt`, which maps every live bucket to the
+  *    directory that currently holds it. A crash before the rename
+  *    leaves the previous version fully intact (the half-written commit
+  *    dir is unreferenced garbage, reclaimed by vacuum).
   *
-  * Cost per micro-batch is O(|batch| + |touched buckets|), independent of
-  * total table size — the property that makes MERGE viable at 100 TB
+  * The manifest chain doubles as a version log (the reference's
+  * `DESCRIBE HISTORY` / `startingVersion` replay, `Query the Metric
+  * tables/Query the delta tables.scala:702`, `Gold state/Step
+  * 04-04b...scala`): `read(version = Some(v))` pins a snapshot,
+  * `changesSince(v)` re-reads only buckets that changed after v.
+  *
+  * Cost per micro-batch is O(|batch| + |touched buckets|), independent
+  * of total table size — the property that makes MERGE viable at 100 TB
   * (with N sized so a bucket fits an executor; compose with a date
   * partition for time-series tables). Replaying the same batch is
-  * idempotent: the swap converges to the same rows.
+  * idempotent: the merge converges to the same rows. Writers are
+  * single-owner per table (as in the reference's one-stream-per-table
+  * layout); a racing writer loses the manifest rename and fails loudly.
   */
 object KeyedUpsert {
 
   val BucketCol = "__bucket"
+  private val ManifestDir = "_manifests"
+  private val DataDir = "data"
 
   private def bucketed(df: DataFrame, keyCols: Seq[String], n: Int): DataFrame =
     df.withColumn(BucketCol,
       pmod(xxhash64(keyCols.map(col): _*), lit(n.toLong)))
+
+  private def fsOf(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestFile(target: Path, v: Long): Path =
+    new Path(target, f"$ManifestDir/v$v%08d.txt")
+
+  private def versionOf(name: String): Option[Long] =
+    if (name.startsWith("v") && name.endsWith(".txt"))
+      name.stripPrefix("v").stripSuffix(".txt").toLongOption
+    else None
+
+  /** Committed versions, ascending; empty for a table never written. */
+  def versions(spark: SparkSession, targetDir: String): Seq[Long] = {
+    val dir = new Path(new Path(targetDir), ManifestDir)
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .flatMap(s => versionOf(s.getPath.getName)).sorted
+  }
+
+  /** DESCRIBE HISTORY analog: (version, commitTimestampMillis), ascending. */
+  def history(spark: SparkSession, targetDir: String): Seq[(Long, Long)] = {
+    val dir = new Path(new Path(targetDir), ManifestDir)
+    val fs = fsOf(spark, dir)
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .flatMap(s => versionOf(s.getPath.getName).map(_ -> s.getModificationTime))
+      .sortBy(_._1)
+  }
+
+  /** bucket -> table-relative live directory at `version`. */
+  private def loadManifest(fs: FileSystem, target: Path,
+      version: Long): Map[Long, String] = {
+    val in = fs.open(manifestFile(target, version))
+    val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+      finally in.close()
+    text.linesIterator.filter(_.nonEmpty).map { line =>
+      val Array(bk, rel) = line.split('\t')
+      bk.toLong -> rel
+    }.toMap
+  }
+
+  /** Publish `mapping` as version `v`: write a temp file, then rename —
+    * the rename IS the commit; it fails (loudly) if the version was
+    * concurrently taken. */
+  private def commitManifest(fs: FileSystem, target: Path, v: Long,
+      mapping: Map[Long, String]): Unit = {
+    val dir = new Path(target, ManifestDir)
+    fs.mkdirs(dir)
+    val tmp = new Path(dir, s".tmp-$v-${System.nanoTime()}")
+    val out = fs.create(tmp, false)
+    try out.write(mapping.toSeq.sortBy(_._1)
+      .map { case (bk, rel) => s"$bk\t$rel" }
+      .mkString("\n").getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+    val dst = manifestFile(target, v)
+    if (fs.exists(dst) || !fs.rename(tmp, dst)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"concurrent commit of version $v to $target")
+    }
+  }
 
   /** Upsert `batch` into `targetDir` matching on `keyCols`. Within a
     * batch, later rows win per `tieBreak` (descending) when given,
@@ -36,11 +116,13 @@ object KeyedUpsert {
     * tieBreak also arbitrates against EXISTING rows — the conditional
     * MERGE ("update only if newer") the reference's latest-table
     * maintenance needs, which makes the sink correct under
-    * out-of-order batch replay. */
+    * out-of-order batch replay. Each call commits one new version;
+    * versions older than the newest `retainVersions` are vacuumed. */
   def upsert(spark: SparkSession, targetDir: String, batch: DataFrame,
       keyCols: Seq[String], numBuckets: Int = 64,
       tieBreak: Option[String] = None,
-      keepMaxOnMerge: Boolean = false): Unit = {
+      keepMaxOnMerge: Boolean = false,
+      retainVersions: Int = 8): Unit = {
     if (batch.isEmpty) return
     def top1(df: DataFrame): DataFrame = tieBreak match {
       case Some(tb) =>
@@ -51,56 +133,116 @@ object KeyedUpsert {
       case None => df.dropDuplicates(keyCols)
     }
     // one row per key within the batch
-    val deduped = top1(batch)
-    val b = bucketed(deduped, keyCols, numBuckets).persist()
+    val b = bucketed(top1(batch), keyCols, numBuckets).persist()
     try {
       val target = new Path(targetDir)
-      val fs = target.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(target)) {
-        b.write.partitionBy(BucketCol).parquet(targetDir)
-      } else {
-        val touched = b.select(BucketCol).distinct()
-          .collect().map(_.getLong(0)).sorted // bounded by numBuckets
-        val existing = spark.read.parquet(targetDir)
-          .filter(col(BucketCol).isin(touched: _*)) // partition-pruned scan
-        val merged =
-          if (keepMaxOnMerge && tieBreak.isDefined)
-            // conditional MERGE: existing and incoming rows compete on
-            // the tieBreak; replayed/out-of-order batches cannot
-            // regress a key to an older row
-            top1(existing.select(b.columns.map(col): _*).union(b))
-          else {
-            val keep = existing.join(
-              b.select(keyCols.map(col): _*), keyCols, "left_anti")
-            keep.select(b.columns.map(col): _*).union(b)
-          }
-        // stage merged buckets, then swap only the touched partition
-        // dirs. The swap is rename-to-backup + rename-in: a crash
-        // between the renames leaves the previous rows recoverable in
-        // the backup dir (true atomicity needs a commit log — that is
-        // the one thing Delta's transaction log buys; documented gap)
-        val staging = new Path(targetDir + s".staging-${System.nanoTime()}")
-        merged.write.partitionBy(BucketCol).parquet(staging.toString)
-        val backup = new Path(targetDir + s".backup-${System.nanoTime()}")
-        fs.mkdirs(backup)
-        touched.foreach { bk =>
-          val part = s"$BucketCol=$bk"
-          val dst = new Path(target, part)
-          val src = new Path(staging, part)
-          if (fs.exists(src)) {
-            if (fs.exists(dst)) fs.rename(dst, new Path(backup, part))
-            fs.rename(src, dst)
-          }
+      val fs = fsOf(spark, target)
+      val current = versions(spark, targetDir).lastOption
+      val mapping = current.map(loadManifest(fs, target, _))
+        .getOrElse(Map.empty[Long, String])
+      val touched = b.select(BucketCol).distinct()
+        .collect().map(_.getLong(0)).sorted // bounded by numBuckets
+      val newVersion = current.getOrElse(0L) + 1
+      val commitRel = f"$DataDir/c$newVersion%08d-${System.nanoTime()}"
+      val commitDir = new Path(target, commitRel)
+      // live dirs of ONLY the touched buckets — pruning by manifest,
+      // no full-table listing or scan
+      val existingDirs = touched.toSeq.flatMap(mapping.get)
+        .map(rel => new Path(target, rel).toString)
+      val merged = if (existingDirs.isEmpty) b else {
+        val existing = bucketed( // leaf dirs carry no bucket col; recompute
+          spark.read.parquet(existingDirs: _*), keyCols, numBuckets)
+        if (keepMaxOnMerge && tieBreak.isDefined)
+          // conditional MERGE: existing and incoming rows compete on
+          // the tieBreak; replayed/out-of-order batches cannot
+          // regress a key to an older row
+          top1(existing.select(b.columns.map(col): _*).union(b))
+        else {
+          val keep = existing.join(
+            b.select(keyCols.map(col): _*), keyCols, "left_anti")
+          keep.select(b.columns.map(col): _*).union(b)
         }
-        fs.delete(staging, true)
-        fs.delete(backup, true)
       }
+      merged.write.partitionBy(BucketCol).parquet(commitDir.toString)
+      val written = fs.listStatus(commitDir).toSeq
+        .map(_.getPath.getName).filter(_.startsWith(s"$BucketCol="))
+        .map(_.stripPrefix(s"$BucketCol=").toLong)
+      commitManifest(fs, target, newVersion,
+        mapping ++ written.map(bk => bk -> s"$commitRel/$BucketCol=$bk"))
+      vacuum(fs, target, newVersion, retainVersions)
     } finally b.unpersist()
   }
 
-  /** Read the upsert table back (bucket column dropped). */
-  def read(spark: SparkSession, targetDir: String): DataFrame =
-    spark.read.parquet(targetDir).drop(BucketCol)
+  /** Drop manifests older than the newest `retain` and any commit dir
+    * no retained manifest references. Only dirs whose version is <= the
+    * just-committed one are candidates, so an in-flight writer's
+    * not-yet-committed directory is never reclaimed from under it. */
+  private def vacuum(fs: FileSystem, target: Path, latest: Long,
+      retain: Int): Unit = {
+    val mDir = new Path(target, ManifestDir)
+    val all = fs.listStatus(mDir).toSeq
+      .flatMap(s => versionOf(s.getPath.getName)).sorted
+    val (expired, kept) = all.partition(_ <= latest - retain)
+    val referenced = kept.flatMap(v => loadManifest(fs, target, v).values)
+      .map(_.split('/')(1)).toSet // data/<commit>/__bucket=K -> <commit>
+    val dataDir = new Path(target, DataDir)
+    if (fs.exists(dataDir)) fs.listStatus(dataDir).toSeq
+      .map(_.getPath)
+      .filter { p =>
+        val name = p.getName
+        !referenced.contains(name) &&
+          name.stripPrefix("c").takeWhile(_.isDigit).toLongOption
+            .exists(_ <= latest)
+      }
+      .foreach(fs.delete(_, true))
+    expired.foreach(v => fs.delete(manifestFile(target, v), false))
+  }
+
+  /** The live file layout at `version` (default latest): bucket ->
+    * table-relative directory. The unit a scale audit inspects: an
+    * upsert must remap only the buckets it touched. */
+  def snapshot(spark: SparkSession, targetDir: String,
+      version: Option[Long] = None): Map[Long, String] = {
+    val target = new Path(targetDir)
+    val v = version.orElse(versions(spark, targetDir).lastOption)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no committed version in $targetDir"))
+    loadManifest(fsOf(spark, target), target, v)
+  }
+
+  /** Read the table at `version` (default: latest committed snapshot). */
+  def read(spark: SparkSession, targetDir: String,
+      version: Option[Long] = None): DataFrame = {
+    val target = new Path(targetDir)
+    val fs = fsOf(spark, target)
+    val v = version.orElse(versions(spark, targetDir).lastOption)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no committed version in $targetDir"))
+    val dirs = loadManifest(fs, target, v).values.toSeq.sorted
+      .map(rel => new Path(target, rel).toString)
+    spark.read.parquet(dirs: _*)
+  }
+
+  /** startingVersion-style incremental replay: the current rows of
+    * every bucket whose contents changed after `sinceVersion` — the
+    * bucket-granular change feed a downstream consumer re-processes
+    * instead of the whole table. */
+  def changesSince(spark: SparkSession, targetDir: String,
+      sinceVersion: Long): DataFrame = {
+    val target = new Path(targetDir)
+    val fs = fsOf(spark, target)
+    val latest = versions(spark, targetDir).lastOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"no committed version in $targetDir"))
+    val base = loadManifest(fs, target, sinceVersion)
+    val now = loadManifest(fs, target, latest)
+    val changed = now.filter { case (bk, rel) => !base.get(bk).contains(rel) }
+    if (changed.isEmpty)
+      read(spark, targetDir).limit(0)
+    else
+      spark.read.parquet(changed.values.toSeq.sorted
+        .map(rel => new Path(target, rel).toString): _*)
+  }
 
   /** foreachBatch hook for streaming update-mode aggregates (K3/K4). */
   def sink(targetDir: String, keyCols: Seq[String], numBuckets: Int = 64)

@@ -38,4 +38,15 @@ class DotProductSpec extends SparkSpec {
       .toDF("a", "b")
     df.select(DotProduct($"a", $"b")).head.isNullAt(0) shouldBe true
   }
+
+  test("mismatched lengths yield null, not a partial sum") {
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(1.0, 2.0))).toDF("a", "b")
+    def run(mode: String): Boolean = {
+      spark.conf.set("spark.sql.codegen.factoryMode", mode)
+      try df.select(DotProduct($"a", $"b")).head.isNullAt(0)
+      finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    run("CODEGEN_ONLY") shouldBe true
+    run("NO_CODEGEN") shouldBe true
+  }
 }

@@ -58,22 +58,73 @@ class KeyedUpsertSpec extends SparkSpec {
     val many = spark.range(0, 400)
       .select(concat(lit("k"), col("id")).as("k"), col("id").as("v"))
     KeyedUpsert.upsert(spark, dir, many, Seq("k"), numBuckets = 16)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    def mtimes: Map[String, Long] =
-      fs.listStatus(new org.apache.hadoop.fs.Path(dir))
-        .filter(_.getPath.getName.startsWith("__bucket="))
-        .map(s => s.getPath.getName -> s.getModificationTime).toMap
-    val before = mtimes
+    val before = KeyedUpsert.snapshot(spark, dir)
     before.size shouldBe 16
-    Thread.sleep(1100) // dir mtime granularity
     KeyedUpsert.upsert(spark, dir,
       Seq(("k1", 99L)).toDF("k", "v"), Seq("k"), numBuckets = 16)
-    val after = mtimes
-    val changed = after.filter { case (n, t) => before(n) != t }
-    changed.size shouldBe 1 // only k1's bucket rewritten
+    val after = KeyedUpsert.snapshot(spark, dir)
+    // only k1's bucket moved to the new commit dir
+    after.count { case (bk, rel) => before(bk) != rel } shouldBe 1
     KeyedUpsert.read(spark, dir).filter($"k" === "k1")
       .as[(String, Long)].collect().toSeq shouldBe Seq(("k1", 99L))
     KeyedUpsert.read(spark, dir).count() shouldBe 400
+  }
+
+  test("a crashed commit (data written, manifest never published) is invisible") {
+    val dir = tmp()
+    KeyedUpsert.upsert(spark, dir,
+      Seq(("a", 1), ("b", 2)).toDF("k", "v"), Seq("k"), numBuckets = 4)
+    // simulate a writer that died after writing its commit dir but
+    // before the manifest rename — the one non-atomic window
+    Seq(("a", 999)).toDF("k", "v").withColumn("__bucket", lit(0L))
+      .write.partitionBy("__bucket")
+      .parquet(s"$dir/data/c00000002-0")
+    val out = KeyedUpsert.read(spark, dir).as[(String, Int)].collect().toMap
+    out shouldBe Map("a" -> 1, "b" -> 2) // pre-crash state, not the orphan
+    // the next successful commit takes version 2 and vacuum reclaims
+    // the orphan once it ages out of the retained window
+    KeyedUpsert.upsert(spark, dir,
+      Seq(("c", 3)).toDF("k", "v"), Seq("k"), numBuckets = 4,
+      retainVersions = 1)
+    KeyedUpsert.read(spark, dir).count() shouldBe 3
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.exists(new org.apache.hadoop.fs.Path(s"$dir/data/c00000002-0")) shouldBe false
+  }
+
+  test("time travel: version pinning and bucket-granular changesSince") {
+    val dir = tmp()
+    KeyedUpsert.upsert(spark, dir,
+      Seq(("a", 1), ("b", 2)).toDF("k", "v"), Seq("k"), numBuckets = 4)
+    KeyedUpsert.upsert(spark, dir,
+      Seq(("b", 20)).toDF("k", "v"), Seq("k"), numBuckets = 4)
+    KeyedUpsert.upsert(spark, dir,
+      Seq(("c", 3)).toDF("k", "v"), Seq("k"), numBuckets = 4)
+    KeyedUpsert.versions(spark, dir) shouldBe Seq(1L, 2L, 3L)
+    KeyedUpsert.read(spark, dir, version = Some(1L))
+      .as[(String, Int)].collect().toMap shouldBe Map("a" -> 1, "b" -> 2)
+    KeyedUpsert.read(spark, dir, version = Some(2L))
+      .as[(String, Int)].collect().toMap shouldBe Map("a" -> 1, "b" -> 20)
+    KeyedUpsert.read(spark, dir)
+      .as[(String, Int)].collect().toMap shouldBe
+      Map("a" -> 1, "b" -> 20, "c" -> 3)
+    // replay from v1: the buckets b and c hash into changed, so the
+    // feed must carry their current rows (plus any bucket-mates)
+    val changed = KeyedUpsert.changesSince(spark, dir, 1L)
+      .as[(String, Int)].collect().toMap
+    changed.keySet should contain allOf ("b", "c")
+    KeyedUpsert.history(spark, dir).map(_._1) shouldBe Seq(1L, 2L, 3L)
+  }
+
+  test("vacuum keeps the newest retainVersions and reclaims the rest") {
+    val dir = tmp()
+    for (i <- 1 to 5)
+      KeyedUpsert.upsert(spark, dir,
+        Seq((s"k$i", i)).toDF("k", "v"), Seq("k"), numBuckets = 4,
+        retainVersions = 2)
+    KeyedUpsert.versions(spark, dir) shouldBe Seq(4L, 5L)
+    KeyedUpsert.read(spark, dir).count() shouldBe 5
+    // pinned reads inside the retained window still work
+    KeyedUpsert.read(spark, dir, version = Some(4L)).count() shouldBe 4
   }
 }

@@ -69,6 +69,40 @@ class StreamingStateSpec extends SparkSpec {
     finalState.count() shouldBe truth.count()
   }
 
+  test("tracker evicts idle keys after the processing-time timeout") {
+    import graft.streaming.StatefulOps
+    val dir = tmp("fmgs-timeout")
+    val src = new java.io.File(s"$dir/src"); src.mkdirs()
+    // three files processed as three batches (maxFilesPerTrigger=1),
+    // ordered by explicit modification times
+    val t0 = System.currentTimeMillis() - 600000
+    def write(name: String, mtime: Long, lines: String*): Unit = {
+      val f = new java.io.File(src, name)
+      Files.write(f.toPath, lines.mkString("\n").getBytes)
+      f.setLastModified(mtime)
+    }
+    write("a1.json", t0,
+      """{"key":"A","ts":1,"value":1.0}""",
+      """{"key":"A","ts":2,"value":2.0}""")
+    write("b.json", t0 + 60000, """{"key":"B","ts":3,"value":3.0}""")
+    write("a2.json", t0 + 120000, """{"key":"A","ts":9,"value":9.0}""")
+    val readings = spark.readStream
+      .schema("key string, ts long, value double")
+      .option("maxFilesPerTrigger", 1)
+      .json(src.toString)
+      .as[StatefulOps.KeyedReading]
+    val q = StatefulOps.track(spark, readings, idleTimeout = Some("1 millisecond"))
+      .writeStream.format("memory").queryName("fmgs_timeout")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val rows = spark.table("fmgs_timeout").as[StatefulOps.TrackOutput].collect()
+    // A's state was evicted while B's batch ran (idle > 1 ms), so its
+    // reappearance restarts the count at 1 instead of continuing to 3
+    rows.filter(_.key == "A").map(_.n).sorted shouldBe Array(1L, 2L)
+    rows.filter(_.key == "B").map(_.n) shouldBe Array(1L)
+  }
+
   test("watermarked tumbling-window agg (append mode) matches batch buckets") {
     val dir = tmp("window")
     val events = Tables.events(spark, SfDir)
