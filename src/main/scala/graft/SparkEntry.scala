@@ -17,7 +17,7 @@ object SparkEntry {
     CoreQueries.all ++ CoreQueries2.all ++ ExprQueries.all ++
       BronzeQueries.all ++
       PipelineQueries.all ++ PipelineQueries2.all ++ MonitoringQueries.all ++
-      StreamingQueries.all ++ TextQueries.all ++
+      StreamingQueries.all ++ TextQueries.all ++ JoinQueries.all ++
       DedupQueries.all ++ AnnQueries.all ++ MultimodalQueries.all ++
       SinkQueries.all
 

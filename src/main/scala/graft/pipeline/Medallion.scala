@@ -178,6 +178,84 @@ object Medallion {
       .unionByName(custom)
   }
 
+  /** ASM serial-indexed gold branch ([G4]:106-147, `Gold state/Step
+    * 04-04b - Gold Phase Raw and custom metric.scala`): rows of the ASM
+    * provider bypass remote resolution entirely — the reference writes
+    * a SECOND gold output for `metricProviderId === 5` where
+    * `$"serialnumber" as "remoteId"` (the serial itself is the key) and
+    * no device-history join runs. Same mapping join and numeric/string
+    * value split as [[gold]]; only the key differs. Map-side only
+    * (broadcast mapping join, no shuffle). */
+  def goldSerial(silver: DataFrame, mappings: DataFrame,
+      asmProviderId: Long = 2L): DataFrame = {
+    val numeric = col("agg_type").isin("SUM", "AVG")
+    silver
+      .filter(col("metric_provider_id") === asmProviderId)
+      .join(broadcast(mappings), silver("metric") === mappings("raw_symbol"))
+      .select(
+        col("element"),
+        col("unix_ts").cast("long").as("unix_timestamp"),
+        col("datestamp"),
+        col("metric"),
+        when(numeric, col("value").cast(DecimalType(30, 15)))
+          .otherwise(lit(null).cast(DecimalType(30, 15))).as("value_double"),
+        when(!numeric, col("value"))
+          .otherwise(lit(null).cast("string")).as("value_string"),
+        col("metric_id"),
+        col("metric_provider_id").as("provider_id"),
+        col("category_id"),
+        col("serialnumber").as("remote_id"),
+        col("agg_type"))
+  }
+
+  /** Gold-integrated custom JOIN metric (`Old Notebooks not used/Step
+    * 04b - Gold Phase of KITE - Handle custom metrics.scala:71-77`,
+    * prod form `Gold state/Step 06c - write custom join metrics to
+    * cosmos.scala:63-116`): the reference assembles a location row per
+    * (ts, remote) from the latitude metric (131) and longitude metric
+    * (130), filling a missing half from per-remote state it keeps in
+    * Redis via a driver-side collect loop (default "0" when no state).
+    *
+    * Distributed replacement: one conditional aggregation pins the
+    * halves observed at each (ts, remote, provider), then a running
+    * `last(_, ignoreNulls)` window per (remote, provider) carries the
+    * most recent known value of each half forward — exactly the Redis
+    * hash semantics, but as a single shuffle + ordered window scan, no
+    * driver state, no per-row network round trips. Emits gold-shaped
+    * rows under `outMetricId` with `value_string = "<lat>,<lon>"`. */
+  def customJoinMetrics(gold: DataFrame,
+      latMetricId: Long = 9004L, lonMetricId: Long = 9015L,
+      outMetricId: Long = 9105L, outCategoryId: Long = 4L): DataFrame = {
+    val atTs = gold
+      .filter(col("metric_id").isin(latMetricId, lonMetricId))
+      .groupBy("unix_timestamp", "datestamp", "remote_id", "provider_id")
+      .agg(
+        max(when(col("metric_id") === latMetricId, col("value_string")))
+          .as("lat_now"),
+        max(when(col("metric_id") === lonMetricId, col("value_string")))
+          .as("lon_now"))
+    val w = Window.partitionBy("remote_id", "provider_id")
+      .orderBy("unix_timestamp")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    atTs
+      .withColumn("lat", coalesce(last(col("lat_now"), ignoreNulls = true)
+        .over(w), lit("0")))
+      .withColumn("lon", coalesce(last(col("lon_now"), ignoreNulls = true)
+        .over(w), lit("0")))
+      .select(
+        lit(null).cast("string").as("element"),
+        col("unix_timestamp"),
+        col("datestamp"),
+        lit(null).cast("string").as("metric"),
+        lit(null).cast("double").as("value_double"),
+        concat(col("lat"), lit(","), col("lon")).as("value_string"),
+        lit(outMetricId).as("metric_id"),
+        col("provider_id"),
+        lit(outCategoryId).as("category_id"),
+        col("remote_id"),
+        lit("JOIN").as("agg_type"))
+  }
+
   /** Latest value per 4-part key (id without timestamp, [C6A]:126).
     * Deterministic tiebreak on the element (event) id. */
   def latest(gold: DataFrame): DataFrame = {

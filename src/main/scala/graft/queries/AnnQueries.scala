@@ -72,11 +72,41 @@ object AnnQueries {
         .orderBy("q", "rank")
     },
 
-    // IVF top-3: nearest-centroid inverted lists (first-16 centroids),
-    // queries probe their 2 nearest lists, exact ranking inside.
+    // IVF top-3: nearest-centroid inverted lists. Centroids are the
+    // first 16 vectors refined by TWO deterministic Lloyd passes (the
+    // per-dimension member sums run in DECIMAL(30,15), exact and
+    // order-independent, so this SQL replays Spark's k-means
+    // bit-for-bit); queries probe their 2 nearest lists, exact ranking
+    // inside.
     "s03_ann_ivf" -> Q(
       vCte +
-        s"""cent AS (SELECT vec_id AS cid, vn AS cv FROM n WHERE vec_id < 16),
+        s"""cent0 AS (SELECT vec_id AS cid, vn AS cv FROM n WHERE vec_id < 16),
+           |a0 AS (
+           |  SELECT id, vn, cid FROM (
+           |    SELECT n.vec_id AS id, n.vn, c.cid,
+           |           row_number() OVER (PARTITION BY n.vec_id
+           |             ORDER BY list_dot_product(n.vn, c.cv) DESC, c.cid) AS rn
+           |    FROM n CROSS JOIN cent0 c) WHERE rn = 1),
+           |s1 AS (
+           |  SELECT cid, i, SUM(CAST(vn[i] AS DECIMAL(30,15))) AS s
+           |  FROM a0, range(1, 65) t(i) GROUP BY cid, i),
+           |r1 AS (SELECT cid, list(CAST(s AS DOUBLE) ORDER BY i) AS cv
+           |       FROM s1 GROUP BY cid),
+           |cent1 AS (SELECT cid, list_transform(cv,
+           |            x -> x / sqrt(list_dot_product(cv, cv))) AS cv FROM r1),
+           |a1 AS (
+           |  SELECT id, vn, cid FROM (
+           |    SELECT n.vec_id AS id, n.vn, c.cid,
+           |           row_number() OVER (PARTITION BY n.vec_id
+           |             ORDER BY list_dot_product(n.vn, c.cv) DESC, c.cid) AS rn
+           |    FROM n CROSS JOIN cent1 c) WHERE rn = 1),
+           |s2 AS (
+           |  SELECT cid, i, SUM(CAST(vn[i] AS DECIMAL(30,15))) AS s
+           |  FROM a1, range(1, 65) t(i) GROUP BY cid, i),
+           |r2 AS (SELECT cid, list(CAST(s AS DOUBLE) ORDER BY i) AS cv
+           |       FROM s2 GROUP BY cid),
+           |cent AS (SELECT cid, list_transform(cv,
+           |           x -> x / sqrt(list_dot_product(cv, cv))) AS cv FROM r2),
            |assign AS (
            |  SELECT id, vn, cid FROM (
            |    SELECT n.vec_id AS id, n.vn, c.cid,

@@ -69,6 +69,67 @@ object PipelineQueries2 {
         .orderBy("metric_id")
     },
 
+    // ASM serial-indexed gold branch ([G4]:106-147): the second gold
+    // output for the ASM provider, keyed by serialnumber instead of the
+    // history-resolved remote — no temporal join on this path.
+    "p15_gold_serial" -> Q(
+      PipelineQueries.ctes +
+        """SELECT element, CAST(unix_ts AS BIGINT) AS unix_timestamp,
+          |       datestamp, metric,
+          |       CAST(CASE WHEN agg_type IN ('SUM','AVG')
+          |            THEN CAST(value AS DECIMAL(30,15)) END AS DOUBLE)
+          |         AS value_double,
+          |       CASE WHEN agg_type NOT IN ('SUM','AVG')
+          |            THEN value END AS value_string,
+          |       metric_id, metric_provider_id AS provider_id,
+          |       category_id, serialnumber AS remote_id, agg_type
+          |FROM silver JOIN mappings ON metric = raw_symbol
+          |WHERE metric_provider_id = 2
+          |ORDER BY element, metric""".stripMargin) { (s, d) =>
+      Medallion.goldSerial(Medallion.silver(Tables.events(s, d)),
+          Dims.metricMappings(s))
+        .withColumn("value_double", col("value_double").cast("double"))
+        .orderBy("element", "metric")
+    },
+
+    // Gold-integrated custom JOIN metric: lat+long pair assembly per
+    // (ts, remote, provider) with last-known-value fill — the
+    // distributed replacement for the reference's Redis driver loop
+    // (`Gold state/Step 06c ...scala:63-116`).
+    "p16_join_metric_gold" -> Q(
+      PipelineQueries.ctes +
+        """,jsrc AS (
+          |  SELECT unix_timestamp, datestamp, remote_id, provider_id,
+          |         max(CASE WHEN metric_id = 9004 THEN value_string END)
+          |           AS lat_now,
+          |         max(CASE WHEN metric_id = 9015 THEN value_string END)
+          |           AS lon_now
+          |  FROM gold WHERE metric_id IN (9004, 9015)
+          |  GROUP BY 1, 2, 3, 4),
+          |jfill AS (
+          |  SELECT unix_timestamp, datestamp, remote_id, provider_id,
+          |         coalesce(last_value(lat_now IGNORE NULLS) OVER w, '0')
+          |           AS lat,
+          |         coalesce(last_value(lon_now IGNORE NULLS) OVER w, '0')
+          |           AS lon
+          |  FROM jsrc
+          |  WINDOW w AS (PARTITION BY remote_id, provider_id
+          |               ORDER BY unix_timestamp
+          |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+          |SELECT CAST(NULL AS VARCHAR) AS element, unix_timestamp,
+          |       datestamp, CAST(NULL AS VARCHAR) AS metric,
+          |       CAST(NULL AS DOUBLE) AS value_double,
+          |       lat || ',' || lon AS value_string,
+          |       CAST(9105 AS BIGINT) AS metric_id, provider_id,
+          |       CAST(4 AS BIGINT) AS category_id,
+          |       remote_id, 'JOIN' AS agg_type
+          |FROM jfill
+          |ORDER BY remote_id, provider_id, unix_timestamp""".stripMargin) {
+        (s, d) =>
+      Medallion.customJoinMetrics(sfGold(s, d))
+        .orderBy("remote_id", "provider_id", "unix_timestamp")
+    },
+
     // W2 max-over-window latest variant: window max + equality filter
     // instead of row_number (the reference's commented alternative).
     "q29_max_over_window" -> Q(

@@ -6,7 +6,7 @@ import java.util.Comparator
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.Fns
-import graft.sinks.TableSinks
+import graft.sinks.{KeyedUpsert, TableSinks}
 import graft.sources.{FileSources, Tables}
 
 /** Source/sink round-trips surfaced through the correctness gate: each

@@ -116,6 +116,82 @@ object StreamingQueries {
         .select("id", "bucket_ts", "remote_id", "metric_id", "provider_id",
           "category_id", "sum_value", "avg_value", "min_value", "max_value", "n")
         .orderBy("id", "bucket_ts")
+    },
+
+    // startingVersion-style incremental replay ([G4]:42's
+    // `option("startingVersion", ...)` as a checked behavior): a
+    // downstream consumer holds the v1 snapshot, then applies ONLY the
+    // bucket-granular change feed from changesSince(v1) — replacing by
+    // key, since a changed bucket's feed carries every current row of
+    // that bucket — and must converge to exactly the full recompute.
+    "st04_changes_since" -> Q(PipelineQueries.rollupSql("day")) { (s, d) =>
+      val root = freshDir(s"st04-${d.replaceAll("[^0-9a-zA-Z.]", "_")}")
+      val out = s"$root/rollup"
+      val cols = Seq("id", "bucket_ts", "remote_id", "metric_id",
+        "provider_id", "category_id", "sum_value", "avg_value",
+        "min_value", "max_value", "n")
+      val gold = graft.pipeline.Medallion.gold(
+        graft.pipeline.Medallion.silver(Tables.events(s, d)),
+        graft.pipeline.Dims.metricMappings(s),
+        graft.pipeline.Dims.deviceHistory(s)).cache()
+      val t0 = 1705708800L // same split as st03
+      KeyedUpsert.upsert(s, out,
+        graft.pipeline.Medallion.dayRollup(
+          gold.filter(col("unix_timestamp") < t0)), Seq("id"), 8)
+      KeyedUpsert.upsert(s, out,
+        graft.pipeline.Medallion.dayRollup(
+          gold.filter(col("unix_timestamp") >= t0 - 86400)), Seq("id"), 8)
+      val v1 = KeyedUpsert.read(s, out, version = Some(1L))
+        .select(cols.map(col): _*)
+      val feed = KeyedUpsert.changesSince(s, out, 1L)
+        .select(cols.map(col): _*)
+      // downstream replay: keys absent from the feed are untouched
+      // (rows never move buckets, upserts never delete)
+      v1.join(feed.select("id"), Seq("id"), "left_anti")
+        .select(cols.map(col): _*)
+        .unionByName(feed)
+        .orderBy("id", "bucket_ts")
+    },
+
+    // ST9 session variant: gap-based session windows per user via
+    // Spark's session_window (one shuffle by user, sessions merged in
+    // the sort-based session aggregation — no global window, state is
+    // one open session per key, the same operator the streaming form
+    // uses with a watermark). Oracle = classic gaps-and-islands at
+    // second resolution: an event merges into the open session while
+    // the gap since the previous event is <= the 30-min gap duration
+    // (session_window merges its inclusive [ts, ts+gap] boundary —
+    // pinned by OperatorsSpec's boundary test).
+    "st05_session_window" -> Q(
+      """WITH e AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ets, value
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, ets, value,
+        |         CASE WHEN ets - lag(ets) OVER (PARTITION BY user_id
+        |                ORDER BY ets) <= 1800
+        |              THEN 0 ELSE 1 END AS new_s
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, ets, value,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ets
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM m)
+        |SELECT user_id, min(ets) AS session_start, max(ets) AS session_end,
+        |       count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .select(col("user_id"), unix_timestamp(col("ts")).as("ets"),
+          col("value"))
+        .groupBy(col("user_id"),
+          session_window(timestamp_seconds(col("ets")), "30 minutes"))
+        .agg(min("ets").as("session_start"), max("ets").as("session_end"),
+          count(lit(1)).as("n_events"),
+          round(sum("value"), 2).as("total_value"))
+        .select("user_id", "session_start", "session_end", "n_events",
+          "total_value")
+        .orderBy("user_id", "session_start")
     }
   )
 }

@@ -83,6 +83,92 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // deterministic train/val split: md5-decorrelated id hash % 100 —
+    // stable across runs/partitioning/engines, no RNG state.
+    "t05_train_val_split" -> Q(
+      """SELECT doc_id,
+        |       CASE WHEN list_reduce(list_transform(
+        |              string_split(md5(CAST(doc_id AS VARCHAR)), ''),
+        |              c -> CAST(ascii(c) AS BIGINT)),
+        |              (acc, x) -> (acc * 31 + x) % 1000000007) % 100 < 80
+        |            THEN 'train' ELSE 'val' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+          TextFns.splitAssign(col("doc_id")).as("split"))
+        .orderBy("doc_id")
+    },
+
+    // sequence packing plan (concat-and-chunk): docs are concatenated
+    // in id order within a shard and chunked into 2048-token context
+    // windows; a doc's pack is where its first token lands. Sharding
+    // bounds the ordered-cumsum state per partition — packing state
+    // never crosses shards, so the window scales horizontally instead
+    // of forcing a global single-partition sort.
+    "t06_sequence_pack" -> Q(
+      s"""SELECT doc_id, n_tok,
+         |       shard * 1000000 +
+         |         CAST(floor(cum_before / 2048.0) AS BIGINT) AS pack_id,
+         |       cum_before % 2048 AS pack_offset
+         |FROM (
+         |  SELECT doc_id, n_tok, shard,
+         |         coalesce(CAST(sum(n_tok) OVER (PARTITION BY shard
+         |           ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |           AS BIGINT), 0) AS cum_before
+         |  FROM (
+         |    SELECT doc_id,
+         |           len(regexp_extract_all($norm, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))
+         |             AS n_tok,
+         |           doc_id % 8 AS shard
+         |    FROM documents))
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          TextFns.bpeTokenCount(col("text")).as("n_tok"),
+          pmod(col("doc_id"), lit(8L)).as("shard"))
+        .withColumn("cum_before",
+          coalesce(sum("n_tok").over(w), lit(0L)))
+        .select(col("doc_id"), col("n_tok"),
+          (col("shard") * 1000000 +
+            floor(col("cum_before") / 2048.0).cast("long")).as("pack_id"),
+          pmod(col("cum_before"), lit(2048L)).as("pack_offset"))
+        .orderBy("doc_id")
+    },
+
+    // Gopher-style repetition diagnostics: share of the most frequent
+    // word / bigram and the type-token ratio, as exact ppm longs.
+    // explode -> two-level hash-agg; scan-bound at corpus scale.
+    "t07_repetition" -> Q(
+      s"""WITH w AS (
+         |  SELECT doc_id, unnest(string_split($norm, ' ')) AS gram
+         |  FROM documents),
+         |wc AS (SELECT doc_id, gram, count(*) AS c FROM w GROUP BY 1, 2),
+         |ws AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n,
+         |              count(*) AS n_distinct
+         |       FROM wc GROUP BY 1),
+         |bl AS (SELECT doc_id, string_split($norm, ' ') AS wl FROM documents),
+         |b AS (SELECT doc_id, unnest(list_transform(range(1, len(wl)),
+         |             i -> wl[i] || ' ' || wl[i+1])) AS gram
+         |      FROM bl),
+         |bc AS (SELECT doc_id, gram, count(*) AS c FROM b GROUP BY 1, 2),
+         |bs AS (SELECT doc_id, max(c) AS bi_top_c, sum(c) AS bi_n
+         |       FROM bc GROUP BY 1)
+         |SELECT ws.doc_id,
+         |       CAST(floor(CAST(top_c AS DOUBLE) * 1000000.0 /
+         |            CAST(n AS DOUBLE)) AS BIGINT) AS top_word_ppm,
+         |       coalesce(CAST(floor(CAST(bi_top_c AS DOUBLE) * 1000000.0 /
+         |            CAST(bi_n AS DOUBLE)) AS BIGINT), 0) AS top_bigram_ppm,
+         |       CAST(floor(CAST(n_distinct AS DOUBLE) * 1000000.0 /
+         |            CAST(n AS DOUBLE)) AS BIGINT) AS distinct_word_ppm
+         |FROM ws LEFT JOIN bs ON ws.doc_id = bs.doc_id
+         |ORDER BY ws.doc_id""".stripMargin) { (s, d) =>
+      graft.text.Repetition.metrics(Tables.documents(s, d))
+        .orderBy("doc_id")
+    },
+
     // content fingerprints: md5 of normalized text + polynomial rolling
     // hash (engine-neutral: seeded from the first char code).
     "t04_fingerprint" -> Q(

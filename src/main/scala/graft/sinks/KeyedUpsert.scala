@@ -138,6 +138,25 @@ object KeyedUpsert {
       val target = new Path(targetDir)
       val fs = fsOf(spark, target)
       val current = versions(spark, targetDir).lastOption
+      if (current.isEmpty && fs.exists(target) &&
+          fs.listStatus(target).exists { s =>
+            val n = s.getPath.getName
+            // any directory that isn't ours (incl. legacy __bucket=*/
+            // datestamp=* partition dirs), or any non-marker file. An
+            // orphan commit under data/ (crash before the FIRST manifest
+            // publish) is unreferenced garbage, not legacy data.
+            if (s.isDirectory) n != ManifestDir && n != DataDir
+            else !n.startsWith(".") && !n.startsWith("_")
+          })
+        // Guard against silently shadowing a pre-manifest table: an
+        // upsert that "initializes" over existing unmanaged data would
+        // commit a v1 containing only the batch, making every prior row
+        // invisible to read() with no error.
+        throw new IllegalStateException(
+          s"$targetDir contains data but no $ManifestDir/ — refusing to " +
+          "initialize over an unmanaged/legacy layout; migrate the " +
+          "existing rows with an explicit initial upsert into a fresh " +
+          "directory (or delete the legacy data) first")
       val mapping = current.map(loadManifest(fs, target, _))
         .getOrElse(Map.empty[Long, String])
       val touched = b.select(BucketCol).distinct()
@@ -198,15 +217,31 @@ object KeyedUpsert {
     expired.foreach(v => fs.delete(manifestFile(target, v), false))
   }
 
+  /** Resolve a requested version against the retained manifest chain,
+    * failing with a meaningful message (naming the earliest retained
+    * version) when the version was vacuumed — instead of a raw
+    * FileNotFoundException from the manifest read. */
+  private def resolveVersion(spark: SparkSession, targetDir: String,
+      requested: Option[Long]): Long = {
+    val vs = versions(spark, targetDir)
+    if (vs.isEmpty) throw new IllegalArgumentException(
+      s"no committed version in $targetDir")
+    requested match {
+      case None => vs.last
+      case Some(v) if vs.contains(v) => v
+      case Some(v) => throw new IllegalArgumentException(
+        s"version $v of $targetDir has been vacuumed or never existed; " +
+        s"earliest available is ${vs.head}, latest is ${vs.last}")
+    }
+  }
+
   /** The live file layout at `version` (default latest): bucket ->
     * table-relative directory. The unit a scale audit inspects: an
     * upsert must remap only the buckets it touched. */
   def snapshot(spark: SparkSession, targetDir: String,
       version: Option[Long] = None): Map[Long, String] = {
     val target = new Path(targetDir)
-    val v = version.orElse(versions(spark, targetDir).lastOption)
-      .getOrElse(throw new IllegalArgumentException(
-        s"no committed version in $targetDir"))
+    val v = resolveVersion(spark, targetDir, version)
     loadManifest(fsOf(spark, target), target, v)
   }
 
@@ -215,9 +250,7 @@ object KeyedUpsert {
       version: Option[Long] = None): DataFrame = {
     val target = new Path(targetDir)
     val fs = fsOf(spark, target)
-    val v = version.orElse(versions(spark, targetDir).lastOption)
-      .getOrElse(throw new IllegalArgumentException(
-        s"no committed version in $targetDir"))
+    val v = resolveVersion(spark, targetDir, version)
     val dirs = loadManifest(fs, target, v).values.toSeq.sorted
       .map(rel => new Path(target, rel).toString)
     spark.read.parquet(dirs: _*)
@@ -231,10 +264,9 @@ object KeyedUpsert {
       sinceVersion: Long): DataFrame = {
     val target = new Path(targetDir)
     val fs = fsOf(spark, target)
-    val latest = versions(spark, targetDir).lastOption
-      .getOrElse(throw new IllegalArgumentException(
-        s"no committed version in $targetDir"))
-    val base = loadManifest(fs, target, sinceVersion)
+    val latest = resolveVersion(spark, targetDir, None)
+    val base = loadManifest(fs, target,
+      resolveVersion(spark, targetDir, Some(sinceVersion)))
     val now = loadManifest(fs, target, latest)
     val changed = now.filter { case (bk, rel) => !base.get(bk).contains(rel) }
     if (changed.isEmpty)

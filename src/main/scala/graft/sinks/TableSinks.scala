@@ -1,7 +1,10 @@
 package graft.sinks
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Table-level writers and maintenance (SURVEY.md K1/K2/K9/K10): the
   * Delta-specific operations of the reference re-expressed as plain
@@ -44,43 +47,82 @@ object TableSinks {
   /** Additive schema evolution, reader side: a long-lived table gains
     * columns over time, so later partitions carry fields earlier ones
     * lack. `mergeSchema` unions the per-file schemas and reads missing
-    * columns as null — the `mergeSchema`/`overwriteSchema` pattern the
-    * reference applies to its live tables (`Set Up Delta Tables/Set up
-    * Delta tables for BTS telemetry.scala:312`). Schema merging is a
-    * footer-metadata operation, not a data scan. */
+    * columns as null — the `mergeSchema` pattern the reference applies
+    * to its live tables (`Gold state/Step 04-04b - Gold Phase Raw and
+    * custom metric.scala:93`). Schema merging is a footer-metadata
+    * operation, not a data scan. */
   def readMerged(spark: SparkSession, dir: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(dir)
+
+  /** Crash-safe partition swap: live -> .bak, staging -> live, delete
+    * .bak. Every crash point leaves a recoverable directory (either the
+    * live dir is intact, or the fully-written staging dir and/or the
+    * .bak survive under dotted names the readers ignore) — unlike
+    * delete-then-rename, which has a window where the partition is
+    * simply gone. */
+  private def swapPartition(fs: org.apache.hadoop.fs.FileSystem,
+      live: Path, staging: Path): Unit = {
+    val bak = new Path(live.getParent,
+      s".bak-${live.getName}-${System.nanoTime()}")
+    if (!fs.rename(live, bak))
+      throw new IllegalStateException(s"could not stage out $live")
+    if (!fs.rename(staging, live)) {
+      fs.rename(bak, live) // restore; staging is left for inspection
+      throw new IllegalStateException(s"could not publish $staging to $live")
+    }
+    fs.delete(bak, true)
+  }
 
   /** ALTER TABLE ... ADD COLUMNS + backfill (the reference's live
     * `currentTimestamp` add, `Gold Aggregation/Auto Optimization
     * .scala:370-373,416`): add `colName` = `value` to every partition
-    * written before the column existed. Only partitions whose parquet
-    * schema lacks the column are rewritten (schema probe reads footers,
-    * not data); partitions already carrying it are untouched, so the
-    * cost is O(legacy partitions), one distributed rewrite job each,
-    * with the same staging swap as compaction. Returns the backfilled
-    * partition values. */
+    * written before the column existed.
+    *
+    * Scale shape: the probe reads ONE parquet footer per partition
+    * driver-side (no per-partition Spark job or file-index build), and
+    * the rewrite is ONE distributed job over all legacy partitions at
+    * once (`basePath` read -> `partitionBy` write), so a table with
+    * tens of thousands of legacy partitions costs one job + O(n)
+    * metadata renames, not n serial jobs. Partitions already carrying
+    * the column are untouched. Returns the backfilled partition
+    * values. */
   def addColumnBackfill(spark: SparkSession, dir: String,
       partitionCol: String, colName: String,
       value: org.apache.spark.sql.Column): Seq[String] = {
     val root = new Path(dir)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(conf)
     if (!fs.exists(root)) return Seq.empty
     val prefix = s"$partitionCol="
-    val legacy = fs.listStatus(root).toSeq
+    val parts = fs.listStatus(root).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
       .map(_.getPath)
-      .filter(p => !spark.read.parquet(p.toString)
-        .schema.fieldNames.contains(colName))
-    legacy.foreach { p =>
-      val staging = new Path(p.getParent,
-        s".evolve-${p.getName}-${System.nanoTime()}")
-      spark.read.parquet(p.toString)
-        .withColumn(colName, value)
-        .write.parquet(staging.toString)
-      fs.delete(p, true)
-      fs.rename(staging, p)
+    val legacy = parts.filter { p =>
+      // footer of one data file decides the partition's schema (all
+      // files in a partition share a writer schema in this layout)
+      fs.listStatus(p).toSeq
+        .find(f => f.isFile && !f.getPath.getName.startsWith("_") &&
+          !f.getPath.getName.startsWith("."))
+        .exists { f =>
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(f.getPath, conf)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try !reader.getFileMetaData.getSchema.getFields.asScala
+            .exists(_.getName == colName)
+          finally reader.close()
+        }
     }
+    if (legacy.isEmpty) return Seq.empty
+    val staging = new Path(root, s".evolve-${System.nanoTime()}")
+    spark.read.option("basePath", dir).option("mergeSchema", "true")
+      .parquet(legacy.map(_.toString): _*)
+      .withColumn(partitionCol, col(partitionCol).cast("string"))
+      .withColumn(colName, value)
+      .write.partitionBy(partitionCol).parquet(staging.toString)
+    legacy.foreach { p =>
+      swapPartition(fs, p, new Path(staging, p.getName))
+    }
+    fs.delete(staging, true)
     legacy.map(_.getName.stripPrefix(prefix)).sorted
   }
 
@@ -109,8 +151,7 @@ object TableSinks {
       spark.read.parquet(p.getPath.toString)
         .coalesce(targetFiles)
         .write.parquet(staging.toString)
-      fs.delete(p.getPath, true)
-      fs.rename(staging, p.getPath)
+      swapPartition(fs, p.getPath, staging)
     }
     compacted.map(_.getPath.getName.stripPrefix(prefix)).sorted
   }

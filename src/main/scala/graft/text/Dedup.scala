@@ -137,10 +137,13 @@ object Dedup {
     // one shuffle builds every signature; persisted because the plan
     // references it three times (buckets + both pair sides)
     val sigs = minhashSignatures(docs, idCol, textCol, k, n).persist()
+    // the capped bucket frame carries a per-bucket window shuffle; it
+    // feeds both sides of the candidate self-join, so persist it or the
+    // whole subtree (signatures included) computes twice
     val buckets = graft.functions.Buckets.cap(
       sigs.select(col("id"),
         explode(lshBuckets(col("sig"), bands, rows)).as("bucket")),
-      "bucket", maxBucketSize, "graft.lsh.minhash")
+      "bucket", maxBucketSize, "graft.lsh.minhash").persist()
     val cand = buckets.select(col("bucket"), col("id").as("a"))
       .join(buckets.select(col("bucket"), col("id").as("b")), Seq("bucket"))
       .filter(col("a") < col("b"))
@@ -252,8 +255,10 @@ object Dedup {
         concat(lit("3|"),
           shiftright(col("sim_hi"), 16).bitwiseAND(65535L).cast("string"))))
         .as("band"))
+    // persisted: the capped frame (simhash pipeline + cap window) feeds
+    // both sides of the candidate self-join
     val kept = graft.functions.Buckets.cap(bands, "band", maxBucketSize,
-      "graft.lsh.simhash")
+      "graft.lsh.simhash").persist()
     val cand = kept.select(col("band"), col("id").as("a"),
         col("sim_lo").as("loa"), col("sim_hi").as("hia"))
       .join(kept.select(col("band"), col("id").as("b"),
@@ -283,11 +288,13 @@ object Dedup {
       dim: Int = 64, planesPerTable: Int = 3, nTables: Int = 8,
       maxBucketSize: Int = graft.functions.Buckets.DefaultMaxBucketSize)
       : DataFrame = {
+    // persisted: the capped frame (bucket explode + cap window) feeds
+    // both sides of the candidate self-join
     val buckets = graft.functions.Buckets.cap(
       graft.vector.Ann
         .withLshBuckets(emb, vecCol, dim, planesPerTable, nTables)
         .select(col(idCol).as("id"), col("bucket")),
-      "bucket", maxBucketSize, "graft.lsh.cosine")
+      "bucket", maxBucketSize, "graft.lsh.cosine").persist()
     val cand = buckets.select(col("bucket"), col("id").as("a"))
       .join(buckets.select(col("bucket"), col("id").as("b")), Seq("bucket"))
       .filter(col("a") < col("b"))

@@ -74,15 +74,57 @@ object TextFns {
 
   private val RollMod = 1000000007L
 
-  /** Polynomial rolling hash over the character codes of the
-    * normalized text: h_1 = code(c_1); h_i = (31*h_{i-1} + code(c_i))
-    * mod 1e9+7. Seeded from the first element (not zero) so DuckDB's
+  /** Polynomial char fold (h_1 = code(c_1); h_i = 31*h_{i-1} + code(c_i)
+    * mod 1e9+7), seeded from the first element (not zero) so DuckDB's
     * `list_reduce` reproduces it exactly. */
-  def fingerprintRolling(text: Column): Column = {
-    val codes = transform(split(normalize(text), ""), c => ascii(c).cast("long"))
+  private def charFold(s: Column): Column = {
+    val codes = transform(split(s, ""), c => ascii(c).cast("long"))
     aggregate(
       slice(codes, lit(2), size(codes) - 1),
       element_at(codes, 1),
       (acc, x) => pmod(acc * lit(31L) + x, lit(RollMod)))
   }
+
+  /** Polynomial rolling hash over the character codes of the
+    * normalized text. */
+  def fingerprintRolling(text: Column): Column = charFold(normalize(text))
+
+  /** Deterministic train/validation assignment: fold the md5 hex of the
+    * id (md5 decorrelates sequential ids; the char fold maps the hex to
+    * an integer both engines reproduce) and take `% 100 < trainPct`.
+    * Stable across runs, partitioning and engines — the property a
+    * reproducible corpus split needs; no RNG state to ship. */
+  def splitAssign(id: Column, trainPct: Int = 80): Column =
+    when(pmod(charFold(md5(id.cast("string"))), lit(100L)) < trainPct,
+      lit("train")).otherwise(lit("val"))
+
+  /** PII patterns for corpus scrubbing: conservative regexes that favor
+    * precision (a false positive destroys training text; a rare miss is
+    * caught by downstream filters). */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val PhoneRe =
+    "(?:\\+?[0-9]{1,3}[- .])?\\(?[0-9]{3}\\)?[- .]?[0-9]{3}[- .]?[0-9]{4}"
+  val IpRe = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** Redact emails, phone numbers and IPs with typed placeholder tags.
+    * Pure codegen'd regexp_replace chain — map-side at scan speed; the
+    * standard pre-training scrub pass. Order matters: emails first
+    * (their local parts can contain digit runs a phone pattern would
+    * shred mid-address). */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        IpRe, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Count of PII matches per category, for scrub audits. */
+  def piiCounts(text: Column): Column =
+    struct(
+      size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast("long")
+        .as("emails"),
+      size(regexp_extract_all(text, lit(IpRe), lit(0))).cast("long")
+        .as("ips"),
+      size(regexp_extract_all(regexp_replace(text, EmailRe, " "),
+        lit(PhoneRe), lit(0))).cast("long").as("phones"))
 }

@@ -57,6 +57,27 @@ class AnnSpec extends SparkSpec {
     recall(probe2) should be > 0.2
   }
 
+  test("Lloyd-refined centroids improve probe recall over the first-16 seed") {
+    val qs = emb.filter($"vec_id" % 10 === 0)
+    val truth = Ann.bruteForceTopK(qs, emb, k = 1)
+      .select("q", "b").as[(Long, Long)].collect().toMap
+    def recallAt(iters: Int): Double = {
+      val m = Ann.ivfTopK(qs, emb, k = 1, nProbe = 2, iters = iters)
+        .select("q", "b").as[(Long, Long)].collect().toMap
+      truth.count { case (q, b) => m.get(q).contains(b) }.toDouble / truth.size
+    }
+    val seed = recallAt(0)    // iters=0 == the round-2 first-16 baseline
+    val refined = recallAt(Ann.IvfKmeansIters)
+    withClue(s"seed=$seed refined=$refined: ") {
+      refined should be >= seed
+    }
+    refined should be > 0.2
+    // refinement is deterministic: two builds agree exactly
+    val c1 = Ann.ivfCentroids(emb).as[(Long, Seq[Double])].collect().toSeq
+    val c2 = Ann.ivfCentroids(emb).as[(Long, Seq[Double])].collect().toSeq
+    c1 shouldBe c2
+  }
+
   test("multi-table LSH top-1 recalls most true nearest neighbors") {
     val qs = emb.filter($"vec_id" % 10 === 0)
     val truth = Ann.bruteForceTopK(qs, emb, k = 1)

@@ -116,6 +116,36 @@ class KeyedUpsertSpec extends SparkSpec {
     KeyedUpsert.history(spark, dir).map(_._1) shouldBe Seq(1L, 2L, 3L)
   }
 
+  test("upsert refuses to initialize over an unmanaged legacy layout") {
+    val dir = tmp()
+    // a pre-manifest table: data present, no _manifests/ chain
+    Seq(("a", 1)).toDF("k", "v").withColumn("__bucket", lit(0L))
+      .write.partitionBy("__bucket").parquet(dir)
+    val e = intercept[IllegalStateException] {
+      KeyedUpsert.upsert(spark, dir,
+        Seq(("b", 2)).toDF("k", "v"), Seq("k"), numBuckets = 4)
+    }
+    e.getMessage should include("unmanaged/legacy")
+    // and nothing was committed — the legacy data is untouched
+    KeyedUpsert.versions(spark, dir) shouldBe empty
+  }
+
+  test("reading a vacuumed version fails with a named earliest version") {
+    val dir = tmp()
+    for (i <- 1 to 5)
+      KeyedUpsert.upsert(spark, dir,
+        Seq((s"k$i", i)).toDF("k", "v"), Seq("k"), numBuckets = 4,
+        retainVersions = 2)
+    val e = intercept[IllegalArgumentException] {
+      KeyedUpsert.read(spark, dir, version = Some(1L))
+    }
+    e.getMessage should (include("vacuumed") and include("earliest available is 4"))
+    val e2 = intercept[IllegalArgumentException] {
+      KeyedUpsert.changesSince(spark, dir, 1L)
+    }
+    e2.getMessage should include("earliest available is 4")
+  }
+
   test("vacuum keeps the newest retainVersions and reclaims the rest") {
     val dir = tmp()
     for (i <- 1 to 5)

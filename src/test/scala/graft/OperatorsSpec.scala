@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.AsOfJoin
+import graft.text.{Repetition, TextFns}
+
+/** Specs for the round-3 operators: as-of join, session windows (incl.
+  * the gap-boundary semantics the st05 oracle encodes), repetition
+  * metrics and PII redaction.
+  */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- AsOfJoin ----------------------------------------------------
+
+  test("as-of join picks the latest right row at-or-before each left ts") {
+    val left = Seq((1L, "a", 100L), (2L, "a", 200L), (3L, "a", 50L),
+        (4L, "b", 100L))
+      .toDF("lid", "k", "ts")
+    val right = Seq(("a", 100L, 10L, 1.0), ("a", 150L, 11L, 2.0),
+        ("b", 300L, 12L, 3.0))
+      .toDF("k", "rts", "rid", "rv")
+    val out = AsOfJoin.joinAsOf(left, right, "k", "ts", "rts",
+        Seq("rid", "rv"), tieBreak = Seq("rid"))
+      .orderBy("lid")
+      .select("lid", "rid", "rv").as[(Long, Option[Long], Option[Double])]
+      .collect()
+    out shouldBe Seq(
+      (1L, Some(10L), Some(1.0)),  // right at exactly ts is visible
+      (2L, Some(11L), Some(2.0)),  // latest of the two
+      (3L, None, None),            // before any right row
+      (4L, None, None))            // right row is in the future
+  }
+
+  test("as-of join resolves equal-ts right rows by tieBreak") {
+    val left = Seq((1L, "a", 100L)).toDF("lid", "k", "ts")
+    val right = Seq(("a", 100L, 7L, 1.0), ("a", 100L, 9L, 2.0),
+        ("a", 100L, 8L, 3.0))
+      .toDF("k", "rts", "rid", "rv")
+    val out = AsOfJoin.joinAsOf(left, right, "k", "ts", "rts",
+        Seq("rid", "rv"), tieBreak = Seq("rid"))
+      .select("rid", "rv").as[(Long, Double)].collect()
+    out shouldBe Seq((9L, 2.0)) // highest tiebreak wins the carry
+  }
+
+  // ---- session_window boundary semantics ---------------------------
+
+  test("session_window merges at exactly-gap and splits one second past it") {
+    // gap = 30 min = 1800 s
+    val df = Seq((1L, 0L, 1.0), (1L, 1800L, 1.0), // exactly gap: merges
+        (2L, 0L, 1.0), (2L, 1801L, 1.0)) // one past gap: splits
+      .toDF("user_id", "ets", "value")
+    val sessions = df
+      .groupBy(col("user_id"),
+        session_window(timestamp_seconds(col("ets")), "30 minutes"))
+      .agg(count(lit(1)).as("n"), min("ets").as("start"))
+      .select("user_id", "start", "n").orderBy("user_id", "start")
+      .as[(Long, Long, Long)].collect()
+    // Spark merges a session whose window [ts, ts+gap] touches the next
+    // event's start INCLUSIVELY — an event exactly gap after the last
+    // still extends the session. st05's oracle mirrors this with
+    // `diff <= 1800 -> same session`.
+    sessions shouldBe Seq((1L, 0L, 2L), (2L, 0L, 1L), (2L, 1801L, 1L))
+  }
+
+  // ---- Repetition --------------------------------------------------
+
+  test("repetition metrics: top word/bigram shares and type-token ratio") {
+    val docs = Seq(
+      (1L, "spam spam spam ham"), // top word 3/4, top bigram 2/3, ttr 2/4
+      (2L, "all words differ here"), // 1/4, 1/3, 4/4
+      (3L, "one")) // single word: no bigrams
+      .toDF("doc_id", "text")
+    val m = Repetition.metrics(docs).orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect()
+    m shouldBe Seq(
+      (1L, 750000L, 666666L, 500000L),
+      (2L, 250000L, 333333L, 1000000L),
+      (3L, 1000000L, 0L, 1000000L))
+  }
+
+  // ---- PII redaction -----------------------------------------------
+
+  test("redactPii masks emails, phones and IPs with typed tags") {
+    val redacted = Seq(
+      "mail bob.smith+x@example.co.uk or call 555-867-5309 now",
+      "server at 192.168.0.1 port open",
+      "clean text stays clean")
+      .toDF("text").select(TextFns.redactPii($"text"))
+      .as[String].collect()
+    redacted(0) shouldBe "mail <EMAIL> or call <PHONE> now"
+    redacted(1) shouldBe "server at <IP> port open"
+    redacted(2) shouldBe "clean text stays clean"
+  }
+
+  test("piiCounts tallies each category without double-counting emails") {
+    val row = Seq("a@b.io c@d.net 10.0.0.1 and 555-123-4567")
+      .toDF("text")
+      .select(TextFns.piiCounts($"text").as("p"))
+      .select("p.emails", "p.ips", "p.phones")
+      .as[(Long, Long, Long)].collect()(0)
+    row shouldBe ((2L, 1L, 1L))
+  }
+}

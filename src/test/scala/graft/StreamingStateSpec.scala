@@ -91,11 +91,24 @@ class StreamingStateSpec extends SparkSpec {
       .option("maxFilesPerTrigger", 1)
       .json(src.toString)
       .as[StatefulOps.KeyedReading]
+    // NOTE: no Trigger.AvailableNow / awaitTermination here — with
+    // ProcessingTimeTimeout, FlatMapGroupsWithStateExec
+    // .shouldRunAnotherBatch is always true (wall-clock can always fire
+    // new timeouts), so the engine keeps scheduling batches forever and
+    // a termination wait never returns. Poll the sink for the expected
+    // emissions (bounded by a deadline), then stop the query.
     val q = StatefulOps.track(spark, readings, idleTimeout = Some("1 millisecond"))
       .writeStream.format("memory").queryName("fmgs_timeout")
       .option("checkpointLocation", s"$dir/ckpt")
-      .outputMode("update").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+      .outputMode("update").start()
+    try {
+      // 4 emissions: A(n=2) from file 1, B(n=1) from file 2, A(n=1
+      // restarted) from file 3
+      val deadline = System.currentTimeMillis() + 120000
+      while (spark.table("fmgs_timeout").count() < 4 &&
+          System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+    } finally q.stop()
     val rows = spark.table("fmgs_timeout").as[StatefulOps.TrackOutput].collect()
     // A's state was evicted while B's batch ran (idle > 1 ms), so its
     // reappearance restarts the count at 1 instead of continuing to 3

@@ -81,6 +81,37 @@ class TableSinksSpec extends SparkSpec {
       lit(-1.0)) shouldBe empty
   }
 
+  test("backfill over many legacy partitions runs as one batched rewrite") {
+    val dir = tmp() + "/t"
+    // 30 legacy partitions without `q`, 5 modern ones with it
+    val legacy = spark.range(0, 30).select(
+      concat(lit("2024-01-"), format_string("%02d", $"id" + 1))
+        .as("datestamp"),
+      $"id".as("v"))
+    TableSinks.writePartitioned(legacy, dir, "datestamp")
+    val modern = spark.range(0, 5).select(
+      concat(lit("2024-02-"), format_string("%02d", $"id" + 1))
+        .as("datestamp"),
+      $"id".as("v"), ($"id" * 1.0).as("q"))
+    TableSinks.writePartitioned(modern, dir, "datestamp")
+    val backfilled = TableSinks.addColumnBackfill(spark, dir, "datestamp",
+      "q", lit(-1.0))
+    backfilled.size shouldBe 30
+    backfilled.head shouldBe "2024-01-01"
+    val after = TableSinks.readMerged(spark, dir)
+    after.count() shouldBe 35
+    after.filter($"q" === -1.0).count() shouldBe 30
+    after.filter($"q".isNull).count() shouldBe 0
+    // idempotent; the staging dir is gone
+    TableSinks.addColumnBackfill(spark, dir, "datestamp", "q",
+      lit(-1.0)) shouldBe empty
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName)
+      .count(n => n.startsWith(".evolve-") || n.startsWith(".bak-")) shouldBe 0
+  }
+
   test("partition pruning reaches the scan on datestamp filters") {
     val dir = tmp() + "/t"
     val df = Seq(("2024-01-01", 1), ("2024-01-02", 2)).toDF("datestamp", "v")
