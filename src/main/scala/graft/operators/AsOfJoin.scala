@@ -46,10 +46,12 @@ object AsOfJoin {
     val order = (Seq("__ts", "__tag") ++ tieBreak).map(col)
     val w = Window.partitionBy(key).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(l.unionByName(r)) { (df, p) =>
-      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__tag") === 1)
+    // all carries in ONE projection -> one Window operator over one
+    // sorted pass (a per-column fold plans a Window chain instead)
+    l.unionByName(r)
+      .select(col("__tag") +: (leftCols.map(col) ++
+        payload.map(p => last(col(p), ignoreNulls = true).over(w).as(p))): _*)
+      .filter(col("__tag") === 1)
       .select((leftCols ++ payload).map(col): _*)
   }
 }

@@ -38,6 +38,36 @@ class PlanSpec extends SparkSpec {
     plan should include("[codegen id :") // whole-stage codegen spans present
   }
 
+  test("q32 as-of join runs on a single key shuffle with no join operator") {
+    val plan = formattedPlan("q32_asof_join")
+    // union-tag + carry-forward: the as-of core must not plan a join
+    // (the final presentation orderBy is the only other exchange)
+    plan should not include "SortMergeJoin"
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should include("Window")
+    // exactly one hash-partitioning exchange (user_id) + the
+    // rangepartitioning for the output sort; formatted explain under
+    // AQE renders the plan twice (final + initial), hence / 2
+    ("hashpartitioning".r.findAllIn(plan).size / 2) shouldBe 1
+    // and all carried payloads ride ONE Window operator (one sorted pass)
+    ("\\(\\d+\\) Window".r.findAllIn(plan).size / 2) shouldBe 1
+  }
+
+  test("st05 session windows aggregate without a global window operator") {
+    val plan = formattedPlan("st05_session_window")
+    // session merge happens inside the sort-based session aggregate,
+    // partitioned by user — not a single-partition global window
+    plan should not include "SinglePartition"
+    plan should include("HashAggregate")
+  }
+
+  test("t07 repetition metrics stay as explode + hash aggregation") {
+    val plan = formattedPlan("t07_repetition")
+    plan should include("Generate") // the explodes
+    plan should include("HashAggregate")
+    plan should not include "CartesianProduct"
+  }
+
   test("every registered query has a non-empty schema and distinct columns") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, SfDir)

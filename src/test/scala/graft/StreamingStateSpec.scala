@@ -141,4 +141,33 @@ class StreamingStateSpec extends SparkSpec {
     streamed.join(batch, Seq("bucket_ts", "event_type"))
       .filter(streamed("n") =!= batch("n")).count() shouldBe 0
   }
+
+  test("watermarked session-window agg (append mode) matches batch sessions") {
+    val dir = tmp("sess")
+    val events = Tables.events(spark, SfDir)
+    Topic.publishEvents(events, s"$dir/topic", nFiles = 1)
+    val stream = Topic.decodeEvents(Topic.readStream(spark, s"$dir/topic", 10))
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n"))
+      .select($"user_id", unix_timestamp($"session_window.start").as("start"),
+        $"n")
+    val q = stream.writeStream.format("memory").queryName("sess_out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table("sess_out")
+    val batch = events
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n"))
+      .select($"user_id", unix_timestamp($"session_window.start").as("start"),
+        $"n")
+    // append emits only sessions closed by the watermark; each emitted
+    // session must agree exactly with its batch counterpart
+    streamed.count() should be > 0L
+    streamed.alias("s")
+      .join(batch.alias("b"), Seq("user_id", "start"), "left")
+      .filter(col("s.n") =!= col("b.n") || col("b.n").isNull)
+      .count() shouldBe 0
+  }
 }
