@@ -169,6 +169,61 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // deterministic corpus shuffle: global order by md5(doc_id) —
+    // reproducible across runs/engines/partitionings, which a training
+    // data-loader needs for resumable epochs. Spark executes the rank
+    // as a range-partitioned global sort (sampled bounds, no single
+    // reducer), so the shuffle order scales horizontally.
+    "t08_corpus_shuffle" -> Q(
+      """SELECT doc_id,
+        |       row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)),
+        |                          doc_id) AS shuffle_pos
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
+        .withColumn("shuffle_pos",
+          row_number().over(Window.orderBy(col("h"), col("doc_id"))))
+        .select("doc_id", "shuffle_pos")
+        .orderBy("doc_id")
+    },
+
+    // salient-term extraction: top-3 terms per doc ranked by term
+    // frequency, rarity (document frequency asc) breaking ties, then
+    // the term itself — an integer-only TF-IDF surrogate that is exact
+    // across engines (float idf products rank differently per libm).
+    // Shape: explode -> (doc, term) counts; df as a second hash-agg
+    // over distinct (doc, term); broadcast-join df back; window top-3.
+    "t09_salient_terms" -> Q(
+      s"""WITH w AS (
+         |  SELECT doc_id, unnest(string_split($norm, ' ')) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |r AS (
+         |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         |         row_number() OVER (PARTITION BY tf.doc_id
+         |           ORDER BY tf.tf DESC, df.df, tf.term) AS rank
+         |  FROM tf JOIN df ON tf.term = df.term)
+         |SELECT doc_id, rank, term, tf, df
+         |FROM r WHERE rank <= 3
+         |ORDER BY doc_id, rank""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val terms = Tables.documents(s, d).select(col("doc_id"),
+        explode(TextFns.words(col("text"))).as("term"))
+      val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tf").desc, col("df"), col("term"))
+      // no broadcast hint: a 100 TB corpus vocabulary outgrows a
+      // broadcast; AQE picks broadcast itself while df stays small
+      tf.join(df, Seq("term"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("doc_id", "rank", "term", "tf", "df")
+        .orderBy("doc_id", "rank")
+    },
+
     // content fingerprints: md5 of normalized text + polynomial rolling
     // hash (engine-neutral: seeded from the first char code).
     "t04_fingerprint" -> Q(

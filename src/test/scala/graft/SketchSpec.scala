@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Sketch-layer checks: HyperLogLog++ cardinality and quantile
+  * summaries. These are the approximate aggregates a 100 TB profile
+  * pass leans on (exact distinct/percentile would shuffle every value);
+  * correctness here means bounded error vs the exact answer, not
+  * equality, so they are spec-tested rather than oracle-hashed.
+  */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = graft.sources.Tables.documents(spark, SfDir)
+  private lazy val events = graft.sources.Tables.events(spark, SfDir)
+
+  test("approx_count_distinct tracks exact distinct within rsd bounds") {
+    val terms = docs.select(explode(graft.text.TextFns.words($"text"))
+      .as("term"))
+    val exact = terms.distinct().count().toDouble
+    // rsd 2%: HLL++ error is probabilistic; 5x rsd is a safe test bound
+    val approx = terms.agg(approx_count_distinct($"term", 0.02))
+      .as[Long].collect()(0).toDouble
+    math.abs(approx - exact) / exact should be < 0.10
+  }
+
+  test("grouped approx_count_distinct is map-side partial (one shuffle)") {
+    val df = events.groupBy($"event_type")
+      .agg(approx_count_distinct($"user_id").as("users"))
+    df.collect()
+    // final AQE plan only (toString appends the initial plan too)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    // partial + final HashAggregate around a single exchange: the
+    // sketch merges associatively, so no second shuffle is needed
+    "Exchange hashpartitioning".r.findAllIn(plan).size shouldBe 1
+    plan should include("partial_approx_count_distinct")
+    val exact = events.select($"event_type", $"user_id").distinct()
+      .groupBy($"event_type").agg(count(lit(1)).as("exact"))
+    df.join(exact, "event_type")
+      .filter(abs($"users" - $"exact") / $"exact" > 0.15)
+      .count() shouldBe 0
+  }
+
+  test("approxQuantile brackets the exact median within relativeError") {
+    val values = events.select($"value")
+    val Array(q50) = values.stat.approxQuantile("value", Array(0.5), 0.01)
+    val n = values.count()
+    val below = values.filter($"value" <= q50).count().toDouble / n
+    // a 1%-error median must split the data near 50/50
+    below should (be >= 0.47 and be <= 0.53)
+  }
+}
