@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graftshim.Shim
-import graft.functions.{DotProduct, RegexpExtractAllNegate}
+import graft.functions.{DotProduct, RegexpExtractAllNegate, TopKAgg}
 
 /** SparkSessionExtensions entry point: makes the engine's native
   * expressions SQL-callable. Activate at session build with
@@ -26,7 +26,9 @@ object GraftExtensions {
     "regexp_extract_all_negate" ->
       ((cs: Seq[Expression]) => RegexpExtractAllNegate(cs(0), cs(1), cs(2))),
     "vec_dot" ->
-      ((cs: Seq[Expression]) => DotProduct(cs(0), cs(1))))
+      ((cs: Seq[Expression]) => DotProduct(cs(0), cs(1))),
+    "topk" ->
+      ((cs: Seq[Expression]) => TopKAgg(cs(0), cs(1))))
 
   /** Register on an existing session (extensions only run at build). */
   def register(spark: SparkSession): Unit =

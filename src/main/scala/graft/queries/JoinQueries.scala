@@ -54,6 +54,34 @@ object JoinQueries {
         .select(col("event_id"), col("anchor_id").as("asof_purchase_id"),
           col("anchor_value").as("asof_purchase_value"))
         .orderBy("event_id")
+    },
+
+    // O3 at scale: top-3 orders per market segment via the bounded
+    // topk aggregate ([[graft.functions.TopKAgg]]) — map-side k-bounded
+    // heaps, at most k rows per key per task cross the shuffle, versus
+    // the row_number window (q09) that shuffles and sorts every row.
+    // Same oracle as q09: results must be identical.
+    "q33_topk_agg" -> Q(
+      """SELECT c_mktsegment, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT c_mktsegment, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY c_mktsegment
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders JOIN customer ON o_custkey = c_custkey) WHERE rk <= 3
+        |ORDER BY c_mktsegment, rk""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      // descending price, ascending orderkey tiebreak: negate the key
+      // so the struct's natural "largest" ordering encodes both
+      val packed = struct(col("o_totalprice").as("p"),
+        (-col("o_orderkey")).as("nk"))
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(graft.functions.TopKAgg.topK(packed, 3).as("top"))
+        .select(col("c_mktsegment"), posexplode(col("top")))
+        .select(col("c_mktsegment"), (col("pos") + 1).cast("int").as("rk"),
+          (-col("col.nk")).as("o_orderkey"), col("col.p").as("o_totalprice"))
+        .select("c_mktsegment", "o_orderkey", "o_totalprice", "rk")
+        .orderBy("c_mktsegment", "rk")
     }
   )
 }

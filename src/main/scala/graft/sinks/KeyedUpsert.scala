@@ -182,7 +182,12 @@ object KeyedUpsert {
           keep.select(b.columns.map(col): _*).union(b)
         }
       }
-      merged.write.partitionBy(BucketCol).parquet(commitDir.toString)
+      // rows sorted by key within each task (and so within each bucket
+      // file): parquet row-group min/max on the leading key column then
+      // lets a point lookup (read().filter(key === x)) skip row groups
+      // — the layout cost is a local sort, no extra shuffle
+      merged.sortWithinPartitions((BucketCol +: keyCols).map(col): _*)
+        .write.partitionBy(BucketCol).parquet(commitDir.toString)
       val written = fs.listStatus(commitDir).toSeq
         .map(_.getPath.getName).filter(_.startsWith(s"$BucketCol="))
         .map(_.stripPrefix(s"$BucketCol=").toLong)

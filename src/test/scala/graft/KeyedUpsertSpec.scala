@@ -116,6 +116,19 @@ class KeyedUpsertSpec extends SparkSpec {
     KeyedUpsert.history(spark, dir).map(_._1) shouldBe Seq(1L, 2L, 3L)
   }
 
+  test("bucket files are written sorted by key (row-group skip layout)") {
+    val dir = tmp()
+    val rows = (1 to 2000).map(i => (f"k$i%05d", i))
+    KeyedUpsert.upsert(spark, dir, rows.toDF("k", "v"), Seq("k"),
+      numBuckets = 4)
+    val files = KeyedUpsert.read(spark, dir).inputFiles
+    files should not be empty
+    files.foreach { f =>
+      val ks = spark.read.parquet(f).select("k").as[String].collect()
+      withClue(s"$f: ") { ks.toSeq shouldBe ks.toSeq.sorted }
+    }
+  }
+
   test("upsert refuses to initialize over an unmanaged legacy layout") {
     val dir = tmp()
     // a pre-manifest table: data present, no _manifests/ chain

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TopKAgg
+
+/** TopKAgg: the bounded top-k aggregate must agree exactly with the
+  * window row_number formulation, run its partial map-side, and be
+  * callable from SQL via the extension registry.
+  */
+class TopKAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val rows = {
+    // deterministic pseudo-random fixture: 5 keys x 200 rows
+    val rnd = new scala.util.Random(42)
+    (1 to 1000).map { i =>
+      (s"k${rnd.nextInt(5)}", rnd.nextInt(100).toDouble, i.toLong)
+    }.toDF("key", "v", "id")
+  }
+
+  private def windowTop3 = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("key").orderBy(col("v").desc, col("id"))
+    rows.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+      .select("key", "rk", "v", "id")
+  }
+
+  private def aggTop3 =
+    rows.groupBy("key")
+      .agg(TopKAgg.topK(struct(col("v"), (-col("id")).as("ni")), 3).as("top"))
+      .select(col("key"), posexplode(col("top")))
+      .select(col("key"), (col("pos") + 1).cast("int").as("rk"),
+        col("col.v").as("v"), (-col("col.ni")).as("id"))
+
+  test("topk agrees exactly with the window top-k, ties included") {
+    val expected = windowTop3.as[(String, Int, Double, Long)].collect().toSet
+    val got = aggTop3.as[(String, Int, Double, Long)].collect().toSet
+    got shouldBe expected
+  }
+
+  test("topk aggregation runs a map-side partial") {
+    val df = aggTop3
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    plan should include("ObjectHashAggregate")
+    plan should include("partial_topk")
+  }
+
+  test("k larger than the group returns the whole group, still sorted") {
+    val small = Seq(("a", 2.0, 1L), ("a", 5.0, 2L)).toDF("key", "v", "id")
+    val out = small.groupBy("key")
+      .agg(TopKAgg.topK(struct(col("v"), (-col("id")).as("ni")), 9).as("top"))
+      .select(explode(col("top")).as("e"))
+      .select(col("e.v")).as[Double].collect()
+    out.toSeq shouldBe Seq(5.0, 2.0)
+  }
+
+  test("topk is SQL-callable through the extension registry") {
+    GraftExtensions.register(spark)
+    rows.createOrReplaceTempView("topk_rows")
+    val out = spark.sql(
+      """SELECT key, topk(named_struct('v', v, 'ni', -id), 2) AS top
+        |FROM topk_rows GROUP BY key""".stripMargin)
+    out.count() shouldBe 5
+    out.select(org.apache.spark.sql.functions.size(col("top")))
+      .as[Int].collect().foreach(_ shouldBe 2)
+  }
+}
