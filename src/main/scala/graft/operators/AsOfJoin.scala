@@ -23,9 +23,16 @@ import org.apache.spark.sql.functions._
   *
   * Tie semantics: a right row AT the left row's timestamp is visible
   * (tag 0 sorts before tag 1); right rows sharing (key, ts) resolve by
-  * `tieBreak` ascending — the largest tiebreak value wins the carry.
-  * All ordering columns are non-null on the side where they decide
-  * order, so Spark/DuckDB null-ordering differences never bite.
+  * `tieBreak` (payload column names) ascending — the largest tiebreak
+  * value wins the carry. All ordering columns are non-null on the side
+  * where they decide order, so Spark/DuckDB null-ordering differences
+  * never bite.
+  *
+  * The payload travels as ONE nullable struct, carried atomically by a
+  * single `last(_, ignoreNulls)`: per-column carries would be wrong
+  * whenever a payload field is legitimately null (an open-ended
+  * `removed_on`, say) — ignoreNulls would reach past the matched row
+  * and stitch that field from an OLDER right row.
   */
 object AsOfJoin {
 
@@ -33,25 +40,28 @@ object AsOfJoin {
       leftTs: String, rightTs: String, payload: Seq[String],
       tieBreak: Seq[String] = Seq.empty): DataFrame = {
     require(payload.nonEmpty, "as-of join needs at least one payload column")
+    require(tieBreak.forall(payload.contains),
+      "tieBreak columns must be payload columns")
     val leftCols = left.columns.toSeq
-    val rightSchema = right.schema
-    val l = payload.foldLeft(
-      left.withColumn("__ts", col(leftTs)).withColumn("__tag", lit(1))) {
-      (df, p) => df.withColumn(p, lit(null).cast(rightSchema(p).dataType))
-    }
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payload.map(p => right.schema(p)))
+    val l = left.withColumn("__ts", col(leftTs))
+      .withColumn("__tag", lit(1))
+      .withColumn("__payload", lit(null).cast(payloadType))
     val r = leftCols.filterNot(_ == key).foldLeft(
-      right.withColumn("__ts", col(rightTs)).withColumn("__tag", lit(0))) {
+      right.withColumn("__ts", col(rightTs)).withColumn("__tag", lit(0))
+        .withColumn("__payload", struct(payload.map(col): _*))) {
       (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }.select(l.columns.map(col): _*)
-    val order = (Seq("__ts", "__tag") ++ tieBreak).map(col)
+    val order = (Seq("__ts", "__tag").map(col) ++
+      tieBreak.map(t => col("__payload").getField(t)))
     val w = Window.partitionBy(key).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // all carries in ONE projection -> one Window operator over one
-    // sorted pass (a per-column fold plans a Window chain instead)
     l.unionByName(r)
-      .select(col("__tag") +: (leftCols.map(col) ++
-        payload.map(p => last(col(p), ignoreNulls = true).over(w).as(p))): _*)
+      .select(col("__tag") +: leftCols.map(col) :+
+        last(col("__payload"), ignoreNulls = true).over(w).as("__payload"): _*)
       .filter(col("__tag") === 1)
-      .select((leftCols ++ payload).map(col): _*)
+      .select(leftCols.map(col) ++
+        payload.map(p => col("__payload").getField(p).as(p)): _*)
   }
 }

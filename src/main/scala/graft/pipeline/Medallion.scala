@@ -79,6 +79,49 @@ object Medallion {
         col("agg_type"))
   }
 
+  /** [[gold]] without the history broadcast: temporal remote resolution
+    * as an as-of join ([[graft.operators.AsOfJoin]]) — union-tag by
+    * serial, one shuffle of |silver|+|history|, carry the latest
+    * (added_on <= ts) interval forward, then apply the validity residual
+    * (`removed_on` open or ts inside) and drop uncovered rows.
+    *
+    * Identical output to [[gold]] whenever validity intervals per serial
+    * are non-overlapping (the SCD-2 invariant the reference's
+    * remotedevicehistory maintains). This is the 100 TB path for a
+    * device-history dim too large to broadcast: the interval join's
+    * broadcast becomes a shuffle that scales with the data, and no
+    * range-join blowup appears because the as-of core never builds
+    * pair candidates. */
+  def goldAsOf(silver: DataFrame, mappings: DataFrame,
+      history: DataFrame): DataFrame = {
+    val numeric = col("agg_type").isin("SUM", "AVG")
+    val left = silver
+      .join(broadcast(mappings), silver("metric") === mappings("raw_symbol"))
+      .withColumn("__uts", col("unix_ts").cast("long"))
+    val hist = history.select(col("serial").as("serialnumber"),
+      col("added_on"), col("remote_id"), col("removed_on"))
+    graft.operators.AsOfJoin.joinAsOf(left, hist,
+        key = "serialnumber", leftTs = "__uts", rightTs = "added_on",
+        payload = Seq("remote_id", "removed_on"),
+        tieBreak = Seq("remote_id"))
+      .filter(col("remote_id").isNotNull &&
+        (col("removed_on").isNull || col("__uts") < col("removed_on")))
+      .select(
+        col("element"),
+        col("__uts").as("unix_timestamp"),
+        col("datestamp"),
+        col("metric"),
+        when(numeric, col("value").cast(DecimalType(30, 15)))
+          .otherwise(lit(null).cast(DecimalType(30, 15))).as("value_double"),
+        when(!numeric, col("value"))
+          .otherwise(lit(null).cast("string")).as("value_string"),
+        col("metric_id"),
+        col("metric_provider_id").as("provider_id"),
+        col("category_id"),
+        col("remote_id"),
+        col("agg_type"))
+  }
+
   /** Orphaned silver rows: serial has no covering validity interval —
     * the reference's unmapped-remote report
     * (`Detection Data Lack/...Orphaned Usage...scala:22-84`), as a

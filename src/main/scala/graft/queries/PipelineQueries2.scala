@@ -130,6 +130,22 @@ object PipelineQueries2 {
         .orderBy("remote_id", "provider_id", "unix_timestamp")
     },
 
+    // Gold via as-of temporal resolution (no history broadcast): must
+    // reproduce p02's interval-join gold bit-for-bit — same oracle.
+    // The 100 TB path when the device-history dim outgrows a broadcast.
+    "p17_gold_asof" -> Q(
+      PipelineQueries.ctes +
+        """SELECT element, unix_timestamp, datestamp, metric,
+          |       CAST(value_double AS DOUBLE) AS value_double,
+          |       value_string, metric_id, provider_id, category_id,
+          |       remote_id, agg_type
+          |FROM gold ORDER BY element, metric""".stripMargin) { (s, d) =>
+      Medallion.goldAsOf(Medallion.silver(Tables.events(s, d)),
+          Dims.metricMappings(s), Dims.deviceHistory(s))
+        .withColumn("value_double", col("value_double").cast("double"))
+        .orderBy("element", "metric")
+    },
+
     // W2 max-over-window latest variant: window max + equality filter
     // instead of row_number (the reference's commented alternative).
     "q29_max_over_window" -> Q(

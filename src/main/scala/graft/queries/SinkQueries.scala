@@ -114,6 +114,26 @@ object SinkQueries {
         .orderBy("phase", "event_type")
     },
 
+    // MERGE DELETE + OPTIMIZE round-trip: seed per-user aggregates,
+    // delete a keyed subset (WHEN MATCHED THEN DELETE), compact the
+    // fragmented snapshot to one file per bucket, read back — must
+    // equal the oracle's direct aggregate over the surviving users.
+    "k06_delete_compact" -> Q(
+      """SELECT user_id, count(*) AS n, round(sum(value), 2) AS total
+        |FROM events WHERE user_id % 10 <> 3
+        |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val dir = freshDir(s"k06-${d.replaceAll("[^0-9a-zA-Z.]", "_")}")
+      val out = s"$dir/t"
+      val agg = Tables.events(s, d).groupBy("user_id")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      KeyedUpsert.upsert(s, out, agg, Seq("user_id"), 8)
+      KeyedUpsert.delete(s, out,
+        agg.filter(pmod(col("user_id"), lit(10L)) === 3).select("user_id"),
+        Seq("user_id"), 8)
+      KeyedUpsert.compact(s, out, sortCols = Seq("user_id"))
+      KeyedUpsert.read(s, out).orderBy("user_id")
+    },
+
     // Time travel over the KeyedUpsert snapshot manifest: two upsert
     // commits (events before/after the split, keyed by user+type,
     // argmax event_id), then read version 1 AND the latest snapshot —

@@ -197,6 +197,82 @@ object KeyedUpsert {
     } finally b.unpersist()
   }
 
+  /** MERGE WHEN MATCHED THEN DELETE: remove every row whose key appears
+    * in `keys`. Cost is O(|keys| + touched buckets) like [[upsert]]:
+    * only buckets the keys hash into are read and rewritten; a bucket
+    * left empty drops out of the manifest entirely. Deletes commit a
+    * new version, so time travel still reads the pre-delete snapshot
+    * until vacuum reclaims it. */
+  def delete(spark: SparkSession, targetDir: String, keys: DataFrame,
+      keyCols: Seq[String], numBuckets: Int = 64,
+      retainVersions: Int = 8): Unit = {
+    if (keys.isEmpty) return
+    val k = bucketed(keys.select(keyCols.map(col): _*)
+      .dropDuplicates(keyCols), keyCols, numBuckets).persist()
+    try {
+      val target = new Path(targetDir)
+      val fs = fsOf(spark, target)
+      val current = resolveVersion(spark, targetDir, None)
+      val mapping = loadManifest(fs, target, current)
+      val touched = k.select(BucketCol).distinct()
+        .collect().map(_.getLong(0)).sorted
+        .filter(mapping.contains) // bounded by numBuckets
+      if (touched.isEmpty) return // no key hashes into a live bucket
+      val newVersion = current + 1
+      val commitRel = f"$DataDir/c$newVersion%08d-${System.nanoTime()}"
+      val commitDir = new Path(target, commitRel)
+      val existing = bucketed(
+        spark.read.parquet(touched.toSeq.flatMap(mapping.get)
+          .map(rel => new Path(target, rel).toString): _*),
+        keyCols, numBuckets)
+      existing.join(k.select(keyCols.map(col): _*), keyCols, "left_anti")
+        .sortWithinPartitions((BucketCol +: keyCols).map(col): _*)
+        .write.partitionBy(BucketCol).parquet(commitDir.toString)
+      val written = fs.listStatus(commitDir).toSeq
+        .map(_.getPath.getName).filter(_.startsWith(s"$BucketCol="))
+        .map(_.stripPrefix(s"$BucketCol=").toLong)
+      // touched buckets with no surviving rows leave the manifest
+      commitManifest(fs, target, newVersion,
+        (mapping -- (touched.toSet -- written.toSet)) ++
+          written.map(bk => bk -> s"$commitRel/$BucketCol=$bk"))
+      vacuum(fs, target, newVersion, retainVersions)
+    } finally k.unpersist()
+  }
+
+  /** OPTIMIZE analog for the versioned table: rewrite the live snapshot
+    * into one fresh commit with one file per bucket (optionally sorted
+    * by `sortCols` inside each bucket for row-group skipping). Long
+    * upsert histories fragment a bucket across many commit dirs and
+    * files; compaction restores the one-dir-one-file layout without
+    * changing any row. Commits a new version — readers never see a
+    * partial rewrite, and pre-compaction versions stay pinnable. */
+  def compact(spark: SparkSession, targetDir: String,
+      sortCols: Seq[String] = Seq.empty, retainVersions: Int = 8): Unit = {
+    val target = new Path(targetDir)
+    val fs = fsOf(spark, target)
+    val current = resolveVersion(spark, targetDir, None)
+    val mapping = loadManifest(fs, target, current)
+    if (mapping.isEmpty) return
+    val newVersion = current + 1
+    val commitRel = f"$DataDir/c$newVersion%08d-${System.nanoTime()}"
+    val commitDir = new Path(target, commitRel)
+    // leaf dirs don't store the bucket value; tag each bucket's frame
+    val parts = mapping.toSeq.sortBy(_._1).map { case (bk, rel) =>
+      spark.read.parquet(new Path(target, rel).toString)
+        .withColumn(BucketCol, lit(bk))
+    }
+    parts.reduce(_.unionByName(_))
+      .repartition(col(BucketCol)) // whole buckets per task -> 1 file each
+      .sortWithinPartitions((BucketCol +: sortCols).map(col): _*)
+      .write.partitionBy(BucketCol).parquet(commitDir.toString)
+    val written = fs.listStatus(commitDir).toSeq
+      .map(_.getPath.getName).filter(_.startsWith(s"$BucketCol="))
+      .map(_.stripPrefix(s"$BucketCol=").toLong)
+    commitManifest(fs, target, newVersion,
+      written.map(bk => bk -> s"$commitRel/$BucketCol=$bk").toMap)
+    vacuum(fs, target, newVersion, retainVersions)
+  }
+
   /** Drop manifests older than the newest `retain` and any commit dir
     * no retained manifest references. Only dirs whose version is <= the
     * just-committed one are candidates, so an in-flight writer's
@@ -250,7 +326,9 @@ object KeyedUpsert {
     loadManifest(fsOf(spark, target), target, v)
   }
 
-  /** Read the table at `version` (default: latest committed snapshot). */
+  /** Read the table at `version` (default: latest committed snapshot).
+    * A fully-deleted snapshot (empty manifest) reads as zero rows with
+    * the schema of the most recent non-empty retained version. */
   def read(spark: SparkSession, targetDir: String,
       version: Option[Long] = None): DataFrame = {
     val target = new Path(targetDir)
@@ -258,7 +336,17 @@ object KeyedUpsert {
     val v = resolveVersion(spark, targetDir, version)
     val dirs = loadManifest(fs, target, v).values.toSeq.sorted
       .map(rel => new Path(target, rel).toString)
-    spark.read.parquet(dirs: _*)
+    if (dirs.nonEmpty) spark.read.parquet(dirs: _*)
+    else {
+      val withData = versions(spark, targetDir).filter(_ < v).reverse
+        .map(pv => loadManifest(fs, target, pv))
+        .find(_.nonEmpty)
+        .getOrElse(throw new IllegalStateException(
+          s"$targetDir at version $v is empty and no retained version " +
+          "carries a schema"))
+      spark.read.parquet(withData.values.toSeq.sorted
+        .map(rel => new Path(target, rel).toString): _*).limit(0)
+    }
   }
 
   /** startingVersion-style incremental replay: the current rows of

@@ -116,6 +116,53 @@ class KeyedUpsertSpec extends SparkSpec {
     KeyedUpsert.history(spark, dir).map(_._1) shouldBe Seq(1L, 2L, 3L)
   }
 
+  test("delete removes matched keys, drops emptied buckets, keeps history") {
+    val dir = tmp()
+    KeyedUpsert.upsert(spark, dir,
+      Seq(("a", 1), ("b", 2), ("c", 3), ("d", 4)).toDF("k", "v"),
+      Seq("k"), numBuckets = 4)
+    val before = KeyedUpsert.snapshot(spark, dir)
+    KeyedUpsert.delete(spark, dir,
+      Seq("b", "zz").toDF("k"), Seq("k"), numBuckets = 4)
+    // survivors only
+    KeyedUpsert.read(spark, dir).as[(String, Int)].collect().toMap shouldBe
+      Map("a" -> 1, "c" -> 3, "d" -> 4)
+    // untouched buckets keep their original directories (no rewrite)
+    val after = KeyedUpsert.snapshot(spark, dir)
+    val bTouched = before.keySet.filterNot(bk => after.get(bk) == before.get(bk))
+    bTouched.size should be <= 2 // only buckets b/zz hash into changed
+    // pre-delete snapshot still pinnable
+    KeyedUpsert.read(spark, dir, version = Some(1L)).count() shouldBe 4
+    KeyedUpsert.versions(spark, dir) shouldBe Seq(1L, 2L)
+  }
+
+  test("delete that empties a bucket removes it from the manifest") {
+    val dir = tmp()
+    KeyedUpsert.upsert(spark, dir, Seq(("solo", 1)).toDF("k", "v"),
+      Seq("k"), numBuckets = 4)
+    KeyedUpsert.snapshot(spark, dir).size shouldBe 1
+    KeyedUpsert.delete(spark, dir, Seq("solo").toDF("k"), Seq("k"),
+      numBuckets = 4)
+    KeyedUpsert.snapshot(spark, dir) shouldBe empty
+    KeyedUpsert.read(spark, dir).count() shouldBe 0
+  }
+
+  test("compact rewrites the snapshot to one file per bucket, data intact") {
+    val dir = tmp()
+    for (i <- 1 to 4)
+      KeyedUpsert.upsert(spark, dir,
+        (i * 100 until i * 100 + 50).map(j => (s"k$j", j)).toDF("k", "v"),
+        Seq("k"), numBuckets = 4)
+    val before = KeyedUpsert.read(spark, dir).as[(String, Int)].collect().toSet
+    KeyedUpsert.read(spark, dir).inputFiles.length should be > 4
+    KeyedUpsert.compact(spark, dir, sortCols = Seq("k"))
+    val after = KeyedUpsert.read(spark, dir)
+    after.as[(String, Int)].collect().toSet shouldBe before
+    after.inputFiles.length shouldBe KeyedUpsert.snapshot(spark, dir).size
+    // every live dir now points at the single compaction commit
+    KeyedUpsert.snapshot(spark, dir).values.map(_.split('/')(1)).toSet.size shouldBe 1
+  }
+
   test("bucket files are written sorted by key (row-group skip layout)") {
     val dir = tmp()
     val rows = (1 to 2000).map(i => (f"k$i%05d", i))

@@ -43,6 +43,19 @@ class OperatorsSpec extends SparkSpec {
     out shouldBe Seq((9L, 2.0)) // highest tiebreak wins the carry
   }
 
+  test("as-of join carries a null payload field atomically") {
+    // regression: the matched right row has a NULL field (open-ended
+    // validity); a per-column ignoreNulls carry would stitch that field
+    // from the OLDER right row instead of keeping the null
+    val left = Seq((1L, "a", 160L)).toDF("lid", "k", "ts")
+    val right = Seq(("a", 100L, "r1", Some(200L)), ("a", 150L, "r2", None))
+      .toDF("k", "rts", "rid", "removed")
+    val out = AsOfJoin.joinAsOf(left, right, "k", "ts", "rts",
+        Seq("rid", "removed"))
+      .select("rid", "removed").as[(String, Option[Long])].collect()
+    out shouldBe Seq(("r2", None))
+  }
+
   // ---- session_window boundary semantics ---------------------------
 
   test("session_window merges at exactly-gap and splits one second past it") {

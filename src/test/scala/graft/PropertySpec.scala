@@ -82,4 +82,30 @@ class PropertySpec extends SparkSpec {
     }
     check(prop, 10)
   }
+
+  test("as-of join equals the brute-force latest-at-or-before model") {
+    val leftGen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.choose(0, 3).map(k => s"k$k"), Gen.choose(0L, 50L)))
+    val rightGen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.choose(0, 3).map(k => s"k$k"), Gen.choose(0L, 50L),
+      Gen.choose(0L, 999L)))
+    val prop = Prop.forAll(leftGen, rightGen) { (ls, rs) =>
+      val left = ls.zipWithIndex
+        .map { case ((k, ts), i) => (i.toLong, k, ts) }
+        .toDF("lid", "k", "ts")
+      val right = rs.map { case (k, ts, pay) => (k, ts, pay) }
+        .toDF("k", "rts", "pay")
+      val got = graft.operators.AsOfJoin.joinAsOf(left, right,
+          "k", "ts", "rts", Seq("pay"), tieBreak = Seq("pay"))
+        .select("lid", "pay").as[(Long, Option[Long])].collect().toMap
+      // model: per left row, the max-(rts, pay) right row with rts <= ts
+      val model = ls.zipWithIndex.map { case ((k, ts), i) =>
+        val cands = rs.filter(r => r._1 == k && r._2 <= ts)
+        i.toLong -> (if (cands.isEmpty) None
+          else Some(cands.maxBy(r => (r._2, r._3))._3))
+      }.toMap
+      got == model
+    }
+    check(prop, 15)
+  }
 }
