@@ -176,6 +176,35 @@ class KeyedUpsertSpec extends SparkSpec {
     }
   }
 
+  test("concurrent writers never corrupt the chain; a loser fails loudly") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = tmp()
+    KeyedUpsert.upsert(spark, dir, Seq(("seed", 0)).toDF("k", "v"),
+      Seq("k"), numBuckets = 4)
+    // two writers race from the same observed version; the manifest
+    // rename is the commit point, so either they serialize (both land)
+    // or the loser's rename fails loudly — never a corrupt chain
+    val attempts = Seq("a", "b").map { key =>
+      Future(scala.util.Try(KeyedUpsert.upsert(spark, dir,
+        Seq((key, 1)).toDF("k", "v"), Seq("k"), numBuckets = 4)))
+    }
+    val results = Await.result(Future.sequence(attempts), 120.seconds)
+    val winners = results.count(_.isSuccess)
+    winners should be >= 1
+    results.filter(_.isFailure).foreach { f =>
+      f.failed.get.getMessage should include("concurrent commit")
+    }
+    // chain is consecutive and readable; every winner's key is present
+    val vs = KeyedUpsert.versions(spark, dir)
+    vs shouldBe (1L to (1 + winners)).toSeq
+    val keys = KeyedUpsert.read(spark, dir).select("k").as[String]
+      .collect().toSet
+    keys should contain("seed")
+    (keys - "seed").size shouldBe winners
+  }
+
   test("upsert refuses to initialize over an unmanaged legacy layout") {
     val dir = tmp()
     // a pre-manifest table: data present, no _manifests/ chain

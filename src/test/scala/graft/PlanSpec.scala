@@ -68,6 +68,18 @@ class PlanSpec extends SparkSpec {
     plan should not include "CartesianProduct"
   }
 
+  test("p17 as-of gold broadcasts only the metric mapping, never history") {
+    val plan = formattedPlan("p17_gold_asof")
+    // exactly one broadcast join (the small mapping dim); the history
+    // resolution is the shuffled as-of window — the plan that holds
+    // when the history dim outgrows a broadcast. Numbered-detail form
+    // appears once per render; AQE renders final + initial
+    ("\\(\\d+\\) BroadcastHashJoin".r.findAllIn(plan).size / 2) shouldBe 1
+    plan should not include "SortMergeJoin"
+    plan should include("Window")
+    plan should not include "BroadcastNestedLoopJoin"
+  }
+
   test("every registered query has a non-empty schema and distinct columns") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, SfDir)
