@@ -224,6 +224,60 @@ object TextQueries {
         .orderBy("doc_id", "rank")
     },
 
+    // heavy-hitters sketch in its EXACT regime: capacity exceeds the
+    // distinct-value count, so Misra-Gries never evicts and the sketch
+    // degenerates to exact per-value counts — deterministic, hence
+    // oracle-checkable here; the approximate regime is bound-checked in
+    // HeavyHittersSpec. Still one map-side-combined pass either way.
+    "t10_heavy_hitters" -> Q(
+      """SELECT event_type AS item, count(*) AS cnt
+        |FROM events GROUP BY 1
+        |ORDER BY cnt DESC, item""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .agg(graft.functions.HeavyHittersAgg
+          .heavyHitters(col("event_type"), 16).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.item").as("item"), col("e.count").as("cnt"))
+        .orderBy(col("cnt").desc, col("item"))
+    },
+
+    // corpus gate composition — the "training-ready subset" pass a real
+    // pipeline runs before packing: exact-dedup keeper (lowest doc_id
+    // per content fingerprint survives) AND quality threshold. One
+    // fingerprint hash-agg + a semi join + the map-side quality filter.
+    "t11_corpus_gate" -> Q(
+      s"""WITH fp AS (
+         |  SELECT doc_id, md5($norm) AS fp FROM documents),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp),
+         |q AS (
+         |  SELECT doc_id,
+         |         round(least(n::DOUBLE / 50.0, 1.0) * 0.5 +
+         |               (stop_n::DOUBLE / n::DOUBLE) * 0.3 +
+         |               (1.0 - punct_n::DOUBLE / chars::DOUBLE) * 0.2, 4)
+         |           AS quality
+         |  FROM (
+         |    SELECT doc_id,
+         |           len(string_split($norm, ' ')) AS n,
+         |           len(list_filter(string_split($norm, ' '),
+         |               w -> w IN $stopList)) AS stop_n,
+         |           len(regexp_extract_all($norm, '[^a-z0-9 ]', 0)) AS punct_n,
+         |           len($norm) AS chars
+         |    FROM documents))
+         |SELECT q.doc_id, q.quality
+         |FROM q JOIN keep ON q.doc_id = keep.doc_id
+         |WHERE q.quality >= 0.5
+         |ORDER BY q.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val keep = docs
+        .select(col("doc_id"), TextFns.fingerprintMd5(col("text")).as("fp"))
+        .groupBy("fp").agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      docs.join(keep, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), TextFns.qualityScore(col("text")).as("quality"))
+        .filter(col("quality") >= 0.5)
+        .orderBy("doc_id")
+    },
+
     // content fingerprints: md5 of normalized text + polynomial rolling
     // hash (engine-neutral: seeded from the first char code).
     "t04_fingerprint" -> Q(
