@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Ad-hoc OLAP surface beyond the reference's own queries: exact
+  * percentiles, ROLLUP grouping sets, and pivot — the analyst-facing
+  * SQL a serving datalake ends up answering. All deterministic and
+  * DuckDB-mirrored.
+  */
+object AnalyticsQueries {
+
+  val all: Map[String, Q] = Map(
+
+    // exact interpolated percentiles per group (both engines implement
+    // the same (N-1)*p linear interpolation); rounded on both sides.
+    "q34_percentile" -> Q(
+      """SELECT event_type,
+        |       round(quantile_cont(value, 0.5), 4) AS p50,
+        |       round(quantile_cont(value, 0.9), 4) AS p90,
+        |       round(quantile_cont(value, 0.99), 4) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, d) =>
+      Tables.events(s, d).groupBy("event_type")
+        .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.9)"), 4).as("p90"),
+          round(expr("percentile(value, 0.99)"), 4).as("p99"))
+        .orderBy("event_type")
+    },
+
+    // ROLLUP grouping sets: per (type, day), per type, and grand total
+    // in one pass — partial aggregation covers all three levels.
+    // grouping() flags disambiguate the null super-aggregate rows.
+    "q35_rollup_sets" -> Q(
+      """SELECT event_type, CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT)
+        |         AS day_ts,
+        |       grouping(event_type) AS g_type,
+        |       grouping(date_trunc('day', ts)) AS g_day,
+        |       count(*) AS n, round(sum(value), 2) AS total
+        |FROM events
+        |GROUP BY ROLLUP (event_type, date_trunc('day', ts))
+        |ORDER BY g_type, g_day, event_type, day_ts""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+          col("value"))
+      e.rollup("event_type", "day")
+        .agg(grouping("event_type").as("g_type"), grouping("day").as("g_day"),
+          count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .select(col("event_type"), unix_timestamp(col("day")).as("day_ts"),
+          col("g_type").cast("long"), col("g_day").cast("long"),
+          col("n"), col("total"))
+        .toDF("event_type", "day_ts", "g_type", "g_day", "n", "total")
+        .orderBy("g_type", "g_day", "event_type", "day_ts")
+    },
+
+    // pivot: one row per user bucket, one count column per event type.
+    // Spark's pivot plans a single partial-aggregated pass; the oracle
+    // mirrors it as conditional aggregation (what pivot desugars to).
+    "q36_pivot" -> Q(
+      """SELECT user_id % 10 AS cohort,
+        |       count(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+        |       count(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+        |       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+        |       count(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+        |       count(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
+        |FROM events GROUP BY 1 ORDER BY cohort""".stripMargin) { (s, d) =>
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      types.foldLeft(
+        Tables.events(s, d)
+          .select(pmod(col("user_id"), lit(10L)).as("cohort"),
+            col("event_type"))
+          .groupBy("cohort")
+          .pivot("event_type", types)
+          .count()
+          .na.fill(0L)) { (df, t) => df.withColumnRenamed(t, s"n_$t") }
+        .orderBy("cohort")
+    }
+  )
+}
