@@ -63,7 +63,6 @@ object Dedup {
     val sh = shingles(docs, idCol, textCol, n)
       .select(col("id"), graft.functions.PolyHash64(col("sh")).as("sh"))
       .persist()
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDF)
     val blocked = sh.join(rare.select("sh"), "sh")
@@ -71,16 +70,20 @@ object Dedup {
       .join(blocked.select(col("sh"), col("id").as("b")), Seq("sh"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
-    // exact intersection over ALL shingles, restricted to candidates
+    // exact intersection over ALL shingles, restricted to candidates:
+    // each doc's full shingle set travels ONCE as a packed array and
+    // the per-pair intersection is a single set operation — versus the
+    // explode form (pair x shingle rows through a join + count groupBy)
+    // whose shuffle grows with |cand| x |set|
+    val sets = sh.groupBy("id")
+      .agg(collect_list(col("sh")).as("set"), count(lit(1)).as("n_sh"))
     val inter = cand
-      .join(sh.toDF("a", "sh"), Seq("a"))
-      .join(sh.toDF("b", "sh"), Seq("b", "sh"))
-      .groupBy("a", "b").agg(count(lit(1)).as("i"))
+      .join(sets.toDF("a", "sa", "na"), Seq("a"))
+      .join(sets.toDF("b", "sb", "nb"), Seq("b"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("i"),
+        col("na"), col("nb"))
     inter
-      .join(sizes.withColumnRenamed("id", "a")
-        .withColumnRenamed("n_sh", "na"), "a")
-      .join(sizes.withColumnRenamed("id", "b")
-        .withColumnRenamed("n_sh", "nb"), "b")
       .select(col("a"), col("b"),
         round(col("i") / (col("na") + col("nb") - col("i")), 4).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
