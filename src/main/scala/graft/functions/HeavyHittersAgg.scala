@@ -6,12 +6,13 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftshim.Shim
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType,
-  StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType,
+  StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Misra–Gries heavy-hitters sketch over a string column: a bounded map
@@ -33,6 +34,21 @@ case class HeavyHittersAgg(child: Expression, capExpr: Expression,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[mutable.HashMap[String, Long]] {
+
+  // Reject misuse at analysis time (a non-string item column would
+  // otherwise ClassCastException deep inside execution).
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType =>
+      capExpr.dataType match {
+        case IntegerType | LongType if capExpr.foldable =>
+          TypeCheckResult.TypeCheckSuccess
+        case _ => TypeCheckResult.TypeCheckFailure(
+          "heavy_hitters capacity must be an integer literal, got " +
+            s"${capExpr.dataType.catalogString}")
+      }
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"heavy_hitters expects a string item column, got ${other.catalogString}")
+  }
 
   lazy val capacity: Int = {
     require(capExpr.foldable, "heavy_hitters capacity must be a literal")

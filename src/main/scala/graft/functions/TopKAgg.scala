@@ -6,12 +6,14 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Ascending, BoundReference,
   Expression, InterpretedOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftshim.Shim
-import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType,
+  StructType}
 
 /** Bounded top-k aggregate: keeps the k LARGEST input structs (by the
   * struct's natural field-by-field ascending ordering — encode a
@@ -35,6 +37,22 @@ case class TopKAgg(child: Expression, kExpr: Expression,
   extends TypedImperativeAggregate[mutable.PriorityQueue[UnsafeRow]] {
 
   private lazy val structType = child.dataType.asInstanceOf[StructType]
+
+  // Reject misuse at analysis time: a non-struct input (or non-literal
+  // k) would otherwise surface as a ClassCastException mid-execution.
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _: StructType =>
+      kExpr.dataType match {
+        case IntegerType | LongType if kExpr.foldable =>
+          TypeCheckResult.TypeCheckSuccess
+        case _ => TypeCheckResult.TypeCheckFailure(
+          "topk k must be an integer literal, got " +
+            s"${kExpr.dataType.catalogString}")
+      }
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"topk expects a struct input (pack sort fields with struct(...)), " +
+        s"got ${other.catalogString}")
+  }
 
   lazy val k: Int = {
     require(kExpr.foldable, "topk k must be a literal")

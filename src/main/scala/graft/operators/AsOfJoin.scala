@@ -36,12 +36,25 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  private val Reserved = Set("__ts", "__tag", "__payload")
+
   def joinAsOf(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String, payload: Seq[String],
       tieBreak: Seq[String] = Seq.empty): DataFrame = {
     require(payload.nonEmpty, "as-of join needs at least one payload column")
     require(tieBreak.forall(payload.contains),
       "tieBreak columns must be payload columns")
+    val clash = (left.columns ++ right.columns).filter(Reserved).distinct
+    require(clash.isEmpty,
+      s"as-of join reserves helper columns ${Reserved.mkString(", ")}; " +
+        s"rename input columns: ${clash.mkString(", ")}")
+    val dup = payload.intersect(left.columns.toSeq)
+    require(dup.isEmpty,
+      "payload columns must not collide with left columns (the output " +
+        s"carries both): ${dup.mkString(", ")}")
+    // NOTE: if right rows can share (key, rightTs), pass a tieBreak —
+    // with it empty, which of the tied rows is carried is partition-
+    // order-dependent and therefore nondeterministic.
     val leftCols = left.columns.toSeq
     val payloadType = org.apache.spark.sql.types.StructType(
       payload.map(p => right.schema(p)))

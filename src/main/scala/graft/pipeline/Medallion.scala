@@ -290,7 +290,9 @@ object Medallion {
         col("unix_timestamp"),
         col("datestamp"),
         lit(null).cast("string").as("metric"),
-        lit(null).cast("double").as("value_double"),
+        // DECIMAL(30,15) like every other gold producer, so a
+        // unionByName with gold never coerces gold's column to double
+        lit(null).cast(DecimalType(30, 15)).as("value_double"),
         concat(col("lat"), lit(","), col("lon")).as("value_string"),
         lit(outMetricId).as("metric_id"),
         col("provider_id"),

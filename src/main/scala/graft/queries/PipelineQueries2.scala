@@ -127,6 +127,7 @@ object PipelineQueries2 {
           |ORDER BY remote_id, provider_id, unix_timestamp""".stripMargin) {
         (s, d) =>
       Medallion.customJoinMetrics(sfGold(s, d))
+        .withColumn("value_double", col("value_double").cast("double"))
         .orderBy("remote_id", "provider_id", "unix_timestamp")
     },
 

@@ -119,6 +119,21 @@ object TableSinks {
       .withColumn(partitionCol, col(partitionCol).cast("string"))
       .withColumn(colName, value)
       .write.partitionBy(partitionCol).parquet(staging.toString)
+    // The rewrite round-trips partition values through partition
+    // inference + a string cast, which can re-render a value (0123 ->
+    // 123, null -> __HIVE_DEFAULT_PARTITION__) or collapse two legacy
+    // values into one staged dir. Verify every expected staged dir
+    // exists BEFORE any swap, so a mismatch aborts cleanly instead of
+    // leaving the backfill half-applied.
+    val missing = legacy.filterNot(p => fs.exists(new Path(staging, p.getName)))
+    if (missing.nonEmpty) {
+      fs.delete(staging, true)
+      throw new IllegalStateException(
+        "backfill aborted (no partition touched): staged dirs missing for " +
+          s"${missing.map(_.getName).mkString(", ")} - partition values " +
+          "that re-render differently under partition inference are not " +
+          "supported by the batched rewrite")
+    }
     legacy.foreach { p =>
       swapPartition(fs, p, new Path(staging, p.getName))
     }

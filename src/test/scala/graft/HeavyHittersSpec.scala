@@ -53,4 +53,10 @@ class HeavyHittersSpec extends SparkSpec {
     out.select(org.apache.spark.sql.functions.size($"hh")).as[Int]
       .collect().foreach(_ should be <= 8)
   }
+
+  test("non-string input is rejected at analysis time, not execution") {
+    val nums = Seq(1L, 2L, 2L).toDF("v")
+    an[org.apache.spark.sql.AnalysisException] should be thrownBy
+      nums.agg(heavyHitters($"v", 4)).collect()
+  }
 }

@@ -56,6 +56,23 @@ class OperatorsSpec extends SparkSpec {
     out shouldBe Seq(("r2", None))
   }
 
+  test("as-of join rejects reserved-name and payload-name collisions") {
+    val left = Seq((1L, "a", 100L)).toDF("lid", "k", "ts")
+    val right = Seq(("a", 100L, 1.0)).toDF("k", "rts", "rv")
+    // an input frame already using a helper name would be silently
+    // clobbered without the guard
+    an[IllegalArgumentException] should be thrownBy
+      AsOfJoin.joinAsOf(left.withColumn("__tag", lit(9)), right,
+        "k", "ts", "rts", Seq("rv"))
+    an[IllegalArgumentException] should be thrownBy
+      AsOfJoin.joinAsOf(left, right.withColumn("__payload", lit(0)),
+        "k", "ts", "rts", Seq("rv"))
+    // a payload column sharing a left column name would null it out
+    an[IllegalArgumentException] should be thrownBy
+      AsOfJoin.joinAsOf(left, right.withColumnRenamed("rv", "lid"),
+        "k", "ts", "rts", Seq("lid"))
+  }
+
   // ---- session_window boundary semantics ---------------------------
 
   test("session_window merges at exactly-gap and splits one second past it") {

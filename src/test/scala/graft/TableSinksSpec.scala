@@ -112,6 +112,28 @@ class TableSinksSpec extends SparkSpec {
       .count(n => n.startsWith(".evolve-") || n.startsWith(".bak-")) shouldBe 0
   }
 
+  test("backfill aborts before any swap when a partition value re-renders") {
+    val dir = tmp() + "/t"
+    // zero-padded partition value: partition inference reads part=0123
+    // as integer 123, so the staged dir name diverges from the live one
+    TableSinks.writePartitioned(
+      Seq(("0123", 1L)).toDF("part", "v"), dir, "part")
+    TableSinks.writePartitioned(
+      Seq(("0456", 2L, 9.0)).toDF("part", "v", "q"), dir, "part")
+    val ex = intercept[IllegalStateException] {
+      TableSinks.addColumnBackfill(spark, dir, "part", "q", lit(-1.0))
+    }
+    ex.getMessage should include("backfill aborted")
+    // live table untouched, staging cleaned up
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .map(_.getPath.getName).toSeq
+    names should contain("part=0123")
+    names.count(_.startsWith(".evolve-")) shouldBe 0
+    TableSinks.readMerged(spark, dir).count() shouldBe 2
+  }
+
   test("partition pruning reaches the scan on datestamp filters") {
     val dir = tmp() + "/t"
     val df = Seq(("2024-01-01", 1), ("2024-01-02", 2)).toDF("datestamp", "v")

@@ -66,4 +66,10 @@ class TopKAggSpec extends SparkSpec {
     out.select(org.apache.spark.sql.functions.size(col("top")))
       .as[Int].collect().foreach(_ shouldBe 2)
   }
+
+  test("non-struct input is rejected at analysis time, not execution") {
+    val flat = Seq(("a", 1.0)).toDF("key", "v")
+    an[org.apache.spark.sql.AnalysisException] should be thrownBy
+      flat.groupBy("key").agg(TopKAgg.topK(col("v"), 2)).collect()
+  }
 }
