@@ -19,7 +19,7 @@ object SparkEntry {
       PipelineQueries.all ++ PipelineQueries2.all ++ MonitoringQueries.all ++
       StreamingQueries.all ++ TextQueries.all ++ JoinQueries.all ++
       DedupQueries.all ++ AnnQueries.all ++ MultimodalQueries.all ++
-      SinkQueries.all ++ AnalyticsQueries.all
+      SinkQueries.all ++ AnalyticsQueries.all ++ WindowQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The full medallion chain — silver unpivot, temporal gold

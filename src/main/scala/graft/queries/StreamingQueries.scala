@@ -192,6 +192,37 @@ object StreamingQueries {
         .select("user_id", "session_start", "session_end", "n_events",
           "total_value")
         .orderBy("user_id", "session_start")
+    },
+
+    // ST1 variant, state-bounded: dropDuplicatesWithinWatermark holds
+    // each key only until the watermark passes it (vs dropDuplicates,
+    // whose streaming state grows forever). The topic carries every
+    // event TWICE across shuffled micro-batches; the streamed result
+    // must still be the batch-exact distinct set. Retention is wide so
+    // the bounded replay has no late drops — at cluster scale the same
+    // query runs with a real delay and bounded state.
+    "st06_dedup_watermark" -> Q(
+      """SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, user_id,
+        |       event_type, value
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      val root = freshDir(s"st06-${d.replaceAll("[^0-9a-zA-Z.]", "_")}")
+      val ev = Tables.events(s, d)
+      Topic.publishEvents(ev.unionAll(ev), s"$root/topic", nFiles = 4)
+      withShufflePartitions(s, 8) {
+        val deduped = Topic.decodeEvents(
+            Topic.readStream(s, s"$root/topic", maxFilesPerTrigger = 2))
+          .withWatermark("ts", "3650 days")
+          .dropDuplicatesWithinWatermark("event_id")
+          .select(col("event_id"), unix_timestamp(col("ts")).as("ts_s"),
+            col("user_id"), col("event_type"), col("value"))
+        val q = deduped.writeStream.format("parquet")
+          .option("path", s"$root/out")
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.read.parquet(s"$root/out").orderBy("event_id")
     }
   )
 }

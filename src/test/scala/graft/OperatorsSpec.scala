@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, GapFill}
 import graft.text.{Repetition, TextFns}
 
 /** Specs for the round-3 operators: as-of join, session windows (incl.
@@ -71,6 +71,34 @@ class OperatorsSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       AsOfJoin.joinAsOf(left, right.withColumnRenamed("rv", "lid"),
         "k", "ts", "rts", Seq("lid"))
+  }
+
+  // ---- GapFill -----------------------------------------------------
+
+  test("gap-fill resamples onto the grid and carries the last value") {
+    val obs = Seq(
+      ("a", 0L, 1.0, 1L), ("a", 30L, 2.0, 2L), // same bucket: latest wins
+      ("a", 130L, 3.0, 3L),                    // bucket 120; 60 is a hole
+      ("b", 60L, 9.0, 4L))
+      .toDF("k", "ts_s", "v", "id")
+    val out = GapFill.resample(obs, "k", "ts_s", "v", 60L,
+        tieBreak = Seq("id"))
+      .orderBy("k", "bucket_ts")
+      .as[(String, Long, Double, Long)].collect().toSeq
+    out shouldBe Seq(
+      ("a", 0L, 2.0, 1L),
+      ("a", 60L, 2.0, 0L), // carried across the silent bucket
+      ("a", 120L, 3.0, 1L),
+      ("b", 60L, 9.0, 1L))
+  }
+
+  test("gap-fill resolves identical timestamps by tieBreak") {
+    val obs = Seq(("a", 10L, 1.0, 2L), ("a", 10L, 5.0, 1L))
+      .toDF("k", "ts_s", "v", "id")
+    val out = GapFill.resample(obs, "k", "ts_s", "v", 60L,
+        tieBreak = Seq("id"))
+      .select("v").as[Double].collect().toSeq
+    out shouldBe Seq(1.0) // id=2 is the later observation
   }
 
   // ---- session_window boundary semantics ---------------------------
