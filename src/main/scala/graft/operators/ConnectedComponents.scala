@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected pair list by iterative
+  * min-label propagation — the step that turns near-duplicate PAIRS
+  * (graft.text.Dedup output) into duplicate CLUSTERS, so a corpus
+  * pipeline can keep one canonical document per cluster instead of
+  * dropping both ends of every pair.
+  *
+  * Algorithm: every node starts labeled with its own id; each round,
+  * every node takes the minimum label among itself and its neighbors;
+  * converged when no label changes. The final label of a node is the
+  * minimum node id of its component — a deterministic canonical
+  * representative.
+  *
+  * Scale shape: each round is one co-partitioned join (edges x labels,
+  * both hashed on node id) + one partial-aggregated min — no driver
+  * state, label frontier only. Rounds needed = the longest shortest
+  * path in any component; near-dup clusters are dense and shallow
+  * (diameter 2-4), so convergence is a handful of rounds. Lineage is
+  * truncated every round with an eager localCheckpoint so the plan
+  * doesn't grow with iterations (swap in `checkpoint()` with a reliable
+  * checkpoint dir when running on a real cluster where executor loss
+  * must be survivable mid-computation). For graphs with long chains
+  * (diameter >> log n) prefer a star-contraction variant; that is not
+  * the dedup-cluster regime this serves.
+  */
+object ConnectedComponents {
+
+  /** @param pairs undirected edges, one row per pair (self-loops and
+    *              duplicates are tolerated)
+    * @return (node, label) — every node appearing in `pairs`, labeled
+    *         with the min node id of its component. Isolated documents
+    *         (no pair) do not appear; union them back with label =
+    *         their own id if the caller needs full coverage.
+    */
+  def run(pairs: DataFrame, a: String = "a", b: String = "b",
+      maxIter: Int = 50): DataFrame = {
+    val e = pairs.select(col(a).cast("long").as("src"),
+      col(b).cast("long").as("dst"))
+    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct().persist()
+    var labels = und.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = und
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(min("label").as("nlabel"))
+      val next = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nlabel"), col("label")))
+            .as("label"))
+        .localCheckpoint(true)
+      val changed = next
+        .join(labels.withColumnRenamed("label", "prev"), "node")
+        .filter(col("label") =!= col("prev")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    und.unpersist()
+    require(converged,
+      s"connected components did not converge in $maxIter rounds - " +
+        "the graph has longer chains than min-label propagation should " +
+        "serve; raise maxIter or use a star-contraction variant")
+    labels
+  }
+}

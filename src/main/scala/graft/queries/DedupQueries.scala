@@ -210,6 +210,52 @@ object DedupQueries {
         |ORDER BY a, b""".stripMargin) { (s, d) =>
       Dedup.cosineNearDupPairsLsh(Tables.embeddings(s, d), minCos = 0.4)
         .orderBy("a", "b")
+    },
+
+    // near-dup pairs -> duplicate CLUSTERS via min-label connected
+    // components (graft.operators.ConnectedComponents): the step that
+    // lets a pipeline keep ONE canonical doc per cluster. Edges are the
+    // d02 Jaccard pairs; cluster_id = min doc_id of the component. The
+    // oracle replays the propagation as a recursive CTE.
+    "d07_dedup_clusters" -> Q(
+      hashedShingleCtes.replaceFirst("WITH w AS", "WITH RECURSIVE w AS") +
+        """sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+          |rare AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY 1)
+          |         WHERE df <= 50),
+          |blocked AS (SELECT doc_id, s.sh FROM sh s JOIN rare USING (sh)),
+          |cand AS (
+          |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+          |  FROM blocked a JOIN blocked b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+          |inter AS (
+          |  SELECT c.a, c.b, count(*) AS i
+          |  FROM cand c JOIN sh x ON x.doc_id = c.a
+          |  JOIN sh y ON y.doc_id = c.b AND y.sh = x.sh
+          |  GROUP BY 1, 2),
+          |pairs AS (
+          |  SELECT a, b
+          |  FROM inter JOIN sizes x ON a = x.doc_id JOIN sizes y ON b = y.doc_id
+          |  WHERE round(i * 1.0 / (x.n_sh + y.n_sh - i), 4) >= 0.8),
+          |und AS (SELECT a AS src, b AS dst FROM pairs
+          |        UNION SELECT b, a FROM pairs),
+          |cc AS (
+          |  SELECT src AS node, src AS label FROM und
+          |  UNION
+          |  SELECT u.dst, cc.label FROM cc JOIN und u ON cc.node = u.src),
+          |labels AS (SELECT node, min(label) AS cluster_id FROM cc GROUP BY 1),
+          |csize AS (SELECT cluster_id, count(*) AS cluster_size
+          |          FROM labels GROUP BY 1)
+          |SELECT node AS doc_id, cluster_id, cluster_size
+          |FROM labels JOIN csize USING (cluster_id)
+          |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val pairs = Dedup.ngramJaccardPairs(Tables.documents(s, d),
+        maxDF = 50, minJaccard = 0.8)
+      val labels = graft.operators.ConnectedComponents.run(pairs)
+      val csize = labels.groupBy("label")
+        .agg(count(lit(1)).as("cluster_size"))
+      labels.join(csize, "label")
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"),
+          col("cluster_size"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{AsOfJoin, GapFill}
+import graft.operators.{AsOfJoin, ConnectedComponents, GapFill}
 import graft.text.{Repetition, TextFns}
 
 /** Specs for the round-3 operators: as-of join, session windows (incl.
@@ -135,6 +135,28 @@ class OperatorsSpec extends SparkSpec {
       (1L, 750000L, 666666L, 500000L),
       (2L, 250000L, 333333L, 1000000L),
       (3L, 1000000L, 0L, 1000000L))
+  }
+
+  // ---- ConnectedComponents -----------------------------------------
+
+  test("connected components labels each node with its component min") {
+    // two components: a 4-chain {1-2-3-4} and a pair {10,11}; a dup
+    // edge and a self-loop must not perturb the labels
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L),
+      (2L, 3L), (7L, 7L)).toDF("a", "b")
+    val got = ConnectedComponents.run(pairs)
+      .as[(Long, Long)].collect().sorted
+    got shouldBe Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (10L, 10L), (11L, 10L))
+  }
+
+  test("connected components converges on a star and a long chain") {
+    val star = (2L to 20L).map(i => (1L, i)).toDF("a", "b")
+    ConnectedComponents.run(star).as[(Long, Long)].collect()
+      .foreach { case (_, label) => label shouldBe 1L }
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("a", "b")
+    ConnectedComponents.run(chain).as[(Long, Long)].collect()
+      .foreach { case (_, label) => label shouldBe 1L }
   }
 
   // ---- PII redaction -----------------------------------------------
