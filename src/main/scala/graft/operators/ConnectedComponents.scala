@@ -38,31 +38,51 @@ object ConnectedComponents {
     */
   def run(pairs: DataFrame, a: String = "a", b: String = "b",
       maxIter: Int = 50): DataFrame = {
+    // Materialize the pair list ONCE before fanning it out: sym + the
+    // self-loop branch reference it several times, and an unpersisted
+    // upstream (e.g. a near-dup candidate pipeline) would be recomputed
+    // per branch. Eager localCheckpoint also truncates the (possibly
+    // huge) upstream lineage before the iteration starts.
     val e = pairs.select(col(a).cast("long").as("src"),
       col(b).cast("long").as("dst"))
-    val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    // Symmetrized edges PLUS a self-loop per node, hashed on src once
+    // and cached post-shuffle: min-over-neighbors then includes the
+    // node's own label, so each round is exactly ONE join + ONE min
+    // aggregation — no second join to merge the previous labels back
+    // in. The per-round join reuses the cached edge partitioning and
+    // shuffles only the (smaller) label table.
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .filter(col("src") =!= col("dst"))
-      .distinct().persist()
+      .distinct()
+    val und = sym
+      .union(sym.select(col("src")).distinct()
+        .select(col("src"), col("src").as("dst")))
+      .repartition(col("src"))
+      .persist()
     var labels = und.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
+    // Labels are per-node monotone non-increasing (min always includes
+    // the node's own label via the self-loop), so the exact-decimal sum
+    // of labels is strictly decreasing until the fixpoint: an unchanged
+    // sum IS convergence, with no join against the previous round.
+    // decimal(38,0) keeps the check exact where sum(BIGINT) could wrap.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val nbrMin = und
+      val next = und
         .join(labels.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
-        .agg(min("label").as("nlabel"))
-      val next = labels.join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nlabel"), col("label")))
-            .as("label"))
+        .agg(min("label").as("label"))
         .localCheckpoint(true)
-      val changed = next
-        .join(labels.withColumnRenamed("label", "prev"), "node")
-        .filter(col("label") =!= col("prev")).count()
+      val s = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       iter += 1
     }
     und.unpersist()

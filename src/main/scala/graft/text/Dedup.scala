@@ -57,19 +57,37 @@ object Dedup {
       minJaccard: Double = 0.8): DataFrame = {
     // the shingle table feeds four consumers (sizes, df filter, pair
     // generation, intersection) — materialize it once. Shingles travel
-    // as 8-byte PolyHash64 keys, not multi-word strings: the same sets
-    // and counts (the oracle hashes identically, collisions included)
-    // through severalfold-narrower shuffles.
-    val sh = shingles(docs, idCol, textCol, n)
-      .select(col("id"), graft.functions.PolyHash64(col("sh")).as("sh"))
+    // as 8-byte hashes, not multi-word strings: the same sets and
+    // counts (the oracle hashes identically, collisions included)
+    // through severalfold-narrower shuffles. Shingling itself is the
+    // fused native [[graft.functions.ShingleHashes]] pass — n-gram
+    // build, string-level distinct, and PolyHash64 in one loop — not a
+    // tree of interpreted higher-order lambdas.
+    val sh = docs.select(col(idCol).as("id"),
+        explode(graft.functions.ShingleHashes(
+          TextFns.words(col(textCol)), n)).as("sh"))
       .persist()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDF)
     val blocked = sh.join(rare.select("sh"), "sh")
-    val cand = blocked.select(col("sh"), col("id").as("a"))
-      .join(blocked.select(col("sh"), col("id").as("b")), Seq("sh"))
+      .join(broadcast(sizes), "id")
+    val cand = blocked.select(col("sh"), col("id").as("a"), col("n_sh").as("na"))
+      .join(blocked.select(col("sh"), col("id").as("b"), col("n_sh").as("nb")),
+        Seq("sh"))
       .filter(col("a") < col("b"))
-      .select("a", "b").distinct()
+      .select("a", "b", "na", "nb").distinct()
+    // lossless size prune before any shingle ARRAY travels: the final
+    // filter keeps round(i/(na+nb-i), 4) >= t, which (since i <=
+    // min(na, nb)) is impossible unless min*(1+t') >= t'*(na+nb) with
+    // t' = t - 1e-4 (slack for the 4-digit rounding). Candidates whose
+    // sizes differ too much are dropped from integer metadata alone —
+    // the surviving-pair set, and so the output, is provably unchanged.
+    val tPrune = minJaccard - 1e-4
+    val candP = cand
+      .filter(least(col("na"), col("nb")) * (1.0 + tPrune) >=
+        (col("na") + col("nb")) * tPrune)
+      .select("a", "b")
     // exact intersection over ALL shingles, restricted to candidates:
     // each doc's full shingle set travels ONCE as a packed array and
     // the per-pair intersection is a single set operation — versus the
@@ -77,7 +95,7 @@ object Dedup {
     // whose shuffle grows with |cand| x |set|
     val sets = sh.groupBy("id")
       .agg(collect_list(col("sh")).as("set"), count(lit(1)).as("n_sh"))
-    val inter = cand
+    val inter = candP
       .join(sets.toDF("a", "sa", "na"), Seq("a"))
       .join(sets.toDF("b", "sb", "nb"), Seq("b"))
       .select(col("a"), col("b"),

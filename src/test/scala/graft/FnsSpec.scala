@@ -35,6 +35,26 @@ class FnsSpec extends SparkSpec {
     r shouldBe "R1|1704067200|9001|1|2"
   }
 
+  test("shingle_hashes fuses ngram+distinct+hash identically to the " +
+      "composable form") {
+    import graft.functions.{PolyHash64, ShingleHashes}
+    import graft.text.TextFns
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a b c a b c a b c", // repeated ngrams -> distinct matters
+      "one two", // fewer words than n -> empty
+      "x y z").toDF("text")
+    val ws = TextFns.words($"text")
+    val composable = docs.select(
+      transform(graft.text.Dedup.shingleArray($"text", 3),
+        (s: org.apache.spark.sql.Column) => PolyHash64(s)).as("h"))
+      .as[Seq[Long]].collect()
+    val native = docs.select(ShingleHashes(ws, 3).as("h"))
+      .as[Seq[Long]].collect()
+    native shouldBe composable
+    native(2) shouldBe Seq.empty
+  }
+
   test("nameValueExplode unpivots wide columns into (name, value) rows") {
     val df = Seq((1.5, 2L)).toDF("a", "b")
       .select(Fns.nameValueExplode("a" -> $"a", "b" -> $"b").as("nv"))
