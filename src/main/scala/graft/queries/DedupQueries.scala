@@ -256,6 +256,31 @@ object DedupQueries {
         .select(col("node").as("doc_id"), col("label").as("cluster_id"),
           col("cluster_size"))
         .orderBy("doc_id")
+    },
+
+    // benchmark decontamination: every training doc scored by how many
+    // of its distinct 3-gram shingles appear anywhere in the held-out
+    // eval subset (doc_id % 97 == 0 stands in for the benchmark set);
+    // contaminated = more than half its shingles are covered. One
+    // map-side shingle pass + one 8-byte-key join, no arrays travel.
+    "t12_decontaminate" -> Q(
+      hashedShingleCtes +
+        """ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+          |tr AS (SELECT doc_id, sh FROM sh WHERE doc_id % 97 <> 0),
+          |sizes AS (SELECT doc_id, count(*) AS n_sh FROM tr GROUP BY 1),
+          |shared AS (SELECT doc_id, count(*) AS n_shared
+          |           FROM tr JOIN ev USING (sh) GROUP BY 1)
+          |SELECT s.doc_id, s.n_sh, coalesce(h.n_shared, 0) AS n_shared,
+          |       CAST(coalesce(h.n_shared, 0) * 1.0 / s.n_sh >= 0.5 AS BIGINT)
+          |         AS contaminated
+          |FROM sizes s LEFT JOIN shared h USING (doc_id)
+          |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.text.Decontaminate.overlapStats(Tables.documents(s, d),
+          col("doc_id") % 97 === 0)
+        .select(col("id").as("doc_id"), col("n_sh"), col("n_shared"),
+          (col("n_shared") * 1.0 / col("n_sh") >= 0.5).cast("bigint")
+            .as("contaminated"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -1,0 +1,49 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination for training corpora: score every
+  * training document by how much of it appears verbatim (at word
+  * n-gram granularity) in a held-out eval/benchmark set, so
+  * contaminated documents can be dropped before training.
+  *
+  * Mechanism: one fused [[graft.functions.ShingleHashes]] pass shingles
+  * the whole corpus; the eval side collapses to a distinct shingle-hash
+  * set; a training-shingle ∩ eval-set join counts, per training doc,
+  * how many of its distinct shingles the eval set contains. Reported as
+  * (n_sh, n_shared) so callers pick their own ratio/absolute threshold.
+  *
+  * Scale shape: shingling is map-side; the overlap is one hash join on
+  * 8-byte keys (the eval side is usually orders of magnitude smaller —
+  * AQE broadcasts it when it fits) and one partial-aggregated count by
+  * doc. No shingle ARRAYS travel, only (id, hash) pairs. Documents with
+  * fewer than n words have no shingles and are absent from the output —
+  * they cannot be contaminated at this granularity.
+  */
+object Decontaminate {
+
+  /** Per-training-document overlap stats against the eval subset.
+    *
+    * @param isEval predicate Column over `docs` rows marking the
+    *               eval/benchmark side (those docs are excluded from
+    *               the output)
+    * @return (id, n_sh, n_shared): distinct-shingle count and how many
+    *         of them occur anywhere in the eval set
+    */
+  def overlapStats(docs: DataFrame, isEval: Column, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), isEval.as("is_eval"),
+        explode(graft.functions.ShingleHashes(
+          TextFns.words(col(textCol)), n)).as("sh"))
+      .persist()
+    val evalSh = sh.filter(col("is_eval")).select("sh").distinct()
+    val train = sh.filter(!col("is_eval"))
+    val shared = train.join(evalSh, "sh")
+      .groupBy("id").agg(count(lit(1)).as("n_shared"))
+    train.groupBy("id").agg(count(lit(1)).as("n_sh"))
+      .join(shared, Seq("id"), "left")
+      .select(col("id"), col("n_sh"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+  }
+}

@@ -25,6 +25,20 @@ class DedupSpec extends SparkSpec {
     groups(0).getAs[Long]("canonical_id") shouldBe 1L
   }
 
+  test("decontamination counts shingle overlap with the eval subset") {
+    // doc 100 is "eval"; doc 1 copies half of it, doc 2 is clean
+    val docs = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delta unrelated tail words here"),
+      (2L, "totally different training document content")
+    ).toDF("doc_id", "text")
+    val stats = graft.text.Decontaminate
+      .overlapStats(docs, col("doc_id") === 100L)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // doc 1: 6 shingles, shares "alpha beta gamma"/"beta gamma delta"
+    stats shouldBe Seq((1L, 6L, 2L), (2L, 3L, 0L))
+  }
+
   test("ngram jaccard finds the near-dup pair and not unrelated docs") {
     val pairs = Dedup.ngramJaccardPairs(corpus, minJaccard = 0.5)
       .select("a", "b").as[(Long, Long)].collect().toSet
