@@ -223,6 +223,56 @@ object StreamingQueries {
         q.awaitTermination()
       }
       s.read.parquet(s"$root/out").orderBy("event_id")
+    },
+
+    // stream-stream interval join (JN9 as a DRIVER-ORACLED query, not
+    // just a spec): view->purchase attribution per user within 12 h,
+    // both sides replayed from the topic across shuffled micro-batches.
+    // State is keyed by user and bounded by the watermark + range
+    // condition; the wide retention makes the bounded replay converge
+    // to the batch-exact join (at cluster scale the same query runs
+    // with a real delay and bounded state).
+    "st07_stream_stream_join" -> Q(
+      """SELECT a.user_id, a.event_id AS view_id, b.event_id AS purchase_id,
+        |       CAST(floor(epoch(a.ts)) AS BIGINT) AS view_ts_s,
+        |       CAST(floor(epoch(b.ts)) AS BIGINT) AS purchase_ts_s,
+        |       b.value AS purchase_value
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id
+        | AND a.event_type = 'view' AND b.event_type = 'purchase'
+        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 12 HOUR
+        |ORDER BY view_id, purchase_id""".stripMargin) { (s, d) =>
+      val root = freshDir(s"st07-${d.replaceAll("[^0-9a-zA-Z.]", "_")}")
+      Topic.publishEvents(Tables.events(s, d), s"$root/topic", nFiles = 4)
+      withShufflePartitions(s, 8) {
+        val src = Topic.decodeEvents(
+          Topic.readStream(s, s"$root/topic", maxFilesPerTrigger = 2))
+        val views = src.filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), col("user_id"),
+            col("ts").as("view_ts"))
+          .withWatermark("view_ts", "3650 days")
+        val purchases = src.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"),
+            col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+            col("value").as("purchase_value"))
+          .withWatermark("purchase_ts", "3650 days")
+        val joined = views.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("purchase_ts") >= col("view_ts") &&
+            col("purchase_ts") <= col("view_ts") + expr("INTERVAL 12 HOURS"))
+        val q = joined
+          .select(col("user_id"), col("view_id"), col("purchase_id"),
+            unix_timestamp(col("view_ts")).as("view_ts_s"),
+            unix_timestamp(col("purchase_ts")).as("purchase_ts_s"),
+            col("purchase_value"))
+          .writeStream.format("parquet")
+          .option("path", s"$root/out")
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.read.parquet(s"$root/out").orderBy("view_id", "purchase_id")
     }
   )
 }
