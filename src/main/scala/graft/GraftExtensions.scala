@@ -5,8 +5,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graftshim.Shim
-import graft.functions.{DotProduct, HeavyHittersAgg, RegexpExtractAllNegate,
-  TopKAgg}
+import graft.functions.{DotProduct, HeavyHittersAgg, NfcNormalize,
+  RegexpExtractAllNegate, TopKAgg}
 
 /** SparkSessionExtensions entry point: makes the engine's native
   * expressions SQL-callable. Activate at session build with
@@ -31,7 +31,9 @@ object GraftExtensions {
     "topk" ->
       ((cs: Seq[Expression]) => TopKAgg(cs(0), cs(1))),
     "heavy_hitters" ->
-      ((cs: Seq[Expression]) => HeavyHittersAgg(cs(0), cs(1))))
+      ((cs: Seq[Expression]) => HeavyHittersAgg(cs(0), cs(1))),
+    "nfc_normalize" ->
+      ((cs: Seq[Expression]) => NfcNormalize(cs(0))))
 
   /** Register on an existing session (extensions only run at build). */
   def register(spark: SparkSession): Unit =

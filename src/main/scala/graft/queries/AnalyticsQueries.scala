@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -74,6 +75,37 @@ object AnalyticsQueries {
           .count()
           .na.fill(0L)) { (df, t) => df.withColumnRenamed(t, s"n_$t") }
         .orderBy("cohort")
+    },
+
+    // cohort retention: customers grouped by first-order month, counted
+    // distinct in each subsequent activity month. The cohort comes from
+    // a whole-partition window min — one shuffle by customer, no
+    // self-join back onto orders.
+    "q43_cohort_retention" -> Q(
+      """WITH fo AS (
+        |  SELECT o_custkey, date_trunc('month', o_orderdate) AS m
+        |  FROM orders),
+        |w AS (
+        |  SELECT o_custkey, m,
+        |         min(m) OVER (PARTITION BY o_custkey) AS cohort
+        |  FROM fo)
+        |SELECT CAST(floor(epoch(cohort)) AS BIGINT) AS cohort_s,
+        |       CAST(datediff('month', cohort, m) AS BIGINT) AS months_since,
+        |       count(DISTINCT o_custkey) AS n_active
+        |FROM w GROUP BY 1, 2
+        |ORDER BY cohort_s, months_since""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_custkey")
+      Tables.orders(s, d)
+        .select(col("o_custkey"),
+          date_trunc("month", col("o_orderdate")).as("m"))
+        .withColumn("cohort", min("m").over(w))
+        .select(unix_timestamp(col("cohort")).as("cohort_s"),
+          months_between(col("m"), col("cohort")).cast("long")
+            .as("months_since"),
+          col("o_custkey"))
+        .groupBy("cohort_s", "months_since")
+        .agg(countDistinct("o_custkey").as("n_active"))
+        .orderBy("cohort_s", "months_since")
     }
   )
 }

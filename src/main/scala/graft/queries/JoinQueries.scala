@@ -1,7 +1,8 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
-import graft.operators.AsOfJoin
+import org.apache.spark.sql.types.DecimalType
+import graft.operators.{AsOfJoin, RangeJoin}
 import graft.sources.Tables
 
 /** Join-operator queries beyond the reference's own shapes: the as-of
@@ -82,6 +83,40 @@ object JoinQueries {
           (-col("col.nk")).as("o_orderkey"), col("col.p").as("o_totalprice"))
         .select("c_mktsegment", "o_orderkey", "o_totalprice", "rk")
         .orderBy("c_mktsegment", "rk")
+    },
+
+    // cross-key point-in-interval range join (graft.operators
+    // .RangeJoin): every 100th order opens a 7-day audit window; count
+    // the lineitems (of ANY order) shipped inside each window. No equi
+    // key exists, so the operator grids both sides onto week buckets
+    // and equi-joins on the bucket — a SortMergeJoin both sides of
+    // which shuffle once, instead of the O(|L|x|R|) nested loop the
+    // naive inequality join plans. The oracle IS that inequality join.
+    "q42_interval_overlap" -> Q(
+      """WITH iv AS (
+        |  SELECT o_orderkey, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS lo_s
+        |  FROM orders WHERE o_orderkey % 100 = 0),
+        |pt AS (
+        |  SELECT CAST(floor(epoch(l_shipdate)) AS BIGINT) AS pt_s,
+        |         CAST(l_quantity AS DECIMAL(18,2)) AS qty
+        |  FROM lineitem)
+        |SELECT o_orderkey, count(*) AS n_ship,
+        |       CAST(sum(qty) AS DOUBLE) AS sum_qty
+        |FROM iv JOIN pt ON pt_s >= lo_s AND pt_s < lo_s + 604800
+        |GROUP BY 1 ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val iv = Tables.orders(s, d)
+        .where(pmod(col("o_orderkey"), lit(100L)) === 0)
+        .select(col("o_orderkey"),
+          unix_timestamp(col("o_orderdate")).as("lo_s"))
+        .withColumn("hi_s", col("lo_s") + 604800L)
+      val pt = Tables.lineitem(s, d).select(
+        unix_timestamp(col("l_shipdate")).as("pt_s"),
+        col("l_quantity").cast(DecimalType(18, 2)).as("qty"))
+      RangeJoin.pointInInterval(pt, iv, "pt_s", "lo_s", "hi_s", 604800L)
+        .groupBy("o_orderkey")
+        .agg(count(lit(1)).as("n_ship"),
+          sum("qty").cast("double").as("sum_qty"))
+        .orderBy("o_orderkey")
     }
   )
 }

@@ -291,6 +291,46 @@ object TextQueries {
           TextFns.fingerprintMd5(col("text")).as("fp_md5"),
           TextFns.fingerprintRolling(col("text")).as("fp_roll"))
         .orderBy("doc_id")
+    },
+
+    // deterministic stratified corpus rebalance: downsample the head
+    // language to 40%, keep the tail languages at 90%
+    // (TextFns.stratifiedKeep — hash-gated, no RNG state, identical
+    // row set on both engines and at any partitioning).
+    "t13_stratified_sample" -> Q(
+      """SELECT doc_id, lang
+        |FROM documents
+        |WHERE list_reduce(list_transform(
+        |        string_split(md5(CAST(doc_id AS VARCHAR) || ':' || lang), ''),
+        |        c -> CAST(ascii(c) AS BIGINT)),
+        |        (acc, x) -> (acc * 31 + x) % 1000000007) % 100
+        |      < CASE lang WHEN 'en' THEN 40 ELSE 90 END
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val rate = when(col("lang") === "en", lit(40)).otherwise(lit(90))
+      Tables.documents(s, d)
+        .where(TextFns.stratifiedKeep(col("doc_id"), col("lang"), rate))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
+    // Unicode-canonical text normalization: NFC composition (native
+    // codegen expression graft.functions.NfcNormalize — Spark has no
+    // built-in) before the case/whitespace pass, so precomposed and
+    // decomposed spellings of the same text produce one canonical form
+    // (and therefore one dedup fingerprint). Pure map over the corpus.
+    "t14_normalize_nfc" -> Q(
+      """SELECT doc_id,
+        |       trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))
+        |         AS text_norm,
+        |       len(trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ',
+        |           'g'))) AS n_chars_norm
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val norm = trim(regexp_replace(
+        lower(graft.functions.NfcNormalize(col("text"))), "\\s+", " "))
+      Tables.documents(s, d).select(col("doc_id"),
+          norm.as("text_norm"),
+          length(norm).cast("long").as("n_chars_norm"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
-import graft.operators.GapFill
+import graft.operators.{GapFill, Sessionize}
 import graft.sources.Tables
 
 /** Ordered-window analytics over the event stream: reading-to-reading
@@ -128,5 +128,42 @@ object WindowQueries {
         .select(col("user_id"), col("bucket_ts"),
           col("value").as("value_filled"), col("observed"))
         .orderBy("user_id", "bucket_ts")
+    },
+
+    // gap-based batch sessionization (graft.operators.Sessionize): a
+    // silence > 30 min starts a new per-device session; sessions are
+    // then rolled up to (count, bounds, duration). One shuffle by key,
+    // per-key state = one previous timestamp.
+    "q41_sessionize" -> Q(
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, ts_s,
+        |         CASE WHEN lag(ts_s) OVER w IS NULL
+        |                OR ts_s - lag(ts_s) OVER w > 1800
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts_s,
+        |         CAST(sum(is_new) OVER (PARTITION BY user_id
+        |           ORDER BY ts_s, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS session_seq
+        |  FROM f)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        |       min(ts_s) AS start_s, max(ts_s) AS end_s,
+        |       max(ts_s) - min(ts_s) AS dur_s
+        |FROM sess GROUP BY 1, 2
+        |ORDER BY user_id, session_seq""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d).select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("ts_s"))
+      Sessionize.sessionize(e, Seq("user_id"), "ts_s", 1800L,
+          orderCols = Seq("event_id"))
+        .groupBy("user_id", "session_seq")
+        .agg(count(lit(1)).as("n_events"),
+          min("ts_s").as("start_s"), max("ts_s").as("end_s"),
+          (max("ts_s") - min("ts_s")).as("dur_s"))
+        .orderBy("user_id", "session_seq")
     })
 }

@@ -98,6 +98,19 @@ object TextFns {
     when(pmod(charFold(md5(id.cast("string"))), lit(100L)) < trainPct,
       lit("train")).otherwise(lit("val"))
 
+  /** Deterministic stratified-sampling predicate: keep a row when the
+    * folded md5 of `id:stratum` lands below `pct` (0–100, may be a per-
+    * row Column — typically a CASE over the stratum). The stratum salt
+    * decorrelates the keep decision from [[splitAssign]], so sampling
+    * composes with the train/val split instead of biasing it. Same
+    * engine-portability story as splitAssign: pure map-side, no RNG
+    * state, identical row set on every run, partitioning and engine —
+    * what corpus-mixture rebalancing (downsample the head language,
+    * keep the tail) needs to be reproducible. */
+  def stratifiedKeep(id: Column, stratum: Column, pct: Column): Column =
+    pmod(charFold(md5(concat(id.cast("string"), lit(":"), stratum))),
+      lit(100L)) < pct
+
   /** PII patterns for corpus scrubbing: conservative regexes that favor
     * precision (a false positive destroys training text; a rare miss is
     * caught by downstream filters). */

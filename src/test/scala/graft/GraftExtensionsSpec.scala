@@ -24,4 +24,26 @@ class GraftExtensionsSpec extends SparkSpec {
         .head.getDouble(0) shouldBe 2.0
     } finally ()
   }
+
+  test("nfc_normalize composes decomposed text and passes NFC through") {
+    // "é" decomposed (e + combining acute) must compose to U+00E9;
+    // already-composed and pure-ASCII inputs come back unchanged
+    val decomposed = "Cafe\u0301" // e + U+0301 combining acute
+    val composed = "Caf\u00e9"
+    val rows = spark.sql(
+      s"SELECT nfc_normalize('$decomposed') AS a, " +
+        s"nfc_normalize('$composed') AS b, " +
+        "nfc_normalize('plain ascii') AS c, " +
+        "nfc_normalize(CAST(NULL AS STRING)) AS d")
+      .head
+    rows.getString(0) shouldBe composed
+    rows.getString(1) shouldBe composed
+    rows.getString(2) shouldBe "plain ascii"
+    rows.isNullAt(3) shouldBe true
+  }
+
+  test("nfc_normalize rejects non-string input at analysis time") {
+    an[org.apache.spark.sql.AnalysisException] should be thrownBy
+      spark.sql("SELECT nfc_normalize(42)").collect()
+  }
 }

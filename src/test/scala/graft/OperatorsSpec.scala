@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{AsOfJoin, ConnectedComponents, GapFill}
+import graft.operators.{AsOfJoin, ConnectedComponents, GapFill, RangeJoin,
+  Sessionize}
 import graft.text.{Repetition, TextFns}
 
 /** Specs for the round-3 operators: as-of join, session windows (incl.
@@ -180,5 +181,72 @@ class OperatorsSpec extends SparkSpec {
       .select("p.emails", "p.ips", "p.phones")
       .as[(Long, Long, Long)].collect()(0)
     row shouldBe ((2L, 1L, 1L))
+  }
+
+  // ---- Sessionize --------------------------------------------------
+
+  test("sessionize keeps exactly-gap rows together and splits past it") {
+    // gaps: 300 (stay), 301 (split), new key restarts numbering
+    val df = Seq(("a", 1000L, 1L), ("a", 1300L, 2L), ("a", 1601L, 3L),
+        ("b", 50L, 4L))
+      .toDF("k", "ts", "id")
+    val out = Sessionize.sessionize(df, Seq("k"), "ts", 300L,
+        orderCols = Seq("id"))
+      .orderBy("id").select("id", "session_seq")
+      .as[(Long, Long)].collect()
+    out shouldBe Seq((1L, 1L), (2L, 1L), (3L, 2L), (4L, 1L))
+  }
+
+  test("sessionize breaks timestamp ties by orderCols deterministically") {
+    val df = Seq(("a", 100L, 2L), ("a", 100L, 1L), ("a", 500L, 3L))
+      .toDF("k", "ts", "id")
+    val out = Sessionize.sessionize(df, Seq("k"), "ts", 300L,
+        orderCols = Seq("id"))
+      .orderBy("id").select("id", "session_seq")
+      .as[(Long, Long)].collect()
+    // tied rows share session 1; the 400-gap row starts session 2
+    out shouldBe Seq((1L, 1L), (2L, 1L), (3L, 2L))
+  }
+
+  test("sessionize rejects a pre-existing session_seq column") {
+    val df = Seq(("a", 1L, 1L)).toDF("k", "ts", "session_seq")
+    an[IllegalArgumentException] should be thrownBy
+      Sessionize.sessionize(df, Seq("k"), "ts", 10L)
+  }
+
+  // ---- RangeJoin ---------------------------------------------------
+
+  test("range join matches half-open intervals across bin boundaries") {
+    // bin=10: interval [5,25) spans bins 0-2; points probe one bin each
+    val pts = Seq((1L, 4L), (2L, 5L), (3L, 15L), (4L, 24L), (5L, 25L))
+      .toDF("pid", "pt")
+    val iv = Seq((100L, 5L, 25L)).toDF("ivid", "lo", "hi")
+    val out = RangeJoin.pointInInterval(pts, iv, "pt", "lo", "hi", 10L)
+      .select("pid", "ivid").as[(Long, Long)].collect().sorted
+    // 4 is before lo, 25 is AT the exclusive hi: both out
+    out shouldBe Seq((2L, 100L), (3L, 100L), (4L, 100L))
+  }
+
+  test("range join emits each matching pair exactly once") {
+    // interval far wider than the bin: the pair must not duplicate per
+    // touched bin
+    val pts = Seq((1L, 50L)).toDF("pid", "pt")
+    val iv = Seq((9L, 0L, 1000L)).toDF("ivid", "lo", "hi")
+    val out = RangeJoin.pointInInterval(pts, iv, "pt", "lo", "hi", 10L)
+    out.count() shouldBe 1L
+  }
+
+  test("range join respects equi-keys and drops empty intervals") {
+    val pts = Seq((1L, "x", 10L), (2L, "y", 10L)).toDF("pid", "k", "pt")
+    val iv = Seq((100L, "x", 0L, 20L), (200L, "y", 30L, 30L))
+      .toDF("ivid", "k", "lo", "hi")
+    val out = RangeJoin.pointInInterval(pts, iv, "pt", "lo", "hi", 10L,
+        equiKeys = Seq("k"))
+      .select("pid", "ivid").as[(Long, Long)].collect()
+    // y's interval is empty (hi <= lo) and must not match — nor flood
+    // the join via a descending sequence()
+    out shouldBe Seq((1L, 100L))
+    an[IllegalArgumentException] should be thrownBy
+      RangeJoin.pointInInterval(pts, iv, "pt", "lo", "hi", 0L)
   }
 }
