@@ -130,6 +130,101 @@ object AnnQueries {
       Ann.ivfTopK(emb.filter(col("vec_id") % 25 === 0), emb, k = 3,
           nCentroids = 16, nProbe = 2)
         .orderBy("q", "rank")
+    },
+
+    // incremental IVF maintenance: centroids are built on the base
+    // corpus (90%), then a delta batch (every 10th vector) joins the
+    // index by ONE frozen-centroid assignment pass (Ann.ivfAssignTo) —
+    // no rebuild, the already-indexed base is not touched. Per-list
+    // occupancy proves the merged index equals a from-scratch
+    // re-assignment under the same centroids (assignment is per-vector
+    // independent).
+    "s04_ann_ivf_upsert" -> Q(
+      vCte +
+        s"""nb AS (SELECT * FROM n WHERE vec_id % 10 != 0),
+           |cent0 AS (SELECT vec_id AS cid, vn AS cv FROM nb WHERE vec_id < 16),
+           |a0 AS (
+           |  SELECT id, vn, cid FROM (
+           |    SELECT nb.vec_id AS id, nb.vn, c.cid,
+           |           row_number() OVER (PARTITION BY nb.vec_id
+           |             ORDER BY list_dot_product(nb.vn, c.cv) DESC, c.cid) AS rn
+           |    FROM nb CROSS JOIN cent0 c) WHERE rn = 1),
+           |s1 AS (
+           |  SELECT cid, i, SUM(CAST(vn[i] AS DECIMAL(30,15))) AS s
+           |  FROM a0, range(1, 65) t(i) GROUP BY cid, i),
+           |r1 AS (SELECT cid, list(CAST(s AS DOUBLE) ORDER BY i) AS cv
+           |       FROM s1 GROUP BY cid),
+           |cent1 AS (SELECT cid, list_transform(cv,
+           |            x -> x / sqrt(list_dot_product(cv, cv))) AS cv FROM r1),
+           |a1 AS (
+           |  SELECT id, vn, cid FROM (
+           |    SELECT nb.vec_id AS id, nb.vn, c.cid,
+           |           row_number() OVER (PARTITION BY nb.vec_id
+           |             ORDER BY list_dot_product(nb.vn, c.cv) DESC, c.cid) AS rn
+           |    FROM nb CROSS JOIN cent1 c) WHERE rn = 1),
+           |s2 AS (
+           |  SELECT cid, i, SUM(CAST(vn[i] AS DECIMAL(30,15))) AS s
+           |  FROM a1, range(1, 65) t(i) GROUP BY cid, i),
+           |r2 AS (SELECT cid, list(CAST(s AS DOUBLE) ORDER BY i) AS cv
+           |       FROM s2 GROUP BY cid),
+           |cent AS (SELECT cid, list_transform(cv,
+           |           x -> x / sqrt(list_dot_product(cv, cv))) AS cv FROM r2),
+           |merged AS (
+           |  SELECT id, cid FROM (
+           |    SELECT n.vec_id AS id, c.cid,
+           |           row_number() OVER (PARTITION BY n.vec_id
+           |             ORDER BY list_dot_product(n.vn, c.cv) DESC, c.cid) AS rn
+           |    FROM n CROSS JOIN cent c) WHERE rn = 1)
+           |SELECT cid, count(CASE WHEN id % 10 != 0 THEN 1 END) AS n_base,
+           |       count(CASE WHEN id % 10 = 0 THEN 1 END) AS n_delta,
+           |       count(*) AS n_total
+           |FROM merged GROUP BY cid ORDER BY cid""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val base = emb.filter(col("vec_id") % 10 =!= 0)
+      val delta = emb.filter(col("vec_id") % 10 === 0)
+      val cents = Ann.ivfCentroids(base, nCentroids = 16)
+      Ann.ivfAssignTo(base, cents).withColumn("is_delta", lit(false))
+        .unionByName(
+          Ann.ivfAssignTo(delta, cents).withColumn("is_delta", lit(true)))
+        .groupBy("cid")
+        .agg(count(when(!col("is_delta"), 1)).as("n_base"),
+          count(when(col("is_delta"), 1)).as("n_delta"),
+          count(lit(1)).as("n_total"))
+        .orderBy("cid")
+    },
+
+    // symmetric int8 quantization (scale = 127/max|x|, round-half-up):
+    // 4x smaller vectors for the memory-bound ANN scan path. Both
+    // engines run the identical IEEE double chain (float widening,
+    // division, mult, floor) so every cell — including the per-vector
+    // scale — is bit-exact; emitted unnested to check each element.
+    "s05_embed_quantize" -> Q(
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx
+        |  FROM e),
+        |s AS (
+        |  SELECT vec_id, v,
+        |         CASE WHEN mx = 0 THEN 0.0 ELSE 127.0 / mx END AS scale
+        |  FROM m)
+        |SELECT vec_id, CAST(i - 1 AS BIGINT) AS pos,
+        |       CAST(floor(v[i] * scale + 0.5) AS BIGINT) AS q, scale
+        |FROM s, range(1, 65) t(i)
+        |ORDER BY vec_id, pos""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("mx", array_max(transform(col("v"), x => abs(x))))
+        .withColumn("scale",
+          when(col("mx") === 0, lit(0.0)).otherwise(lit(127.0) / col("mx")))
+        .select(col("vec_id"), col("scale"),
+          posexplode(col("v")).as(Seq("pos", "x")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          floor(col("x") * col("scale") + 0.5).cast("long").as("q"),
+          col("scale"))
+        .orderBy("vec_id", "pos")
     }
   )
 }

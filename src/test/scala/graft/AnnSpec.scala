@@ -88,4 +88,17 @@ class AnnSpec extends SparkSpec {
     // 8 tables x 3 planes: P[candidate] = 1-(1-p^3)^8, ~0.9 at cos 0.4
     hits.toDouble / truth.size should be > 0.5
   }
+
+  test("incremental IVF upsert equals a from-scratch reassign") {
+    val base = emb.filter($"vec_id" % 10 =!= 0)
+    val delta = emb.filter($"vec_id" % 10 === 0)
+    val cents = Ann.ivfCentroids(base)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "cid").as[(Long, Long)].collect().toSet
+    val incremental =
+      pairs(Ann.ivfAssignTo(base, cents)) ++ pairs(Ann.ivfAssignTo(delta, cents))
+    val fromScratch = pairs(Ann.ivfAssignTo(emb, cents))
+    incremental shouldBe fromScratch
+    incremental.size shouldBe emb.count()
+  }
 }

@@ -53,6 +53,24 @@ class PlanSpec extends SparkSpec {
     ("\\(\\d+\\) Window".r.findAllIn(plan).size / 2) shouldBe 1
   }
 
+  test("q41 sessionize plans both window passes on one key shuffle") {
+    val plan = formattedPlan("q41_sessionize")
+    // lag + running sum share the (user_id | ts_s, event_id) sort, so
+    // Catalyst must fuse them into window passes over a single
+    // hashpartitioning exchange (plus the output sort's range exchange)
+    plan should not include "SortMergeJoin"
+    ("hashpartitioning\\(user_id".r.findAllIn(plan).size / 2) shouldBe 1
+  }
+
+  test("q42 range join plans an equi join on the bin, not a nested loop") {
+    val plan = formattedPlan("q42_interval_overlap")
+    // the grid bucketing turns the inequality-only join into an equi
+    // hash join keyed on __bin with the range predicate residual
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+    plan should include("Join")
+  }
+
   test("st05 session windows aggregate without a global window operator") {
     val plan = formattedPlan("st05_session_window")
     // session merge happens inside the sort-based session aggregate,
