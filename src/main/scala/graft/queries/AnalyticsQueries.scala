@@ -106,6 +106,63 @@ object AnalyticsQueries {
         .groupBy("cohort_s", "months_since")
         .agg(countDistinct("o_custkey").as("n_active"))
         .orderBy("cohort_s", "months_since")
+    },
+
+    // engine-portable HyperLogLog (graft.functions.Hll): approximate
+    // distinct devices per event type next to the exact count. The
+    // whole sketch — poly-fold hash, bin()-derived rank, per-bucket
+    // max, EXACT-integer denominator sum — replays bit-identically in
+    // SQL, so an approximate sketch still hash-matches its oracle.
+    // State per group is 256 bucket maxima, vs a full value shuffle
+    // for count(DISTINCT): the 100 TB distinct-count shape.
+    "q44_hll_distinct" -> Q(
+      """WITH h AS (
+        |  SELECT event_type, user_id,
+        |         list_reduce(list_transform(
+        |             string_split(md5(CAST(user_id AS VARCHAR)), ''),
+        |             c -> CAST(ascii(c) AS BIGINT)),
+        |           (acc, x) -> (acc * 31 + x) % 1073741789) * 1073741824 +
+        |         list_reduce(list_transform(
+        |             string_split(md5(CAST(user_id AS VARCHAR)), ''),
+        |             c -> CAST(ascii(c) AS BIGINT)),
+        |           (acc, x) -> (acc * 131 + x) % 1073741783) AS hh
+        |  FROM events),
+        |b AS (
+        |  SELECT event_type, hh % 256 AS bucket,
+        |         CASE WHEN hh // 256 = 0 THEN 53
+        |              ELSE 53 - length(bin(hh // 256)) END AS rank
+        |  FROM h),
+        |mx AS (SELECT event_type, bucket, max(rank) AS rank
+        |       FROM b GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT event_type,
+        |         CAST(sum(1::BIGINT << CAST(53 - rank AS INT)) AS BIGINT)
+        |           AS sp,
+        |         count(*) AS nb
+        |  FROM mx GROUP BY 1),
+        |ex AS (SELECT event_type, count(DISTINCT user_id) AS n_exact
+        |       FROM events GROUP BY 1),
+        |raw AS (
+        |  SELECT event_type, nb,
+        |         (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+        |           * 9007199254740992.0
+        |           / CAST(sp + (256 - nb) * 9007199254740992 AS DOUBLE) AS r
+        |  FROM agg)
+        |SELECT event_type, nb,
+        |       round(CASE WHEN r <= 640.0 AND nb < 256
+        |             THEN 256.0 * ln(256.0 / CAST(256 - nb AS DOUBLE))
+        |             ELSE r END, 4) AS hll_est,
+        |       n_exact
+        |FROM raw JOIN ex USING (event_type)
+        |ORDER BY event_type""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val est = graft.functions.Hll.distinctEstimate(
+        ev, Seq("event_type"), col("user_id"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct("user_id").as("n_exact"))
+      est.join(exact, "event_type")
+        .select("event_type", "nb", "hll_est", "n_exact")
+        .orderBy("event_type")
     }
   )
 }

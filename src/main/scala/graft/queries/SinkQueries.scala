@@ -199,6 +199,28 @@ object SinkQueries {
           .as("user_id"))
         .groupBy("user_id").agg(count(lit(1)).as("n"))
         .orderBy("user_id")
+    },
+
+    // key-clustered layout (TableSinks.writeClustered): events range-
+    // partitioned + sorted by user_id into 8 files with disjoint key
+    // ranges, then a key-range read-back over the clustered table. The
+    // parquet min/max stats the layout tightens are asserted file-by-
+    // file in TableSinksSpec; here the oracle proves the clustered
+    // roundtrip loses and reorders nothing.
+    "k07_clustered_layout" -> Q(
+      """SELECT user_id, count(*) AS n, round(sum(value), 2) AS total
+        |FROM events WHERE user_id BETWEEN 40 AND 59
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val dir = freshDir(s"k07-${d.replaceAll("[^0-9a-zA-Z.]", "_")}")
+      val table = s"$dir/events_clustered"
+      TableSinks.writeClustered(
+        Tables.events(s, d).select("user_id", "event_id", "value"),
+        table, "user_id", numFiles = 8)
+      s.read.parquet(table)
+        .filter(col("user_id").between(40, 59))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .orderBy("user_id")
     }
   )
 }

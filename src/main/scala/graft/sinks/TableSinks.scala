@@ -170,4 +170,51 @@ object TableSinks {
     }
     compacted.map(_.getPath.getName.stripPrefix(prefix)).sorted
   }
+
+  /** Key-clustered write: range-partition the rows by `sortCol` into
+    * `numFiles` files and sort inside each, so every output file owns a
+    * disjoint key range. Parquet then records tight min/max stats per
+    * file/row-group, and a point or range predicate on the key skips
+    * every other file at scan time — the OPTIMIZE-ZORDER-style data
+    * layout step, restricted to one clustering key, on plain Parquet.
+    * At 100 TB this is what turns a key lookup from a full-table scan
+    * into a handful of row groups; `sortWithinPartitions` keeps the
+    * sort local (no global sort, one range-exchange shuffle).
+    */
+  def writeClustered(df: DataFrame, dir: String, sortCol: String,
+      numFiles: Int, mode: String = "overwrite"): Unit = {
+    require(numFiles > 0, s"numFiles must be positive, got $numFiles")
+    df.repartitionByRange(numFiles, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode(mode).parquet(dir)
+  }
+
+  /** Per-file (min, max) of a long column read from the parquet
+    * footers — the stats a clustered layout exists to tighten; used by
+    * specs and layout audits, one footer read per file, no data scan. */
+  def fileRangesOf(spark: SparkSession, dir: String, colName: String)
+      : Seq[(String, Long, Long)] = {
+    val root = new Path(dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(conf)
+    fs.listStatus(root).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(f.getPath, conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try {
+          val ranges = reader.getFooter.getBlocks.asScala.flatMap { b =>
+            b.getColumns.asScala
+              .filter(_.getPath.toDotString == colName)
+              .map { c =>
+                val st = c.getStatistics
+                (st.genericGetMin.asInstanceOf[Number].longValue(),
+                  st.genericGetMax.asInstanceOf[Number].longValue())
+              }
+          }
+          (f.getPath.getName, ranges.map(_._1).min, ranges.map(_._2).max)
+        } finally reader.close()
+      }
+  }
 }

@@ -50,4 +50,30 @@ class SketchSpec extends SparkSpec {
     // a 1%-error median must split the data near 50/50
     below should (be >= 0.47 and be <= 0.53)
   }
+
+  test("portable HLL estimates distinct users within ~3 standard errors") {
+    import graft.functions.Hll
+    val est = Hll.distinctEstimate(events, Seq("event_type"), $"user_id")
+    val exact = events.groupBy("event_type")
+      .agg(countDistinct("user_id").as("n_exact"))
+    // m=256 -> sigma ~= 6.5%; every group must land within ~3 sigma
+    est.join(exact, "event_type")
+      .filter(abs($"hll_est" - $"n_exact") / $"n_exact" > 0.20)
+      .count() shouldBe 0
+  }
+
+  test("portable HLL sketches merge by bucket-wise max") {
+    import graft.functions.Hll
+    val a = events.filter($"event_id" % 2 === 0)
+    val b = events.filter($"event_id" % 2 =!= 0)
+    val merged = Hll.estimate(
+      Hll.merge(Hll.sketch(a, Seq("event_type"), $"user_id"),
+        Hll.sketch(b, Seq("event_type"), $"user_id"),
+        Seq("event_type")),
+      Seq("event_type"))
+    val whole = Hll.distinctEstimate(events, Seq("event_type"), $"user_id")
+    // merging partial sketches must reproduce the whole-corpus sketch
+    // exactly (max is associative), not just approximately
+    merged.collect().toSet shouldBe whole.collect().toSet
+  }
 }

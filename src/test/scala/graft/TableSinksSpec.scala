@@ -143,4 +143,23 @@ class TableSinksSpec extends SparkSpec {
     plan should include("PartitionFilters")
     q.as[(Int, String)].collect().toSeq shouldBe Seq((2, "2024-01-02"))
   }
+
+  test("clustered write yields disjoint per-file key ranges") {
+    val dir = tmp() + "/clustered"
+    val df = spark.range(0, 10000).select(
+      (col("id") * 37 % 1000).as("k"), col("id").as("payload"))
+    TableSinks.writeClustered(df, dir, "k", numFiles = 8)
+    val ranges = TableSinks.fileRangesOf(spark, dir, "k").sortBy(_._2)
+    ranges.size shouldBe 8
+    // every file owns its own key range: max(file i) < min(file i+1),
+    // which is what lets min/max stats skip 7 of 8 files on a point key
+    ranges.sliding(2).foreach {
+      case Seq((_, _, hi), (_, lo, _)) => hi should be <= lo
+      case _ =>
+    }
+    // and the clustered roundtrip loses nothing
+    spark.read.parquet(dir).count() shouldBe 10000L
+    val hit = spark.read.parquet(dir).filter($"k" === 500L)
+    hit.count() shouldBe df.filter($"k" === 500L).count()
+  }
 }
