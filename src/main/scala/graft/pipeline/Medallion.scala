@@ -304,17 +304,25 @@ object Medallion {
   /** Latest value per 4-part key (id without timestamp, [C6A]:126).
     * Deterministic tiebreak on the element (event) id. */
   def latest(gold: DataFrame): DataFrame = {
-    val w = Window
-      .partitionBy("remote_id", "metric_id", "provider_id", "category_id")
-      .orderBy(col("unix_timestamp").desc, col("element").cast("long").desc)
+    // argmax as a hash aggregation, not a row_number window: the
+    // max(struct) partials collapse map-side, so one row per serving
+    // key reaches the shuffle instead of every gold reading being
+    // shuffled AND sorted. Order is preserved exactly: struct
+    // comparison is (ts, element) lexicographic, and a null element
+    // ranks below any value under max() just as DESC NULLS LAST did;
+    // payload fields sit after the tiebreaks and are never compared
+    // for the tie-free (ts, element) data the oracle pins.
     gold
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .groupBy("remote_id", "metric_id", "provider_id", "category_id")
+      .agg(max(struct(col("unix_timestamp"),
+        col("element").cast("long").as("el"),
+        col("value_double"), col("value_string"))).as("m"))
       .select(
         Fns.servingId(col("remote_id"), col("metric_id"),
           col("provider_id"), col("category_id")).as("id"),
         col("remote_id"), col("metric_id"), col("provider_id"),
-        col("category_id"), col("unix_timestamp"),
-        col("value_double"), col("value_string"))
+        col("category_id"), col("m.unix_timestamp").as("unix_timestamp"),
+        col("m.value_double").as("value_double"),
+        col("m.value_string").as("value_string"))
   }
 }

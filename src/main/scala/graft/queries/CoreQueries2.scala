@@ -231,6 +231,37 @@ object CoreQueries2 {
           |JOIN lineitem ON l_orderkey = o_orderkey
           |WHERE c_mktsegment = 'BUILDING'
           |GROUP BY 1 ORDER BY 1""".stripMargin)
+    },
+
+    // correlated EXISTS + uncorrelated scalar subquery, same SQL text
+    // on both engines: Catalyst decorrelates the EXISTS into a left
+    // semi join and evaluates the scalar subquery once (a broadcast
+    // scalar) — the analyst-SQL shapes a serving datalake answers
+    // without the user ever writing a join.
+    "q45_subqueries" -> Q(
+      """SELECT c_mktsegment, count(*) AS n_big_spenders
+        |FROM customer c
+        |WHERE EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |    AND CAST(o.o_totalprice AS DECIMAL(18,2))
+        |        * (SELECT count(*) FROM orders)
+        |        > 2 * (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |               FROM orders))
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      Tables.customer(s, d).createOrReplaceTempView("customer")
+      Tables.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(
+        """SELECT c_mktsegment, count(*) AS n_big_spenders
+          |FROM customer c
+          |WHERE EXISTS (
+          |  SELECT 1 FROM orders o
+          |  WHERE o.o_custkey = c.c_custkey
+          |    AND CAST(o.o_totalprice AS DECIMAL(18,2))
+          |        * (SELECT count(*) FROM orders)
+          |        > 2 * (SELECT sum(CAST(o_totalprice AS DECIMAL(18,2)))
+          |               FROM orders))
+          |GROUP BY 1 ORDER BY 1""".stripMargin)
     }
   )
 }
