@@ -108,4 +108,55 @@ class PropertySpec extends SparkSpec {
     }
     check(prop, 15)
   }
+
+  test("range join equals the brute-force inequality join model") {
+    val ptGen = Gen.nonEmptyListOf(Gen.choose(0L, 200L))
+    val ivGen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.choose(0L, 200L), Gen.choose(-10L, 60L)))
+    val prop = Prop.forAll(ptGen, ivGen) { (ps, ivs) =>
+      val points = ps.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+        .toDF("pid", "pt")
+      // len <= 0 makes some intervals empty on purpose
+      val intervals = ivs.zipWithIndex
+        .map { case ((lo, len), i) => (i.toLong, lo, lo + len) }
+        .toDF("ivid", "lo", "hi")
+      val got = graft.operators.RangeJoin
+        .pointInInterval(points, intervals, "pt", "lo", "hi", binSize = 16L)
+        .select("pid", "ivid").as[(Long, Long)].collect().toSet
+      val model = (for {
+        (p, i) <- ps.zipWithIndex
+        ((lo, len), j) <- ivs.zipWithIndex
+        if p >= lo && p < lo + len
+      } yield (i.toLong, j.toLong)).toSet
+      got == model
+    }
+    check(prop, 15)
+  }
+
+  test("sessionize equals the sorted-scan gap model") {
+    val rowGen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.choose(0, 2).map(k => s"k$k"), Gen.choose(0L, 300L)))
+    val prop = Prop.forAll(rowGen) { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((k, ts), i) => (i.toLong, k, ts) }
+        .toDF("id", "k", "ts")
+      val got = graft.operators.Sessionize
+        .sessionize(df, Seq("k"), "ts", gap = 30L, orderCols = Seq("id"))
+        .select("id", "session_seq").as[(Long, Long)].collect().toMap
+      // model: per key, sort by (ts, id) and count gaps > 30
+      val model = rows.zipWithIndex.groupBy(_._1._1).flatMap {
+        case (_, g) =>
+          val sorted = g.map { case ((_, ts), i) => (ts, i.toLong) }.sorted
+          var seq = 0L
+          var prev = Long.MinValue
+          sorted.map { case (ts, id) =>
+            if (prev == Long.MinValue || ts - prev > 30L) seq += 1
+            prev = ts
+            id -> seq
+          }
+      }
+      got == model
+    }
+    check(prop, 15)
+  }
 }
