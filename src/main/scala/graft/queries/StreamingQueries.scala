@@ -273,6 +273,63 @@ object StreamingQueries {
         q.awaitTermination()
       }
       s.read.parquet(s"$root/out").orderBy("view_id", "purchase_id")
+    },
+
+    // ST9 streaming twin of st05: session windows aggregated IN the
+    // stream (state = one open session per user, merged as shuffled
+    // micro-batches arrive), emitted via complete-mode foreachBatch —
+    // the final batch must be byte-identical to the batch gaps-and-
+    // islands oracle. Sessions that straddle micro-batch boundaries
+    // must merge in state, which is exactly what the batch oracle
+    // cannot help getting right by construction.
+    "st08_stream_session" -> Q(
+      """WITH e AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ets, value
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, ets, value,
+        |         CASE WHEN ets - lag(ets) OVER (PARTITION BY user_id
+        |                ORDER BY ets) <= 1800
+        |              THEN 0 ELSE 1 END AS new_s
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, ets, value,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ets
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM m)
+        |SELECT user_id, min(ets) AS session_start, max(ets) AS session_end,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+      val root = freshDir(s"st08-${d.replaceAll("[^0-9a-zA-Z.]", "_")}")
+      Topic.publishEvents(Tables.events(s, d), s"$root/topic", nFiles = 4)
+      withShufflePartitions(s, 8) {
+        val src = Topic.decodeEvents(
+          Topic.readStream(s, s"$root/topic", maxFilesPerTrigger = 1))
+        // DECIMAL sum: session partials accumulate in arrival order in
+        // the state store — only an order-independent sum is batch-exact
+        val agg = src
+          .select(col("user_id"), unix_timestamp(col("ts")).as("ets"),
+            col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+              .as("v"))
+          .groupBy(col("user_id"),
+            session_window(timestamp_seconds(col("ets")), "30 minutes"))
+          .agg(min("ets").as("session_start"), max("ets").as("session_end"),
+            count(lit(1)).as("n_events"),
+            sum("v").cast("double").as("total_value"))
+          .select("user_id", "session_start", "session_end", "n_events",
+            "total_value")
+        val q = agg.writeStream.outputMode("complete")
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            df.write.mode("overwrite").parquet(s"$root/out")
+          }
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.read.parquet(s"$root/out").orderBy("user_id", "session_start")
     }
   )
 }

@@ -165,5 +165,34 @@ object WindowQueries {
           min("ts_s").as("start_s"), max("ts_s").as("end_s"),
           (max("ts_s") - min("ts_s")).as("dur_s"))
         .orderBy("user_id", "session_seq")
+    },
+
+    // time-based RANGE frame: trailing 1-hour event count and DECIMAL
+    // sum per device, at every reading. RANGE (not ROWS) frames include
+    // all peers of a timestamp, so the result is tie-insensitive —
+    // the rolling-window telemetry shape (readings per trailing hour)
+    // q38's row-count frames cannot express.
+    "q46_range_frame" -> Q(
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+        |         CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events)
+        |SELECT user_id, event_id, ts_s,
+        |       count(*) OVER w AS n_1h,
+        |       CAST(sum(v) OVER w AS DOUBLE) AS sum_1h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+      val e = Tables.events(s, d).select(
+        col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("ts_s"),
+        col("value").cast(DecimalType(18, 2)).as("v"))
+      val w = Window.partitionBy("user_id").orderBy("ts_s")
+        .rangeBetween(-3600L, Window.currentRow)
+      e.select(col("user_id"), col("event_id"), col("ts_s"),
+          count(lit(1)).over(w).as("n_1h"),
+          sum("v").over(w).cast("double").as("sum_1h"))
+        .orderBy("user_id", "event_id")
     })
 }
