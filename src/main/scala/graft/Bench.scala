@@ -11,6 +11,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.register(spark) // same extension surface as Verify
     // optional query-name args restrict the run (profiling aid); the
     // driver passes none and always benches the full registry
     val picked = if (args.isEmpty) SparkEntry.queries

@@ -14,11 +14,13 @@ import graft.functions.{DotProduct, HeavyHittersAgg, NfcNormalize,
   * [[GraftExtensions.register]] on an already-built session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name), builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.TopOnePerKeyToArgmax)
+  }
 }
 
 object GraftExtensions {
@@ -36,8 +38,15 @@ object GraftExtensions {
       ((cs: Seq[Expression]) => NfcNormalize(cs(0))))
 
   /** Register on an existing session (extensions only run at build). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (name, builder) =>
       Shim.registerFunction(spark, name, builder)
     }
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.TopOnePerKeyToArgmax)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.plans.TopOnePerKeyToArgmax
+    }
+  }
 }

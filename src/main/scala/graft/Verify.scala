@@ -18,6 +18,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // full engine surface: SQL-callable native functions + the argmax
+    // optimizer rule — every gate query runs THROUGH the extensions
+    GraftExtensions.register(spark)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
