@@ -1,6 +1,10 @@
 package graft.queries
 
+import java.nio.file.{Files, Paths}
+import java.util.Comparator
+
 import org.apache.spark.sql.functions._
+import graft.sinks.KeyedUpsert
 import graft.sources.Tables
 import graft.vector.Ann
 
@@ -22,6 +26,60 @@ object AnnQueries {
       |""".stripMargin
 
   private val cosExpr = "list_dot_product(q.vn, c.vn)"
+
+  /** Shared oracle for s04/s06: per-list occupancy of the IVF index
+    * after a base build + frozen-centroid delta assignment (s06 reaches
+    * the same state through streamed micro-batch upserts). */
+  private val ivfUpsertOracle =
+    vCte +
+      s"""nb AS (SELECT * FROM n WHERE vec_id % 10 != 0),
+         |cent0 AS (SELECT vec_id AS cid, vn AS cv FROM nb WHERE vec_id < 16),
+         |a0 AS (
+         |  SELECT id, vn, cid FROM (
+         |    SELECT nb.vec_id AS id, nb.vn, c.cid,
+         |           row_number() OVER (PARTITION BY nb.vec_id
+         |             ORDER BY list_dot_product(nb.vn, c.cv) DESC, c.cid) AS rn
+         |    FROM nb CROSS JOIN cent0 c) WHERE rn = 1),
+         |s1 AS (
+         |  SELECT cid, i, SUM(CAST(vn[i] AS DECIMAL(30,15))) AS s
+         |  FROM a0, range(1, 65) t(i) GROUP BY cid, i),
+         |r1 AS (SELECT cid, list(CAST(s AS DOUBLE) ORDER BY i) AS cv
+         |       FROM s1 GROUP BY cid),
+         |cent1 AS (SELECT cid, list_transform(cv,
+         |            x -> x / sqrt(list_dot_product(cv, cv))) AS cv FROM r1),
+         |a1 AS (
+         |  SELECT id, vn, cid FROM (
+         |    SELECT nb.vec_id AS id, nb.vn, c.cid,
+         |           row_number() OVER (PARTITION BY nb.vec_id
+         |             ORDER BY list_dot_product(nb.vn, c.cv) DESC, c.cid) AS rn
+         |    FROM nb CROSS JOIN cent1 c) WHERE rn = 1),
+         |s2 AS (
+         |  SELECT cid, i, SUM(CAST(vn[i] AS DECIMAL(30,15))) AS s
+         |  FROM a1, range(1, 65) t(i) GROUP BY cid, i),
+         |r2 AS (SELECT cid, list(CAST(s AS DOUBLE) ORDER BY i) AS cv
+         |       FROM s2 GROUP BY cid),
+         |cent AS (SELECT cid, list_transform(cv,
+         |           x -> x / sqrt(list_dot_product(cv, cv))) AS cv FROM r2),
+         |merged AS (
+         |  SELECT id, cid FROM (
+         |    SELECT n.vec_id AS id, c.cid,
+         |           row_number() OVER (PARTITION BY n.vec_id
+         |             ORDER BY list_dot_product(n.vn, c.cv) DESC, c.cid) AS rn
+         |    FROM n CROSS JOIN cent c) WHERE rn = 1)
+         |SELECT cid, count(CASE WHEN id % 10 != 0 THEN 1 END) AS n_base,
+         |       count(CASE WHEN id % 10 = 0 THEN 1 END) AS n_delta,
+         |       count(*) AS n_total
+         |FROM merged GROUP BY cid ORDER BY cid""".stripMargin
+
+  private def freshDir(name: String): String = {
+    val p = Paths.get(s"/tmp/graft-stream/$name")
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.delete(f))
+    }
+    Files.createDirectories(p)
+    p.toString
+  }
 
   val all: Map[String, Q] = Map(
 
@@ -139,46 +197,7 @@ object AnnQueries {
     // occupancy proves the merged index equals a from-scratch
     // re-assignment under the same centroids (assignment is per-vector
     // independent).
-    "s04_ann_ivf_upsert" -> Q(
-      vCte +
-        s"""nb AS (SELECT * FROM n WHERE vec_id % 10 != 0),
-           |cent0 AS (SELECT vec_id AS cid, vn AS cv FROM nb WHERE vec_id < 16),
-           |a0 AS (
-           |  SELECT id, vn, cid FROM (
-           |    SELECT nb.vec_id AS id, nb.vn, c.cid,
-           |           row_number() OVER (PARTITION BY nb.vec_id
-           |             ORDER BY list_dot_product(nb.vn, c.cv) DESC, c.cid) AS rn
-           |    FROM nb CROSS JOIN cent0 c) WHERE rn = 1),
-           |s1 AS (
-           |  SELECT cid, i, SUM(CAST(vn[i] AS DECIMAL(30,15))) AS s
-           |  FROM a0, range(1, 65) t(i) GROUP BY cid, i),
-           |r1 AS (SELECT cid, list(CAST(s AS DOUBLE) ORDER BY i) AS cv
-           |       FROM s1 GROUP BY cid),
-           |cent1 AS (SELECT cid, list_transform(cv,
-           |            x -> x / sqrt(list_dot_product(cv, cv))) AS cv FROM r1),
-           |a1 AS (
-           |  SELECT id, vn, cid FROM (
-           |    SELECT nb.vec_id AS id, nb.vn, c.cid,
-           |           row_number() OVER (PARTITION BY nb.vec_id
-           |             ORDER BY list_dot_product(nb.vn, c.cv) DESC, c.cid) AS rn
-           |    FROM nb CROSS JOIN cent1 c) WHERE rn = 1),
-           |s2 AS (
-           |  SELECT cid, i, SUM(CAST(vn[i] AS DECIMAL(30,15))) AS s
-           |  FROM a1, range(1, 65) t(i) GROUP BY cid, i),
-           |r2 AS (SELECT cid, list(CAST(s AS DOUBLE) ORDER BY i) AS cv
-           |       FROM s2 GROUP BY cid),
-           |cent AS (SELECT cid, list_transform(cv,
-           |           x -> x / sqrt(list_dot_product(cv, cv))) AS cv FROM r2),
-           |merged AS (
-           |  SELECT id, cid FROM (
-           |    SELECT n.vec_id AS id, c.cid,
-           |           row_number() OVER (PARTITION BY n.vec_id
-           |             ORDER BY list_dot_product(n.vn, c.cv) DESC, c.cid) AS rn
-           |    FROM n CROSS JOIN cent c) WHERE rn = 1)
-           |SELECT cid, count(CASE WHEN id % 10 != 0 THEN 1 END) AS n_base,
-           |       count(CASE WHEN id % 10 = 0 THEN 1 END) AS n_delta,
-           |       count(*) AS n_total
-           |FROM merged GROUP BY cid ORDER BY cid""".stripMargin) { (s, d) =>
+    "s04_ann_ivf_upsert" -> Q(ivfUpsertOracle) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val base = emb.filter(col("vec_id") % 10 =!= 0)
       val delta = emb.filter(col("vec_id") % 10 === 0)
@@ -186,6 +205,46 @@ object AnnQueries {
       Ann.ivfAssignTo(base, cents).withColumn("is_delta", lit(false))
         .unionByName(
           Ann.ivfAssignTo(delta, cents).withColumn("is_delta", lit(true)))
+        .groupBy("cid")
+        .agg(count(when(!col("is_delta"), 1)).as("n_base"),
+          count(when(col("is_delta"), 1)).as("n_delta"),
+          count(lit(1)).as("n_total"))
+        .orderBy("cid")
+    },
+
+    // s04's maintenance path run THROUGH the stream: delta vectors
+    // arrive as micro-batches (file stream, 1 file per trigger), each
+    // batch is assigned against the frozen centroids in foreachBatch
+    // and MERGEd into the versioned index table — the nightly-ingest
+    // topology for a vector store. The final index must land in the
+    // identical per-list state the one-shot batch assignment computes,
+    // no matter how the delta was batched.
+    "s06_stream_index_update" -> Q(ivfUpsertOracle) { (s, d) =>
+      val root = freshDir(s"s06-${d.replaceAll("[^0-9a-zA-Z.]", "_")}")
+      val out = s"$root/index"
+      val emb = Tables.embeddings(s, d)
+      val base = emb.filter(col("vec_id") % 10 =!= 0)
+      val delta = emb.filter(col("vec_id") % 10 === 0)
+      val cents = Ann.ivfCentroids(base, nCentroids = 16)
+      KeyedUpsert.upsert(s, out,
+        Ann.ivfAssignTo(base, cents).drop("vn")
+          .withColumn("is_delta", lit(false)),
+        Seq("id"), numBuckets = 8)
+      delta.repartition(2).write.parquet(s"$root/delta")
+      val q = s.readStream.schema(delta.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$root/delta")
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          KeyedUpsert.upsert(s, out,
+            Ann.ivfAssignTo(b, cents).drop("vn")
+              .withColumn("is_delta", lit(true)),
+            Seq("id"), numBuckets = 8)
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      KeyedUpsert.read(s, out)
         .groupBy("cid")
         .agg(count(when(!col("is_delta"), 1)).as("n_base"),
           count(when(col("is_delta"), 1)).as("n_delta"),

@@ -221,6 +221,56 @@ object SinkQueries {
         .groupBy("user_id")
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
         .orderBy("user_id")
+    },
+
+    // semantic version diff (KeyedUpsert.diff): latest-per-(device,
+    // type) table at v1 (pre-cutover), upserted to v2, keys deleted at
+    // v3 — the diff v1 -> latest must name exactly the added, updated
+    // and removed keys, row-compared (a key rewritten with identical
+    // content reports nothing, unlike the file-granular changesSince)
+    // and bucket-pruned (only buckets whose manifest entry moved are
+    // scanned).
+    "k08_version_diff" -> Q(
+      """WITH r1 AS (
+        |  SELECT user_id, event_type, event_id, row_number()
+        |           OVER (PARTITION BY user_id, event_type
+        |                 ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE floor(epoch(ts)) < 1705708800
+        |), r2 AS (
+        |  SELECT user_id, event_type, event_id, row_number()
+        |           OVER (PARTITION BY user_id, event_type
+        |                 ORDER BY event_id DESC) AS rn
+        |  FROM events
+        |)
+        |SELECT coalesce(a.user_id, b.user_id) AS user_id,
+        |       coalesce(a.event_type, b.event_type) AS event_type,
+        |       CASE WHEN a.user_id IS NULL THEN 'added'
+        |            WHEN b.user_id IS NULL THEN 'removed'
+        |            WHEN a.event_id != b.event_id THEN 'updated' END AS change
+        |FROM (SELECT * FROM r1 WHERE rn = 1) a
+        |FULL OUTER JOIN (SELECT * FROM r2 WHERE rn = 1
+        |                 AND event_type != 'error') b
+        |  ON a.user_id = b.user_id AND a.event_type = b.event_type
+        |WHERE a.user_id IS NULL OR b.user_id IS NULL
+        |   OR a.event_id != b.event_id
+        |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+      val dir = freshDir(s"k08-${d.replaceAll("[^0-9a-zA-Z.]", "_")}")
+      val out = s"$dir/tbl"
+      val t0 = 1705708800L // same split as k05/st03
+      val keys = Seq("user_id", "event_type")
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("value"), unix_timestamp(col("ts")).as("uts"))
+      def put(batch: org.apache.spark.sql.DataFrame): Unit =
+        KeyedUpsert.upsert(s, out, batch.drop("uts"), keys,
+          numBuckets = 8, tieBreak = Some("event_id"), keepMaxOnMerge = true)
+      put(ev.filter(col("uts") < t0))   // v1
+      put(ev.filter(col("uts") >= t0))  // v2
+      KeyedUpsert.delete(s, out,        // v3: error keys retired
+        KeyedUpsert.read(s, out).filter(col("event_type") === "error")
+          .select(keys.map(col): _*), keys, numBuckets = 8)
+      KeyedUpsert.diff(s, out, 1L, keys)
+        .orderBy("user_id", "event_type")
     }
   )
 }

@@ -331,6 +331,39 @@ object TextQueries {
           norm.as("text_norm"),
           length(norm).cast("long").as("n_chars_norm"))
         .orderBy("doc_id")
+    },
+
+    // token-budget corpus mix: each source contributes a greedy doc_id-
+    // ordered prefix until its 1500-token budget is crossed — the
+    // budget-based counterpart of rate-based t13 (a pretraining mixture
+    // is usually specified in tokens per domain, not keep-rates). One
+    // window cumsum per source; a doc is in while the tokens BEFORE it
+    // are under budget, so every source takes at least one doc.
+    "t15_token_budget_mix" -> Q(
+      s"""WITH t AS (
+         |  SELECT doc_id, source, len(string_split($norm, ' ')) AS n_tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, source, n_tok,
+         |         coalesce(CAST(sum(n_tok) OVER (PARTITION BY source
+         |           ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |           AS BIGINT), 0) AS cum_before
+         |  FROM t)
+         |SELECT doc_id, source, n_tok, cum_before
+         |FROM c WHERE cum_before < 1500
+         |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          -1)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          TextFns.tokenCount(col("text")).as("n_tok"))
+        .withColumn("cum_before",
+          coalesce(sum("n_tok").over(w), lit(0L)))
+        .filter(col("cum_before") < 1500)
+        .orderBy("doc_id")
     }
   )
 }

@@ -369,6 +369,53 @@ object KeyedUpsert {
         .map(rel => new Path(target, rel).toString): _*)
   }
 
+  /** Semantic row-level diff between two committed versions: one row
+    * per key whose content was `added`, `removed` or `updated` going
+    * from `fromVersion` to `toVersion` (default latest). Unlike
+    * [[changesSince]] — which is FILE-granular and re-emits every
+    * current row of a touched bucket — this compares rows, so a key
+    * rewritten with identical content reports nothing.
+    *
+    * Bucket-pruned: only buckets whose manifest entry differs between
+    * the two versions are scanned (an identical file path implies
+    * identical content — buckets are immutable once published), so the
+    * cost scales with the changed fraction, not the table. Rows are
+    * compared via md5 of the JSON of their non-key columns (column
+    * order fixed by sorting), one codegen'd projection per side and a
+    * single full-outer join on the keys.
+    */
+  def diff(spark: SparkSession, targetDir: String, fromVersion: Long,
+      keyCols: Seq[String], toVersion: Option[Long] = None): DataFrame = {
+    require(keyCols.nonEmpty, "diff needs the table's key columns")
+    val target = new Path(targetDir)
+    val fs = fsOf(spark, target)
+    val mFrom = loadManifest(fs, target,
+      resolveVersion(spark, targetDir, Some(fromVersion)))
+    val mTo = loadManifest(fs, target,
+      resolveVersion(spark, targetDir, toVersion))
+    val changed = (mFrom.keySet ++ mTo.keySet)
+      .filter(bk => mFrom.get(bk) != mTo.get(bk))
+    def side(m: Map[Long, String]): DataFrame = {
+      val dirs = m.view.filterKeys(changed).values.toSeq.sorted
+        .map(rel => new Path(target, rel).toString)
+      if (dirs.nonEmpty) spark.read.parquet(dirs: _*)
+      else read(spark, targetDir, toVersion).limit(0)
+    }
+    def fingerprinted(df: DataFrame, as: String): DataFrame = {
+      val others = df.columns.filterNot(keyCols.contains).sorted
+      df.select(keyCols.map(col) :+
+        md5(to_json(struct(others.map(col): _*))).as(as): _*)
+    }
+    fingerprinted(side(mFrom), "__fp_a")
+      .join(fingerprinted(side(mTo), "__fp_b"), keyCols, "full_outer")
+      .withColumn("change",
+        when(col("__fp_a").isNull, "added")
+          .when(col("__fp_b").isNull, "removed")
+          .when(col("__fp_a") =!= col("__fp_b"), "updated"))
+      .filter(col("change").isNotNull)
+      .select(keyCols.map(col) :+ col("change"): _*)
+  }
+
   /** foreachBatch hook for streaming update-mode aggregates (K3/K4). */
   def sink(targetDir: String, keyCols: Seq[String], numBuckets: Int = 64)
       : (DataFrame, Long) => Unit =

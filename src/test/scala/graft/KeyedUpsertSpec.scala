@@ -20,6 +20,26 @@ class KeyedUpsertSpec extends SparkSpec {
     out shouldBe Map("a" -> 1, "b" -> 20, "c" -> 3)
   }
 
+  test("diff reports added/updated/removed; identical rewrites are silent") {
+    val dir = tmp()
+    KeyedUpsert.upsert(spark, dir,
+      Seq(("a", 1), ("b", 2), ("c", 3)).toDF("k", "v"), Seq("k"),
+      numBuckets = 4)
+    // v2: b updated, d added, a REWRITTEN IDENTICALLY (must be silent),
+    // then v3 deletes c
+    KeyedUpsert.upsert(spark, dir,
+      Seq(("a", 1), ("b", 20), ("d", 4)).toDF("k", "v"), Seq("k"),
+      numBuckets = 4)
+    KeyedUpsert.delete(spark, dir, Seq("c").toDF("k"), Seq("k"),
+      numBuckets = 4)
+    val d = KeyedUpsert.diff(spark, dir, 1L, Seq("k"))
+      .as[(String, String)].collect().toMap
+    d shouldBe Map("b" -> "updated", "d" -> "added", "c" -> "removed")
+    // same-version diff is empty
+    KeyedUpsert.diff(spark, dir, 3L, Seq("k"), toVersion = Some(3L))
+      .count() shouldBe 0L
+  }
+
   test("replaying the same batch is idempotent") {
     val dir = tmp()
     val batch = Seq(("a", 1), ("b", 2)).toDF("k", "v")
