@@ -30,11 +30,11 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
   override def prettyName: String = "shingle_hashes"
 
   override protected def nullSafeEval(input: Any): Any =
-    ShingleHashes.eval(input.asInstanceOf[ArrayData], n)
+    ShingleHashes.shingles(input.asInstanceOf[ArrayData], n)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.ShingleHashes.eval($c, $n);")
+      s"${ev.value} = graft.functions.ShingleHashes.shingles($c, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -45,7 +45,7 @@ object ShingleHashes {
   /** Shared by eval and generated code. A null word element renders as
     * the empty string (TextFns.words never produces one; this just
     * keeps the expression total). */
-  def eval(words: ArrayData, n: Int): ArrayData = {
+  def shingles(words: ArrayData, n: Int): ArrayData = {
     val num = words.numElements()
     if (num < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.HashSet[String]()

@@ -99,11 +99,22 @@ class PlanSpec extends SparkSpec {
   }
 
   test("every registered query has a non-empty schema and distinct columns") {
+    // queries allowed a cross join: the two LABELED exact all-pairs
+    // baselines, and the bounded |corpus| x 16 centroid-assignment
+    // passes of the IVF family — everything else must plan key joins
+    val crossAllowed = Set("s01_ann_brute", "d05_cosine_neardup",
+      "s03_ann_ivf", "s04_ann_ivf_upsert", "s06_stream_index_update")
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, SfDir)
       withClue(s"$name: ") {
         df.columns.length should be > 0
         df.columns.map(_.toLowerCase).distinct.length shouldBe df.columns.length
+        if (!crossAllowed(name)) {
+          // the anti-pattern sweep: an unkeyed join sneaking into any
+          // query would blow up quadratically at 100 TB
+          df.queryExecution.optimizedPlan.toString should not include
+            "Join Cross"
+        }
       }
     }
   }
