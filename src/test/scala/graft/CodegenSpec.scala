@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{NfcNormalize, PolyHash64, RegexpExtractAllNegate,
+  ShingleHashes}
+import graft.text.TextFns
+import graft.vector.VectorFns
+
+/** Forced-codegen compilation guard for every custom expression. A
+  * broken doGenCode does NOT fail under default configs — Janino logs
+  * an error and Spark silently falls back to interpreted execution, a
+  * 10x hot-path regression correctness tests can't see (exactly how
+  * the fused-shingling kernel regressed: its JVM helper collided with
+  * Expression.eval, so no static forwarder existed for the generated
+  * call). With fallback disabled, a non-compiling expression throws
+  * here instead.
+  */
+class CodegenSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def codegenOnly[T](body: => T): T = {
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try body
+    finally {
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+      spark.conf.unset("spark.sql.codegen.fallback")
+    }
+  }
+
+  test("all custom expressions compile under forced codegen") {
+    codegenOnly {
+      val row = Seq(("cafe docs and more docs here", "75.3W"))
+        .toDF("text", "geo")
+        .select(
+          PolyHash64($"text").as("ph"),
+          NfcNormalize($"text").as("nfc"),
+          ShingleHashes(split($"text", " "), 3).as("sh"),
+          RegexpExtractAllNegate($"geo", lit("[0-9.]+[NSEW]"), lit(0))
+            .as("neg"),
+          VectorFns.dot(array(lit(1.0), lit(2.0)),
+            array(lit(3.0), lit(4.0))).as("dot"))
+        .head
+      row.getLong(0) should not be 0L
+      row.getString(1) shouldBe "cafe docs and more docs here"
+      row.getSeq[Long](2).size shouldBe 4 // 4 distinct 3-grams
+      row.getString(3) shouldBe "-75.3"
+      row.getDouble(4) shouldBe 11.0
+    }
+  }
+
+  test("the text-analysis column stack compiles under forced codegen") {
+    codegenOnly {
+      val docs = graft.sources.Tables.documents(spark, SfDir).limit(50)
+      docs.select(
+        TextFns.tokenCount($"text"),
+        TextFns.qualityScore($"text"),
+        TextFns.fingerprintRolling($"text"),
+        TextFns.redactPii($"text"))
+        .collect().length shouldBe 50
+    }
+  }
+}
