@@ -5,8 +5,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.graftshim.Shim
-import graft.functions.{DotProduct, HeavyHittersAgg, NfcNormalize,
-  RegexpExtractAllNegate, TopKAgg}
+import graft.functions.{ByteStride, DotProduct, HeavyHittersAgg,
+  NfcNormalize, RegexpExtractAllNegate, TopKAgg}
 
 /** SparkSessionExtensions entry point: makes the engine's native
   * expressions SQL-callable. Activate at session build with
@@ -35,7 +35,10 @@ object GraftExtensions {
     "heavy_hitters" ->
       ((cs: Seq[Expression]) => HeavyHittersAgg(cs(0), cs(1))),
     "nfc_normalize" ->
-      ((cs: Seq[Expression]) => NfcNormalize(cs(0))))
+      ((cs: Seq[Expression]) => NfcNormalize(cs(0))),
+    "byte_stride" ->
+      ((cs: Seq[Expression]) => ByteStride(cs(0),
+        cs(1).eval().asInstanceOf[Number].intValue())))
 
   /** Register on an existing session (extensions only run at build). */
   def register(spark: SparkSession): Unit = {

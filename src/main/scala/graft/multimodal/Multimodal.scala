@@ -82,6 +82,21 @@ object Multimodal {
       (lit(64) + length(col("content")) % 256).cast("long").as("width"),
       (lit(64) + (length(col("content")) * 7) % 256).cast("long").as("height"))
 
+  /** Decimating "resize" over image media: keep every `stride`-th
+    * content byte ([[graft.functions.ByteStride]], the declared stand-
+    * in for a pixel-subsampling codec kernel) and emit the size-
+    * reduction envelope + output fingerprint. Pure map over the scan —
+    * the shape of a thumbnailing pass, shrinking shuffle bytes by
+    * `stride` before any downstream move. */
+  def resizeStub(media: DataFrame, stride: Int = 4): DataFrame = {
+    val resized = graft.functions.ByteStride(col("content"), stride)
+    media.filter(col("kind") === "image")
+      .select(col("media_id"),
+        length(col("content")).cast("long").as("n_bytes_in"),
+        length(resized).cast("long").as("n_bytes_out"),
+        md5(resized).as("fp_out"))
+  }
+
   /** Frame sampling for video media: one row per sampled frame index
     * (every `stride`-th frame of n_bytes/bytesPerFrame fake frames),
     * frame fingerprint derived from content fp + index. The generator

@@ -51,6 +51,26 @@ object MultimodalQueries {
           bytesPerFrame = 100, stride = 2)
         .select("media_id", "n_frames", "frame_idx", "frame_fp")
         .orderBy("media_id", "frame_idx")
+    },
+
+    // decimating resize over image media (graft.functions.ByteStride):
+    // every 4th content byte survives; the oracle replays the byte
+    // decimation as character slicing (the corpus is pure ASCII, so
+    // byte k IS character k and the md5s coincide).
+    "m03_resize_stub" -> Q(
+      mediaCte +
+        """SELECT media_id,
+          |       octet_length(encode(content)) AS n_bytes_in,
+          |       CAST((octet_length(encode(content)) + 3) // 4 AS BIGINT)
+          |         AS n_bytes_out,
+          |       md5(array_to_string(list_transform(
+          |             range(1, len(content) + 1, 4), i -> content[i:i]), ''))
+          |         AS fp_out
+          |FROM media WHERE kind = 'image'
+          |ORDER BY media_id""".stripMargin) { (s, d) =>
+      Multimodal.resizeStub(
+          Multimodal.mediaFromDocuments(Tables.documents(s, d)), stride = 4)
+        .orderBy("media_id")
     }
   )
 }

@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.functions.{NfcNormalize, PolyHash64, RegexpExtractAllNegate,
-  ShingleHashes}
+import graft.functions.{ByteStride, NfcNormalize, PolyHash64,
+  RegexpExtractAllNegate, ShingleHashes}
 import graft.text.TextFns
 import graft.vector.VectorFns
 
@@ -39,13 +39,15 @@ class CodegenSpec extends SparkSpec {
           RegexpExtractAllNegate($"geo", lit("[0-9.]+[NSEW]"), lit(0))
             .as("neg"),
           VectorFns.dot(array(lit(1.0), lit(2.0)),
-            array(lit(3.0), lit(4.0))).as("dot"))
+            array(lit(3.0), lit(4.0))).as("dot"),
+          ByteStride($"text".cast("binary"), 4).as("bs"))
         .head
       row.getLong(0) should not be 0L
       row.getString(1) shouldBe "cafe docs and more docs here"
       row.getSeq[Long](2).size shouldBe 4 // 4 distinct 3-grams
       row.getString(3) shouldBe "-75.3"
       row.getDouble(4) shouldBe 11.0
+      new String(row.getAs[Array[Byte]](5)) shouldBe "c sdroh" // every 4th
     }
   }
 
