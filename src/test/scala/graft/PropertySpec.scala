@@ -133,6 +133,31 @@ class PropertySpec extends SparkSpec {
     check(prop, 15)
   }
 
+  test("connected components equals the union-find model on random graphs") {
+    val edgeGen = Gen.nonEmptyListOf(Gen.zip(
+      Gen.choose(0L, 30L), Gen.choose(0L, 30L)))
+    val prop = Prop.forAll(edgeGen) { edges =>
+      val got = graft.operators.ConnectedComponents
+        .run(edges.toDF("a", "b"))
+        .as[(Long, Long)].collect().toMap
+      // model: classic union-find, components labeled by their min node
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      // pure self-loops carry no connectivity: the operator drops them
+      // ("isolated documents do not appear"), so the model must too
+      edges.filter(e => e._1 != e._2).foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val model = parent.keys.map(n => n -> find(n)).toMap
+      got == model
+    }
+    check(prop, 10)
+  }
+
   test("sessionize equals the sorted-scan gap model") {
     val rowGen = Gen.nonEmptyListOf(Gen.zip(
       Gen.choose(0, 2).map(k => s"k$k"), Gen.choose(0L, 300L)))
