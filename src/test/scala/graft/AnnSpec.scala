@@ -40,6 +40,31 @@ class AnnSpec extends SparkSpec {
     b1.foreach { case (_, b) => b should (be >= 0L and be < 64L) }
   }
 
+  test("hoisted literal planes bucket identically to the per-row formula") {
+    // the interpreted per-row form the literal hoist replaced, kept here
+    // as the reference semantics: buckets must be bit-identical
+    import org.apache.spark.sql.Column
+    def planeComponent(p: Column, i: Column): Column =
+      ((p * lit(7919) + i * lit(104729) + lit(12345)) % lit(2001) - lit(1000))
+        .cast("double") / lit(1000.0)
+    def dotPlane(v: Column, p: Column, dim: Int): Column =
+      aggregate(
+        zip_with(v, transform(sequence(lit(0), lit(dim - 1)),
+          i => planeComponent(p, i)), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, x) => acc + x)
+    def oldBuckets(v: Column, dim: Int, m: Int, l: Int): Column =
+      transform(sequence(lit(0), lit(l - 1)), t =>
+        t.cast("long") * (1L << m) +
+          aggregate(sequence(lit(0), lit(m - 1)), lit(0L),
+            (acc, j) => acc + when(dotPlane(v, t * lit(m) + j, dim) > 0,
+              pow(lit(2.0), j).cast("long")).otherwise(lit(0L))))
+    val mismatches = emb.select(
+        Ann.lshBuckets($"embedding", 64, 3, 8).as("nb"),
+        oldBuckets($"embedding", 64, 3, 8).as("ob"))
+      .filter(!($"nb" <=> $"ob"))
+    mismatches.count() shouldBe 0
+  }
+
   test("IVF assignment covers the corpus; probing beats single-list recall") {
     val assign = Ann.ivfAssign(emb)
     assign.count() shouldBe emb.count() // every vector lands in one list
