@@ -37,8 +37,21 @@ object GraftExtensions {
     "nfc_normalize" ->
       ((cs: Seq[Expression]) => NfcNormalize(cs(0))),
     "byte_stride" ->
-      ((cs: Seq[Expression]) => ByteStride(cs(0),
-        cs(1).eval().asInstanceOf[Number].intValue())))
+      ((cs: Seq[Expression]) => {
+        // the stride is baked into the expression at build time, so it
+        // must be a foldable non-null integer — anything else would
+        // otherwise surface as an opaque NPE/cast failure here
+        def bad(why: String) = throw new org.apache.spark.sql.AnalysisException(
+          "USER_RAISED_EXCEPTION", Map("errorMessage" ->
+            s"byte_stride(content, stride) requires a literal positive integer stride: $why"))
+        if (cs.length != 2) bad(s"got ${cs.length} argument(s)")
+        if (!cs(1).foldable) bad("stride is not a constant")
+        cs(1).eval() match {
+          case n: Number if n.intValue() > 0 => ByteStride(cs(0), n.intValue())
+          case null => bad("stride is NULL")
+          case other => bad(s"stride is $other")
+        }
+      }))
 
   /** Register on an existing session (extensions only run at build). */
   def register(spark: SparkSession): Unit = {

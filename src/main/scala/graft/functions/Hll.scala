@@ -30,6 +30,19 @@ object Hll {
   /** Buckets (m = 2^8); ranks span 1..53 over the remaining 52 bits. */
   val M = 256
 
+  /** Working columns the sketch schema claims for itself: `bucket` and
+    * `rank` ARE the sketch (merge re-aggregates them), `sp`/`nb` are
+    * built by [[estimate]]. A key column with one of these names would
+    * silently mis-group, so it's rejected loudly instead. */
+  private val Reserved = Seq("bucket", "rank", "sp", "nb")
+
+  private def checkKeys(keys: Seq[String], fn: String): Unit = {
+    val clash = keys.intersect(Reserved)
+    require(clash.isEmpty,
+      s"Hll.$fn: key column(s) ${clash.mkString(", ")} collide with the " +
+        s"sketch's working columns (${Reserved.mkString(", ")}); rename them")
+  }
+
   private def alpha: Column =
     lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0))
 
@@ -46,6 +59,7 @@ object Hll {
     * rank observed. Union two sketches and re-run `max(rank)` per
     * bucket to merge them. */
   def sketch(df: DataFrame, keys: Seq[String], value: Column): DataFrame = {
+    checkKeys(keys, "sketch")
     val (bucket, rank) = bucketRank(value)
     df.select(keys.map(col) :+ bucket :+ rank: _*)
       .groupBy(keys.map(col) :+ col("bucket"): _*)
@@ -53,10 +67,12 @@ object Hll {
   }
 
   /** Merge two sketches over the same key space (bucket-wise max). */
-  def merge(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame =
+  def merge(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame = {
+    checkKeys(keys, "merge")
     a.unionByName(b)
       .groupBy(keys.map(col) :+ col("bucket"): _*)
       .agg(max("rank").as("rank"))
+  }
 
   /** Finalize a sketch into (keys..., nb, hll_est): nb = buckets hit,
     * hll_est = alpha * m^2 / sum(2^-M) with unseen buckets at M=0 —
@@ -66,6 +82,7 @@ object Hll {
     * decimals. The denominator is summed as exact longs (scaled by
     * 2^53) before the single double division. */
   def estimate(sk: DataFrame, keys: Seq[String]): DataFrame = {
+    checkKeys(keys, "estimate")
     val two53 = 9007199254740992L // 2^53
     val raw = alpha * lit(65536.0) * lit(two53.toDouble) /
       (col("sp") + (lit(256L) - col("nb")) * lit(two53)).cast("double")

@@ -16,10 +16,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * identically). DuckDB mirrors it exactly as `nfc_normalize(s)`, so
   * the pass stays oracle-checkable.
   *
-  * The ASCII fast path matters at scale: `Normalizer.isNormalized` is a
-  * cheap scan that short-circuits allocation for the overwhelmingly
-  * common already-NFC case, so the pass runs near memcpy speed over a
-  * mostly-ASCII corpus; compiled into the surrounding whole-stage loop.
+  * The ASCII fast path matters at scale: pure-ASCII input is detected
+  * on the raw UTF-8 bytes and returned with zero allocation, so the
+  * pass runs near memcpy speed over a mostly-ASCII corpus; non-ASCII
+  * but already-NFC strings still avoid the normalize allocation via
+  * `Normalizer.isNormalized`; compiled into the surrounding
+  * whole-stage loop.
   */
 case class NfcNormalize(child: Expression) extends UnaryExpression {
 
@@ -49,8 +51,13 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
 
 object NfcNormalize {
 
-  /** JVM kernel; returns the input object untouched when already NFC. */
+  /** JVM kernel; returns the input object untouched when already NFC.
+    * Pure-ASCII input (the common case in a web corpus) is detected on
+    * the raw UTF-8 bytes and returns with zero allocation; only
+    * non-ASCII strings pay the toString + isNormalized scan, and only
+    * genuinely non-NFC strings pay the normalize. */
   def nfc(s: UTF8String): UTF8String = {
+    if (s.isFullAscii) return s // ASCII is closed under NFC
     val str = s.toString
     if (Normalizer.isNormalized(str, Normalizer.Form.NFC)) s
     else UTF8String.fromString(Normalizer.normalize(str, Normalizer.Form.NFC))

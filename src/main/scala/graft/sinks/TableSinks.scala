@@ -209,10 +209,25 @@ object TableSinks {
               .filter(_.getPath.toDotString == colName)
               .map { c =>
                 val st = c.getStatistics
-                (st.genericGetMin.asInstanceOf[Number].longValue(),
-                  st.genericGetMax.asInstanceOf[Number].longValue())
+                if (st == null || st.isEmpty)
+                  throw new IllegalArgumentException(
+                    s"fileRangesOf: no statistics for column '$colName' in " +
+                      s"${f.getPath.getName} (stats absent from footer)")
+                (st.genericGetMin, st.genericGetMax) match {
+                  case (mn: Number, mx: Number) =>
+                    (mn.longValue(), mx.longValue())
+                  case (mn, _) => throw new IllegalArgumentException(
+                    s"fileRangesOf: column '$colName' in ${f.getPath.getName} " +
+                      s"has non-numeric stats (${mn.getClass.getSimpleName}); " +
+                      "only integral columns are supported")
+                }
               }
           }
+          if (ranges.isEmpty)
+            throw new IllegalArgumentException(
+              s"fileRangesOf: column '$colName' not found in " +
+                s"${f.getPath.getName} — check the name (nested columns use " +
+                "dot paths)")
           (f.getPath.getName, ranges.map(_._1).min, ranges.map(_._2).max)
         } finally reader.close()
       }

@@ -46,4 +46,25 @@ class GraftExtensionsSpec extends SparkSpec {
     an[org.apache.spark.sql.AnalysisException] should be thrownBy
       spark.sql("SELECT nfc_normalize(42)").collect()
   }
+
+  test("byte_stride rejects a non-literal, NULL, or non-positive stride cleanly") {
+    GraftExtensions.register(spark)
+    // a valid call still works
+    spark.sql("SELECT byte_stride(CAST('abcdef' AS BINARY), 2) AS b")
+      .head.getAs[Array[Byte]](0) shouldBe "ace".getBytes
+    def failsWith(sql: String, fragment: String): Unit = {
+      val e = the[org.apache.spark.sql.AnalysisException] thrownBy
+        spark.sql(sql).collect()
+      e.getMessage should include("byte_stride")
+      e.getMessage should include(fragment)
+    }
+    failsWith(
+      "SELECT byte_stride(CAST(CAST(id AS STRING) AS BINARY), CAST(id AS INT)) " +
+        "FROM range(3)",
+      "not a constant")
+    failsWith("SELECT byte_stride(CAST('ab' AS BINARY), CAST(NULL AS INT))",
+      "NULL")
+    failsWith("SELECT byte_stride(CAST('ab' AS BINARY), 0)", "stride is 0")
+    failsWith("SELECT byte_stride(CAST('ab' AS BINARY))", "argument")
+  }
 }

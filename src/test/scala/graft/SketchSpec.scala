@@ -76,4 +76,13 @@ class SketchSpec extends SparkSpec {
     // exactly (max is associative), not just approximately
     merged.collect().toSet shouldBe whole.collect().toSet
   }
+
+  test("HLL rejects key columns that collide with its working columns") {
+    import graft.functions.Hll
+    val df = events.withColumnRenamed("event_type", "bucket")
+    val e = the[IllegalArgumentException] thrownBy
+      Hll.sketch(df, Seq("bucket"), $"user_id")
+    e.getMessage should include("bucket")
+    e.getMessage should include("rename")
+  }
 }

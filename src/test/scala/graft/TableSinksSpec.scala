@@ -162,4 +162,18 @@ class TableSinksSpec extends SparkSpec {
     val hit = spark.read.parquet(dir).filter($"k" === 500L)
     hit.count() shouldBe df.filter($"k" === 500L).count()
   }
+
+  test("fileRangesOf names the column and file on a bad column") {
+    val dir = tmp() + "/ranges_guard"
+    val df = spark.range(0, 100).select(col("id").as("k"),
+      concat(lit("s"), col("id")).as("s"))
+    TableSinks.writeClustered(df, dir, "k", numFiles = 2)
+    val missing = the[IllegalArgumentException] thrownBy
+      TableSinks.fileRangesOf(spark, dir, "no_such_col")
+    missing.getMessage should include("no_such_col")
+    missing.getMessage should include(".parquet")
+    val nonNumeric = the[IllegalArgumentException] thrownBy
+      TableSinks.fileRangesOf(spark, dir, "s")
+    nonNumeric.getMessage should include("non-numeric")
+  }
 }
