@@ -15,6 +15,12 @@ object TextQueries {
   /** Oracle mirror of TextFns.normalize. */
   private val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
+  /** The production PII regexes, embedded verbatim in the oracle SQL —
+    * RE2-safe (no lookarounds/backrefs) so DuckDB replays them exactly. */
+  private val EmailReSql = TextFns.EmailRe
+  private val IpReSql = TextFns.IpRe
+  private val PhoneReSql = TextFns.PhoneRe
+
   private val stopList =
     TextFns.Stopwords.map(w => s"'$w'").mkString("(", ",", ")")
 
@@ -363,6 +369,64 @@ object TextQueries {
         .withColumn("cum_before",
           coalesce(sum("n_tok").over(w), lit(0L)))
         .filter(col("cum_before") < 1500)
+        .orderBy("doc_id")
+    },
+
+    // PII scrub (TextFns.redactPii + piiCounts) over a deterministic
+    // synthetic-PII fixture: the corpus carries no real PII, so each
+    // doc gets an email, an IPv4 and a phone number derived from its
+    // doc_id (same derivation on both engines), prefixed to a fragment
+    // of the real text. The scrub itself is the production regex chain
+    // — a pure codegen'd map at scan speed, the shape a 100 TB
+    // pre-training scrub pass needs.
+    "t16_pii_redact" -> Q(
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |         'User ' || CAST(doc_id AS VARCHAR)
+         |           || ' <user' || CAST(doc_id AS VARCHAR)
+         |           || '@mail' || CAST(doc_id % 7 AS VARCHAR)
+         |           || '.example.com> from '
+         |           || CAST(doc_id % 256 AS VARCHAR) || '.'
+         |           || CAST((doc_id * 7) % 256 AS VARCHAR) || '.'
+         |           || CAST((doc_id * 13) % 256 AS VARCHAR) || '.'
+         |           || CAST(doc_id % 100 AS VARCHAR)
+         |           || ' call +' || CAST(1 + doc_id % 9 AS VARCHAR)
+         |           || ' (' || CAST(200 + doc_id % 700 AS VARCHAR)
+         |           || ') ' || CAST(300 + doc_id % 600 AS VARCHAR)
+         |           || '-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+         |           || ' :: ' || substr(text, 1, 48) AS pii
+         |  FROM documents)
+         |SELECT doc_id,
+         |       regexp_replace(regexp_replace(regexp_replace(pii,
+         |         '$EmailReSql', '<EMAIL>', 'g'),
+         |         '$IpReSql', '<IP>', 'g'),
+         |         '$PhoneReSql', '<PHONE>', 'g') AS redacted,
+         |       len(regexp_extract_all(pii, '$EmailReSql', 0)) AS emails,
+         |       len(regexp_extract_all(pii, '$IpReSql', 0)) AS ips,
+         |       len(regexp_extract_all(
+         |         regexp_replace(pii, '$EmailReSql', ' ', 'g'),
+         |         '$PhoneReSql', 0)) AS phones
+         |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val id = col("doc_id")
+      def str(c: org.apache.spark.sql.Column) = c.cast("string")
+      val pii = concat(
+        lit("User "), str(id), lit(" <user"), str(id),
+        lit("@mail"), str(id % 7), lit(".example.com> from "),
+        str(id % 256), lit("."), str((id * 7) % 256), lit("."),
+        str((id * 13) % 256), lit("."), str(id % 100),
+        lit(" call +"), str(id % 9 + 1),
+        lit(" ("), str(id % 700 + 200),
+        lit(") "), str(id % 600 + 300),
+        lit("-"), str(id % 9000 + 1000),
+        lit(" :: "), substring(col("text"), 1, 48))
+      Tables.documents(s, d)
+        .select(col("doc_id"), pii.as("pii"))
+        .select(col("doc_id"),
+          TextFns.redactPii(col("pii")).as("redacted"),
+          TextFns.piiCounts(col("pii")).as("pc"))
+        .select(col("doc_id"), col("redacted"),
+          col("pc.emails").as("emails"), col("pc.ips").as("ips"),
+          col("pc.phones").as("phones"))
         .orderBy("doc_id")
     }
   )
