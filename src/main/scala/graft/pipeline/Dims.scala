@@ -72,4 +72,39 @@ object Dims {
       lit(null).cast("long").as("removed_on"))
     a.union(b)
   }
+
+  /** [[deviceHistory]] with deterministic duplicate ACTIVE rows
+    * injected — every 10th serial repeats its open-interval row. The
+    * corrupted input the dim-repair flow exists to fix (the reference
+    * hits this when an upstream export double-writes history rows). */
+  def deviceHistoryWithDups(spark: SparkSession): DataFrame = {
+    val dup = spark.range(0, MappedUsers)
+      .filter(col("id") % 10 === 0)
+      .select(
+        concat(lit("SN"), col("id").cast("string")).as("serial"),
+        concat(lit("R"), col("id").cast("string"), lit("b")).as("remote_id"),
+        lit(IntervalSplit).as("added_on"),
+        lit(null).cast("long").as("removed_on"))
+    deviceHistory(spark).union(dup)
+  }
+
+  /** Dim-refresh repair (`Set Up Delta Tables/Set up Delta tables for
+    * Slowly changing Data.scala:84-96`): a serial whose ACTIVE rows
+    * (removed_on IS NULL) duplicate within (serial, remote_id) has
+    * corrupt history — drop the whole serial, exactly as the reference
+    * does, and let the next dim export repopulate it. The reference
+    * collects the surviving serials to the driver and filters with
+    * `isin`; here the same set algebra is one left-anti join against
+    * the (tiny, auto-broadcast) dup-serial table — no driver
+    * round-trip, so it holds at any dim size. Idempotent by
+    * construction: a repaired dim has no dup groups, so a second pass
+    * is the identity. */
+  def repairDupActive(hist: DataFrame): DataFrame = {
+    val dupSerials = hist.filter(col("removed_on").isNull)
+      .groupBy("serial", "remote_id")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+      .select("serial").distinct()
+    hist.join(dupSerials, Seq("serial"), "left_anti")
+  }
 }

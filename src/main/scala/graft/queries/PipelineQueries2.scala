@@ -147,6 +147,37 @@ object PipelineQueries2 {
         .orderBy("element", "metric")
     },
 
+    // Dim-refresh repair flow (reference Set Up Delta Tables/...Slowly
+    // changing Data.scala:84-96): detect duplicate ACTIVE device-history
+    // groups, drop the affected serials via anti join (the reference's
+    // except + collect + isin, distributed), yielding the repaired dim
+    // an idempotent overwrite then persists. Dup rows are a
+    // deterministic fixture (every 10th serial double-writes its open
+    // interval) since the clean dim has none to repair.
+    "p18_dim_repair" -> Q(
+      """WITH history AS (
+        |  SELECT 'SN'||u AS serial, 'R'||u||'a' AS remote_id,
+        |         CAST(1704067200 AS BIGINT) AS added_on,
+        |         CAST(1705363200 AS BIGINT) AS removed_on
+        |  FROM range(0,140) t(u)
+        |  UNION ALL
+        |  SELECT 'SN'||u, 'R'||u||'b', 1705363200, NULL FROM range(0,140) t(u)),
+        |corrupt AS (
+        |  SELECT * FROM history
+        |  UNION ALL
+        |  SELECT 'SN'||u, 'R'||u||'b', 1705363200, NULL
+        |  FROM range(0,140) t(u) WHERE u % 10 = 0),
+        |bad AS (
+        |  SELECT serial FROM corrupt WHERE removed_on IS NULL
+        |  GROUP BY serial, remote_id HAVING count(*) > 1)
+        |SELECT serial, remote_id, added_on, removed_on
+        |FROM corrupt WHERE serial NOT IN (SELECT serial FROM bad)
+        |ORDER BY serial, remote_id, added_on""".stripMargin) { (s, _) =>
+      Dims.repairDupActive(Dims.deviceHistoryWithDups(s))
+        .select("serial", "remote_id", "added_on", "removed_on")
+        .orderBy("serial", "remote_id", "added_on")
+    },
+
     // W2 max-over-window latest variant: window max + equality filter
     // instead of row_number (the reference's commented alternative).
     "q29_max_over_window" -> Q(

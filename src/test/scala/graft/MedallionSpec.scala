@@ -84,4 +84,21 @@ class MedallionSpec extends SparkSpec {
     plan should include("BroadcastHashJoin")
     plan should not include "SortMergeJoin"
   }
+
+  test("dim repair drops exactly the dup-active serials, idempotently") {
+    val corrupt = Dims.deviceHistoryWithDups(spark)
+    val repaired = Dims.repairDupActive(corrupt)
+    // 14 serials (every 10th of 140) were double-written; each loses
+    // all 3 of its rows (a-interval + b-interval + dup): 294 -> 252
+    corrupt.count() shouldBe 294L
+    repaired.count() shouldBe 252L
+    repaired.filter(col("removed_on").isNull)
+      .groupBy("serial", "remote_id").count()
+      .filter(col("count") > 1).count() shouldBe 0L
+    // idempotent: a second repair pass is the identity (the overwrite
+    // gate in the reference flow — equal frames means skip the write)
+    val again = Dims.repairDupActive(repaired)
+    again.except(repaired).union(repaired.except(again))
+      .count() shouldBe 0L
+  }
 }
