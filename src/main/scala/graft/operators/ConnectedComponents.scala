@@ -20,8 +20,9 @@ import org.apache.spark.sql.functions._
   * state, label frontier only. Rounds needed = the longest shortest
   * path in any component; near-dup clusters are dense and shallow
   * (diameter 2-4), so convergence is a handful of rounds. Lineage is
-  * truncated every round with an eager localCheckpoint so the plan
-  * doesn't grow with iterations (swap in `checkpoint()` with a reliable
+  * truncated every round with a lazy localCheckpoint whose partitions
+  * the convergence probe materializes — ONE driver action per round —
+  * so the plan doesn't grow with iterations (swap in `checkpoint()` with a reliable
   * checkpoint dir when running on a real cluster where executor loss
   * must be survivable mid-computation). For graphs with long chains
   * (diameter >> log n) prefer a star-contraction variant; that is not
@@ -60,16 +61,20 @@ object ConnectedComponents {
         .select(col("src"), col("src").as("dst")))
       .repartition(col("src"))
       .persist()
-    var labels = und.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint(true)
     // Labels are per-node monotone non-increasing (min always includes
     // the node's own label via the self-loop), so the exact-decimal sum
     // of labels is strictly decreasing until the fixpoint: an unchanged
     // sum IS convergence, with no join against the previous round.
     // decimal(38,0) keeps the check exact where sum(BIGINT) could wrap.
+    // The checkpoint is LAZY and the sum is the round's ONE driver
+    // action: the agg job both materializes the checkpointed partitions
+    // (truncating lineage for the next round's join) and delivers the
+    // convergence probe — not two jobs per round.
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+    var labels = und.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(false)
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
@@ -78,7 +83,7 @@ object ConnectedComponents {
         .join(labels.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(min("label").as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val s = labelSum(next)
       labels = next
       converged = s.compareTo(prevSum) == 0
