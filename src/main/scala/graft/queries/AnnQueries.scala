@@ -213,7 +213,7 @@ object AnnQueries {
     },
 
     // s04's maintenance path run THROUGH the stream: delta vectors
-    // arrive as micro-batches (file stream, 1 file per trigger), each
+    // arrive as micro-batches (file stream, 2 files per trigger), each
     // batch is assigned against the frozen centroids in foreachBatch
     // and MERGEd into the versioned index table — the nightly-ingest
     // topology for a vector store. The final index must land in the
@@ -230,9 +230,11 @@ object AnnQueries {
         Ann.ivfAssignTo(base, cents).drop("vn")
           .withColumn("is_delta", lit(false)),
         Seq("id"), numBuckets = 8)
-      delta.repartition(2).write.parquet(s"$root/delta")
+      // 4 delta files / 2 per trigger: still two MERGE cycles (the
+      // topology under test) but each micro-batch carries >1 file
+      delta.repartition(4).write.parquet(s"$root/delta")
       val q = s.readStream.schema(delta.schema)
-        .option("maxFilesPerTrigger", 1).parquet(s"$root/delta")
+        .option("maxFilesPerTrigger", 2).parquet(s"$root/delta")
         .writeStream
         .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
           KeyedUpsert.upsert(s, out,

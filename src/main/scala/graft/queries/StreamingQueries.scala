@@ -46,12 +46,15 @@ object StreamingQueries {
       val topic = s"$root/topic"
       val out = s"$root/rollup"
       val ckpt = s"$root/ckpt"
-      Topic.publishEvents(Tables.events(s, d), topic, nFiles = 2)
+      // 4 files / 2 per trigger: two multi-file micro-batches — the
+      // incremental MERGE path is exercised without paying per-batch
+      // commit machinery for single-file batches
+      Topic.publishEvents(Tables.events(s, d), topic, nFiles = 4)
       // retention wide enough that the shuffled replay has no late drops:
       // the bounded run must converge to the batch-exact state
       withShufflePartitions(s, 8) {
         StreamingMedallion.runDayRollup(s, topic, out, ckpt,
-          maxFilesPerTrigger = 1, numBuckets = 8, dedupRetention = "3650 days")
+          maxFilesPerTrigger = 2, numBuckets = 8, dedupRetention = "3650 days")
       }
       KeyedUpsert.read(s, out)
         .select("id", "bucket_ts", "remote_id", "metric_id", "provider_id",
@@ -76,10 +79,10 @@ object StreamingQueries {
           |  FROM gold) WHERE rn = 1
           |ORDER BY id""".stripMargin) { (s, d) =>
       val root = freshDir(s"st02-${d.replaceAll("[^0-9a-zA-Z.]", "_")}")
-      Topic.publishEvents(Tables.events(s, d), s"$root/topic", nFiles = 2)
+      Topic.publishEvents(Tables.events(s, d), s"$root/topic", nFiles = 4)
       withShufflePartitions(s, 8) {
         StreamingMedallion.runLatest(s, s"$root/topic", s"$root/latest",
-          s"$root/ckpt", maxFilesPerTrigger = 1, numBuckets = 8)
+          s"$root/ckpt", maxFilesPerTrigger = 2, numBuckets = 8)
       }
       KeyedUpsert.read(s, s"$root/latest")
         .select(graft.functions.Fns.servingId(col("remote_id"),
@@ -306,7 +309,7 @@ object StreamingQueries {
       Topic.publishEvents(Tables.events(s, d), s"$root/topic", nFiles = 4)
       withShufflePartitions(s, 8) {
         val src = Topic.decodeEvents(
-          Topic.readStream(s, s"$root/topic", maxFilesPerTrigger = 1))
+          Topic.readStream(s, s"$root/topic", maxFilesPerTrigger = 2))
         // DECIMAL sum: session partials accumulate in arrival order in
         // the state store — only an order-independent sum is batch-exact
         val agg = src
