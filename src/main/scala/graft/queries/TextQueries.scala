@@ -21,6 +21,17 @@ object TextQueries {
   private val IpReSql = TextFns.IpRe
   private val PhoneReSql = TextFns.PhoneRe
 
+  /** DuckDB replay of TextFns.bpeMergeTokenCount: the IDENTICAL merge
+    * chain generated from the same TextFns.BpeMerges table (one
+    * replace() per rule, chr(1) as the symbol separator), so the two
+    * engines cannot drift apart rule-by-rule. */
+  private val bpeChainSql: String =
+    TextFns.BpeMerges.foldLeft(
+      "regexp_replace(norm, '(.)', '\\1' || chr(1), 'g')") {
+      case (acc, (a, b)) =>
+        s"replace($acc, '$a'||chr(1)||'$b'||chr(1), '$a$b'||chr(1))"
+    }
+
   private val stopList =
     TextFns.Stopwords.map(w => s"'$w'").mkString("(", ",", ")")
 
@@ -427,6 +438,25 @@ object TextQueries {
         .select(col("doc_id"), col("redacted"),
           col("pc.emails").as("emails"), col("pc.ips").as("ips"),
           col("pc.phones").as("phones"))
+        .orderBy("doc_id")
+    },
+
+    // true merge-table BPE token accounting (vs t01's regex proxy):
+    // rank-ordered merges over character symbols, the real budget-math
+    // tokenizer shape. The oracle runs the generated-from-the-same-
+    // table replace chain, so a merge-table edit breaks the hash
+    // instead of silently skewing counts.
+    "t17_bpe_tokens" -> Q(
+      s"""WITH n AS (SELECT doc_id, $norm AS norm FROM documents),
+         |e AS (SELECT doc_id, norm, $bpeChainSql AS enc FROM n)
+         |SELECT doc_id,
+         |       len(string_split(norm, ' ')) AS n_words,
+         |       length(enc) - length(replace(enc, chr(1), ''))
+         |         - (length(norm) - length(replace(norm, ' ', ''))) AS n_bpe
+         |FROM e ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+          TextFns.tokenCount(col("text")).as("n_words"),
+          TextFns.bpeMergeTokenCount(col("text")).as("n_bpe"))
         .orderBy("doc_id")
     }
   )

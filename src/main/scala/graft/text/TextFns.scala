@@ -30,6 +30,47 @@ object TextFns {
     size(regexp_extract_all(normalize(text), lit(BpeTokenRe), lit(0)))
       .cast("long")
 
+  /** Merge table for [[bpeMergeTokenCount]] — a real (small) BPE merge
+    * list in learned-rank order, English-bigram shaped. Invariant the
+    * list maintains BY CONSTRUCTION: a merge that consumes a composite
+    * symbol ("th"+"e") appears after the merge that creates it, and no
+    * merge's output enables a pair of EARLIER rank — so one ordered
+    * pass over the table equals the iterative min-rank BPE encode
+    * (property-pinned against a reference implementation in
+    * TextFnsSpec). Swap in a learned table of the same shape for a
+    * production vocabulary. */
+  val BpeMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("i", "n"), ("a", "n"), ("e", "r"), ("o", "n"),
+    ("r", "e"), ("h", "e"), ("a", "t"), ("e", "n"), ("o", "r"),
+    ("e", "s"), ("s", "t"), ("th", "e"), ("an", "d"), ("in", "g"),
+    ("o", "u"), ("i", "t"), ("i", "s"), ("a", "l"), ("a", "r"))
+
+  /** Symbol separator for the BPE working encoding; U+0001 never occurs
+    * in corpus text. */
+  val BpeSep = "\u0001"
+
+  /** True merge-table BPE token count: every character of the
+    * normalized text starts as a symbol, each merge rule rewrites its
+    * symbol pair (applied globally, left-to-right, in rank order — see
+    * [[BpeMerges]] for why that equals iterative min-rank encoding),
+    * and the count is the surviving non-whitespace symbols. Merges
+    * never contain the space symbol, so pairs cannot span words —
+    * doc-level application is identical to per-word application.
+    * Pure codegen'd string passes (one `replace` per rule), map-side at
+    * scan speed; the DuckDB oracle replays the identical replace chain. */
+  def bpeMergeTokenCount(text: Column,
+      merges: Seq[(String, String)] = BpeMerges): Column = {
+    val norm = normalize(text)
+    val chars = regexp_replace(norm, "(.)", "$1" + BpeSep)
+    val enc = merges.foldLeft(chars) { case (acc, (a, b)) =>
+      call_function("replace", acc, lit(a + BpeSep + b + BpeSep),
+        lit(a + b + BpeSep))
+    }
+    val nSymbols = length(enc) - length(translate(enc, BpeSep, ""))
+    val nSpaces = length(norm) - length(translate(norm, " ", ""))
+    (nSymbols - nSpaces).cast("long")
+  }
+
   /** Count of tokens that appear in `vocab`. */
   def vocabHits(text: Column, vocab: Seq[String]): Column =
     size(filter(words(text), w => w.isin(vocab.map(lit(_)): _*))).cast("long")

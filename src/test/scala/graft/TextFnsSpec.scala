@@ -35,6 +35,59 @@ class TextFnsSpec extends SparkSpec {
     one[String](TextFns.profileId($"text", profiles), "x y") shouldBe "A" // tie
   }
 
+  /** Reference iterative min-rank BPE encode (the huggingface/
+    * subword-nmt algorithm): repeatedly merge ALL occurrences of the
+    * lowest-ranked adjacent pair until none applies. The Column
+    * implementation is a single ordered pass over the merge table;
+    * BpeMerges is constructed so the two are equivalent — this test
+    * pins that claim against real corpus text. */
+  private def refBpeCount(text: String): Long = {
+    val rank = TextFns.BpeMerges.zipWithIndex.toMap
+    val norm = text.toLowerCase.replaceAll("\\s+", " ").trim
+    if (norm.isEmpty) return 0L
+    norm.split(" ").filter(_.nonEmpty).map { w =>
+      var syms = w.map(_.toString).toVector
+      var done = false
+      while (!done) {
+        val cands = syms.zip(syms.drop(1)).filter(rank.contains)
+        if (cands.isEmpty) done = true
+        else {
+          val (a, b) = cands.minBy(rank)
+          val buf = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              buf += (a + b); i += 2
+            } else { buf += syms(i); i += 1 }
+          }
+          syms = buf.result()
+        }
+      }
+      syms.length.toLong
+    }.sum
+  }
+
+  test("merge-table BPE count equals iterative min-rank BPE on the corpus") {
+    // targeted shapes first: chained merges (t+h then th+e), digits,
+    // punctuation, repeated pairs
+    Seq("the thin threads", "aaa", "standing orders", "a1 b2!",
+      "the the the", "x").foreach { s =>
+      withClue(s"text='$s': ") {
+        one[Long](TextFns.bpeMergeTokenCount($"text"), s) shouldBe
+          refBpeCount(s)
+      }
+    }
+    // then every document in the corpus
+    val docs = graft.sources.Tables.documents(spark, SfDir)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val got = graft.sources.Tables.documents(spark, SfDir)
+      .select($"doc_id", TextFns.bpeMergeTokenCount($"text").as("n"))
+      .as[(Long, Long)].collect().toMap
+    docs.foreach { case (id, text) =>
+      withClue(s"doc $id: ") { got(id) shouldBe refBpeCount(text) }
+    }
+  }
+
   test("rolling fingerprint matches the hand-computed chain") {
     // "ab c" -> codes a=97 b=98 ' '=32 c=99
     val expect = ((97L * 31 + 98) * 31 + 32) * 31 + 99
