@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** 10x scale probe for the dedup/ANN family (recorded in BASELINE.md):
+  * synthesizes a corpus of `copies` perturbed copies of the bench
+  * tables under /tmp, runs the bucketed dedup + ANN queries on the 1x
+  * and Nx corpora in the same JVM, and prints one JSON line with
+  * per-query seconds, output rows and the `graft.lsh.*` hot-bucket
+  * drop metrics — converting the "survives 100x" argument from
+  * plan-reading to measurement.
+  *
+  * The copies are NEAR-DUPLICATES of the originals by construction
+  * (suffixed text, slightly shifted vectors), which multiplies cluster
+  * density as well as corpus size — deliberately the adversarial
+  * direction for LSH/bucketing operators.
+  *
+  * Run: `SPARK_GRAFT_SCALE_COPIES=10 sbt "runMain graft.ScaleProbe"`.
+  */
+object ScaleProbe {
+
+  /** The bucketed-candidate operators the probe exists to stress, plus
+    * the labeled exact baselines (d05) for the all-pairs cost contrast. */
+  private val Subset = Seq(
+    "d02_ngram_jaccard", "d03_minhash_lsh", "d04_simhash",
+    "d05_cosine_neardup", "d06_cosine_neardup_lsh", "d07_dedup_clusters",
+    "s02_ann_lsh", "s03_ann_ivf")
+
+  /** Copy k keeps ids disjoint by a fixed stride. */
+  private val IdStride = 10000000L
+
+  private def synthesize(spark: SparkSession, src: String, dir: String,
+      copies: Int): Unit = {
+    if (new java.io.File(s"$dir/_READY").exists()) return
+    val docs = sources.Tables.documents(spark, src)
+    (0 until copies).map { k =>
+      val suffix = s" variant $k"
+      if (k == 0) docs
+      else docs.select(
+        (col("doc_id") + lit(k * IdStride)).as("doc_id"),
+        concat(col("text"), lit(suffix)).as("text"),
+        col("lang"), col("source"),
+        (col("n_chars") + lit(suffix.length.toLong)).as("n_chars"))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val emb = sources.Tables.embeddings(spark, src)
+    (0 until copies).map { k =>
+      if (k == 0) emb
+      else emb.select(
+        (col("vec_id") + lit(k * IdStride)).as("vec_id"),
+        transform(col("embedding"),
+          x => (x * lit(1.0f + 0.01f * k) + lit(0.001f * k)).cast("float"))
+          .as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    new java.io.File(s"$dir/_READY").createNewFile()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
+    val dir =
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", s"/tmp/graft-scale$copies")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.register(spark)
+
+    // hot-bucket drop counters, summed per metric name across the run
+    val drops = scala.collection.concurrent.TrieMap[String, Long]()
+    spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(fn: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            if (name.startsWith("graft.lsh."))
+              drops.put(name,
+                drops.getOrElse(name, 0L) + row.getAs[Long]("dropped_rows"))
+          }
+        override def onFailure(fn: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            e: Exception): Unit = ()
+      })
+
+    synthesize(spark, src, dir, copies)
+
+    // Bench-style untimed warm-up (JIT/codegen/footer costs)
+    val wdocs = sources.Tables.documents(spark, src)
+    wdocs.join(wdocs.select("doc_id"), "doc_id").agg(count(lit(1))).collect()
+
+    def runSet(d: String): Seq[(String, Double, Long)] = Subset.map { n =>
+      val t0 = System.nanoTime()
+      val rows = SparkEntry.queries(n)(spark, d).count()
+      (n, (System.nanoTime() - t0) / 1e9, rows)
+    }
+
+    val base = runSet(src)
+    drops.clear() // report drop metrics for the scaled corpus only
+    val scaled = runSet(dir)
+
+    // The two hyperplane-LSH consumers again, with planesPerTable sized
+    // to the corpus (Ann.planesFor): the fixed 3-plane default has only
+    // 64 buckets total, so its bucket join degenerates toward all-pairs
+    // as the corpus grows — sized planes restore bucket-local work.
+    val emb = sources.Tables.embeddings(spark, dir)
+    val planes = vector.Ann.planesFor(emb.count())
+    val sized = Seq(
+      "d06_sized" -> (() => text.Dedup.cosineNearDupPairsLsh(
+        emb, planesPerTable = planes).count()),
+      "s02_sized" -> (() => vector.Ann.lshTopK(
+        emb.filter(col("vec_id") % 25 === 0), emb, k = 3,
+        planesPerTable = planes).count())
+    ).map { case (n, f) =>
+      val t0 = System.nanoTime()
+      val rows = f()
+      (n, (System.nanoTime() - t0) / 1e9, rows)
+    }
+
+    def js(rs: Seq[(String, Double, Long)]): String =
+      rs.map { case (n, t, r) =>
+        f"""\"$n\":{\"sec\":$t%.3f,\"rows\":$r}"""
+      }.mkString("{", ",", "}")
+    val dropJs = drops.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_probe","copies":$copies,""" +
+      s""""base":${js(base)},"scaled":${js(scaled)},""" +
+      s""""scaled_sized":${js(sized)},"planes_sized":$planes,""" +
+      s""""scaled_drops":$dropJs,"sf":"$src"}""")
+    spark.stop()
+  }
+}

@@ -302,8 +302,11 @@ object Dedup {
     * sharing any multi-table hyperplane bucket (graft.vector.Ann),
     * then exact cosine. The 100 TB path — candidate generation is a
     * bucket-key shuffle, recall governed by the table construction.
-    * Buckets above `maxBucketSize` are dropped and surfaced via the
-    * "graft.lsh.cosine" observation. */
+    * `planesPerTable` MUST grow with the corpus (the per-bucket join is
+    * quadratic in occupancy — size it with
+    * [[graft.vector.Ann.planesFor]]; BASELINE.md §4 has the measured
+    * blowup at a fixed 3 planes). Buckets above `maxBucketSize` are
+    * dropped and surfaced via the "graft.lsh.cosine" observation. */
   def cosineNearDupPairsLsh(emb: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", minCos: Double = 0.4,
       dim: Int = 64, planesPerTable: Int = 3, nTables: Int = 8,

@@ -65,6 +65,13 @@ class AnnSpec extends SparkSpec {
     mismatches.count() shouldBe 0
   }
 
+  test("planesFor sizes the per-table bucket count to the corpus") {
+    Ann.planesFor(2000) shouldBe 3 // bench scale == the oracled default
+    Ann.planesFor(20000) shouldBe 7 // the 10x probe corpus
+    Ann.planesFor(0) shouldBe 3 // degenerate corpora keep the floor
+    Ann.planesFor(1000000000L) shouldBe 22 // 1B vectors -> 4M buckets/table
+  }
+
   test("IVF assignment covers the corpus; probing beats single-list recall") {
     val assign = Ann.ivfAssign(emb)
     assign.count() shouldBe emb.count() // every vector lands in one list
