@@ -27,6 +27,46 @@ object AnnQueries {
 
   private val cosExpr = "list_dot_product(q.vn, c.vn)"
 
+  /** Full-corpus IVF centroid build (first-16 seed + two exact-decimal
+    * Lloyd passes) ending in the per-vector `assign(id, vn, cid)` CTE —
+    * the shared prefix of s03 (probing top-k) and s07 (semantic dedup). */
+  private val ivfAssignCte =
+    vCte +
+      s"""cent0 AS (SELECT vec_id AS cid, vn AS cv FROM n WHERE vec_id < 16),
+         |a0 AS (
+         |  SELECT id, vn, cid FROM (
+         |    SELECT n.vec_id AS id, n.vn, c.cid,
+         |           row_number() OVER (PARTITION BY n.vec_id
+         |             ORDER BY list_dot_product(n.vn, c.cv) DESC, c.cid) AS rn
+         |    FROM n CROSS JOIN cent0 c) WHERE rn = 1),
+         |s1 AS (
+         |  SELECT cid, i, SUM(CAST(vn[i] AS DECIMAL(30,15))) AS s
+         |  FROM a0, range(1, 65) t(i) GROUP BY cid, i),
+         |r1 AS (SELECT cid, list(CAST(s AS DOUBLE) ORDER BY i) AS cv
+         |       FROM s1 GROUP BY cid),
+         |cent1 AS (SELECT cid, list_transform(cv,
+         |            x -> x / sqrt(list_dot_product(cv, cv))) AS cv FROM r1),
+         |a1 AS (
+         |  SELECT id, vn, cid FROM (
+         |    SELECT n.vec_id AS id, n.vn, c.cid,
+         |           row_number() OVER (PARTITION BY n.vec_id
+         |             ORDER BY list_dot_product(n.vn, c.cv) DESC, c.cid) AS rn
+         |    FROM n CROSS JOIN cent1 c) WHERE rn = 1),
+         |s2 AS (
+         |  SELECT cid, i, SUM(CAST(vn[i] AS DECIMAL(30,15))) AS s
+         |  FROM a1, range(1, 65) t(i) GROUP BY cid, i),
+         |r2 AS (SELECT cid, list(CAST(s AS DOUBLE) ORDER BY i) AS cv
+         |       FROM s2 GROUP BY cid),
+         |cent AS (SELECT cid, list_transform(cv,
+         |           x -> x / sqrt(list_dot_product(cv, cv))) AS cv FROM r2),
+         |assign AS (
+         |  SELECT id, vn, cid FROM (
+         |    SELECT n.vec_id AS id, n.vn, c.cid,
+         |           row_number() OVER (PARTITION BY n.vec_id
+         |             ORDER BY list_dot_product(n.vn, c.cv) DESC, c.cid) AS rn
+         |    FROM n CROSS JOIN cent c) WHERE rn = 1),
+         |""".stripMargin
+
   /** Shared oracle for s04/s06: per-list occupancy of the IVF index
     * after a base build + frozen-centroid delta assignment (s06 reaches
     * the same state through streamed micro-batch upserts). */
@@ -137,41 +177,8 @@ object AnnQueries {
     // bit-for-bit); queries probe their 2 nearest lists, exact ranking
     // inside.
     "s03_ann_ivf" -> Q(
-      vCte +
-        s"""cent0 AS (SELECT vec_id AS cid, vn AS cv FROM n WHERE vec_id < 16),
-           |a0 AS (
-           |  SELECT id, vn, cid FROM (
-           |    SELECT n.vec_id AS id, n.vn, c.cid,
-           |           row_number() OVER (PARTITION BY n.vec_id
-           |             ORDER BY list_dot_product(n.vn, c.cv) DESC, c.cid) AS rn
-           |    FROM n CROSS JOIN cent0 c) WHERE rn = 1),
-           |s1 AS (
-           |  SELECT cid, i, SUM(CAST(vn[i] AS DECIMAL(30,15))) AS s
-           |  FROM a0, range(1, 65) t(i) GROUP BY cid, i),
-           |r1 AS (SELECT cid, list(CAST(s AS DOUBLE) ORDER BY i) AS cv
-           |       FROM s1 GROUP BY cid),
-           |cent1 AS (SELECT cid, list_transform(cv,
-           |            x -> x / sqrt(list_dot_product(cv, cv))) AS cv FROM r1),
-           |a1 AS (
-           |  SELECT id, vn, cid FROM (
-           |    SELECT n.vec_id AS id, n.vn, c.cid,
-           |           row_number() OVER (PARTITION BY n.vec_id
-           |             ORDER BY list_dot_product(n.vn, c.cv) DESC, c.cid) AS rn
-           |    FROM n CROSS JOIN cent1 c) WHERE rn = 1),
-           |s2 AS (
-           |  SELECT cid, i, SUM(CAST(vn[i] AS DECIMAL(30,15))) AS s
-           |  FROM a1, range(1, 65) t(i) GROUP BY cid, i),
-           |r2 AS (SELECT cid, list(CAST(s AS DOUBLE) ORDER BY i) AS cv
-           |       FROM s2 GROUP BY cid),
-           |cent AS (SELECT cid, list_transform(cv,
-           |           x -> x / sqrt(list_dot_product(cv, cv))) AS cv FROM r2),
-           |assign AS (
-           |  SELECT id, vn, cid FROM (
-           |    SELECT n.vec_id AS id, n.vn, c.cid,
-           |           row_number() OVER (PARTITION BY n.vec_id
-           |             ORDER BY list_dot_product(n.vn, c.cv) DESC, c.cid) AS rn
-           |    FROM n CROSS JOIN cent c) WHERE rn = 1),
-           |probes AS (
+      ivfAssignCte +
+        s"""probes AS (
            |  SELECT q, qv, cid FROM (
            |    SELECT n.vec_id AS q, n.vn AS qv, c.cid,
            |           row_number() OVER (PARTITION BY n.vec_id
@@ -188,6 +195,45 @@ object AnnQueries {
       Ann.ivfTopK(emb.filter(col("vec_id") % 25 === 0), emb, k = 3,
           nCentroids = 16, nProbe = 2)
         .orderBy("q", "rank")
+    },
+
+    // SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:
+    // 2303.09540): cluster the corpus by IVF centroid, then inside each
+    // cluster drop every vector that has a LOWER-id neighbor above the
+    // cosine threshold — clustering is what makes the pairwise pass
+    // tractable (per-list quadratic, never corpus-quadratic; at 100 TB
+    // the list count grows with the corpus so list size stays bounded).
+    // Deterministic keep rule (min id per near-dup group's chain), so
+    // both engines agree exactly. Output is per-cluster accounting.
+    "s07_semantic_dedup" -> Q(
+      ivfAssignCte +
+        """pairs AS (
+          |  SELECT a.cid, b.id AS dropped
+          |  FROM assign a JOIN assign b
+          |    ON a.cid = b.cid AND a.id < b.id
+          |  WHERE list_dot_product(a.vn, b.vn) >= 0.4),
+          |d AS (SELECT DISTINCT cid, dropped FROM pairs)
+          |SELECT assign.cid, count(*) AS n_total,
+          |       count(d.dropped) AS n_dropped,
+          |       count(*) - count(d.dropped) AS n_kept
+          |FROM assign LEFT JOIN d
+          |  ON assign.cid = d.cid AND assign.id = d.dropped
+          |GROUP BY assign.cid ORDER BY assign.cid""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val assign = Ann.ivfAssign(emb, nCentroids = 16)
+      val a = assign.select(col("cid"), col("id").as("a"), col("vn").as("va"))
+      val b = assign.select(col("cid"), col("id").as("b"), col("vn").as("vb"))
+      val dropped = a.join(b, Seq("cid")).filter(col("a") < col("b"))
+        .filter(graft.vector.VectorFns.dot(col("va"), col("vb")) >= 0.4)
+        .select(col("cid"), col("b").as("id")).distinct()
+      assign.select("cid", "id")
+        .join(dropped.withColumn("is_dropped", lit(1)), Seq("cid", "id"),
+          "left")
+        .groupBy("cid")
+        .agg(count(lit(1)).as("n_total"),
+          count(col("is_dropped")).as("n_dropped"),
+          (count(lit(1)) - count(col("is_dropped"))).as("n_kept"))
+        .orderBy("cid")
     },
 
     // incremental IVF maintenance: centroids are built on the base

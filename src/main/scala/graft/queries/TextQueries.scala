@@ -458,6 +458,52 @@ object TextQueries {
           TextFns.tokenCount(col("text")).as("n_words"),
           TextFns.bpeMergeTokenCount(col("text")).as("n_bpe"))
         .orderBy("doc_id")
+    },
+
+    // cross-document boilerplate detection: 8-word passages that repeat
+    // across >= 3 distinct documents are template/boilerplate text (the
+    // C4-style cleanup pass at passage granularity, complementing t07's
+    // INTRA-doc repetition and t12's overlap vs a fixed eval set).
+    // Shape: window explode -> hash-agg passage frequencies -> semi
+    // join back; every stage is passage/doc-keyed shuffle work with
+    // map-side partials, no driver state — scan-bound at 100 TB.
+    "t18_boilerplate" -> Q(
+      s"""WITH w AS (SELECT doc_id, string_split($norm, ' ') AS ws
+         |           FROM documents),
+         |p AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(
+         |           range(1, greatest(len(ws) - 7, 0) + 1),
+         |           i -> array_to_string(list_slice(ws, i, i + 7), ' ')))
+         |           AS passage
+         |  FROM w),
+         |f AS (SELECT passage FROM p
+         |      GROUP BY passage HAVING count(DISTINCT doc_id) >= 3)
+         |SELECT doc_id, count(*) AS n_passages,
+         |       count(CASE WHEN passage IN (SELECT passage FROM f)
+         |             THEN 1 END) AS n_boiler
+         |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val k = 8
+      val passages = Tables.documents(s, d)
+        .select(col("doc_id"), TextFns.words(col("text")).as("ws"))
+        .select(col("doc_id"), explode(
+          // guard: sequence(1, 0) counts DOWN in Spark, so short docs
+          // must yield an empty window list, not a reversed one
+          when(size(col("ws")) >= k, transform(
+            sequence(lit(1), size(col("ws")) - (k - 1)),
+            i => concat_ws(" ", slice(col("ws"), i, lit(k)))))
+            .otherwise(array().cast("array<string>"))).as("passage"))
+      val boiler = passages.groupBy("passage")
+        .agg(countDistinct("doc_id").as("n_docs"))
+        .filter(col("n_docs") >= 3)
+        .select("passage")
+      val flagged = passages.join(boiler, Seq("passage"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
+      passages.groupBy("doc_id").agg(count(lit(1)).as("n_passages"))
+        .join(flagged, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_passages"),
+          coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
+        .orderBy("doc_id")
     }
   )
 }

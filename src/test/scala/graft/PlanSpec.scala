@@ -103,7 +103,8 @@ class PlanSpec extends SparkSpec {
     // baselines, and the bounded |corpus| x 16 centroid-assignment
     // passes of the IVF family — everything else must plan key joins
     val crossAllowed = Set("s01_ann_brute", "d05_cosine_neardup",
-      "s03_ann_ivf", "s04_ann_ivf_upsert", "s06_stream_index_update")
+      "s03_ann_ivf", "s04_ann_ivf_upsert", "s06_stream_index_update",
+      "s07_semantic_dedup") // same bounded 16-centroid assignment pass
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, SfDir)
       withClue(s"$name: ") {
