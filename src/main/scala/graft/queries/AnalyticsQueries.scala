@@ -163,6 +163,70 @@ object AnalyticsQueries {
       est.join(exact, "event_type")
         .select("event_type", "nb", "hll_est", "n_exact")
         .orderBy("event_type")
+    },
+
+    // Sketch REAGGREGATION — the pattern that makes sketches worth
+    // storing at 100 TB: per-(event_type, day) HLL sketches are built
+    // once (e.g. at ingest), then a month query merges the day partials
+    // by bucket-wise max instead of rescanning raw events. max is
+    // associative, so the merged estimate must equal the direct
+    // whole-corpus estimate — which is exactly what the oracle computes
+    // (without ever seeing the partials), proving the merge path
+    // cross-engine.
+    "q47_hll_rollup" -> Q(
+      """WITH h AS (
+        |  SELECT event_type, user_id,
+        |         list_reduce(list_transform(
+        |             string_split(md5(CAST(user_id AS VARCHAR)), ''),
+        |             c -> CAST(ascii(c) AS BIGINT)),
+        |           (acc, x) -> (acc * 31 + x) % 1073741789) * 1073741824 +
+        |         list_reduce(list_transform(
+        |             string_split(md5(CAST(user_id AS VARCHAR)), ''),
+        |             c -> CAST(ascii(c) AS BIGINT)),
+        |           (acc, x) -> (acc * 131 + x) % 1073741783) AS hh
+        |  FROM events),
+        |b AS (
+        |  SELECT event_type, hh % 256 AS bucket,
+        |         CASE WHEN hh // 256 = 0 THEN 53
+        |              ELSE 53 - length(bin(hh // 256)) END AS rank
+        |  FROM h),
+        |mx AS (SELECT event_type, bucket, max(rank) AS rank
+        |       FROM b GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT event_type,
+        |         CAST(sum(1::BIGINT << CAST(53 - rank AS INT)) AS BIGINT)
+        |           AS sp,
+        |         count(*) AS nb
+        |  FROM mx GROUP BY 1),
+        |days AS (
+        |  SELECT event_type,
+        |         count(DISTINCT strftime(ts, '%Y-%m-%d')) AS n_days
+        |  FROM events GROUP BY 1),
+        |raw AS (
+        |  SELECT event_type, nb,
+        |         (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+        |           * 9007199254740992.0
+        |           / CAST(sp + (256 - nb) * 9007199254740992 AS DOUBLE) AS r
+        |  FROM agg)
+        |SELECT event_type, n_days, nb,
+        |       round(CASE WHEN r <= 640.0 AND nb < 256
+        |             THEN 256.0 * ln(256.0 / CAST(256 - nb AS DOUBLE))
+        |             ELSE r END, 4) AS hll_est
+        |FROM raw JOIN days USING (event_type)
+        |ORDER BY event_type""".stripMargin) { (s, d) =>
+      import graft.functions.Hll
+      val ev = Tables.events(s, d)
+        .withColumn("day", to_date(col("ts")))
+      // day-partial sketches -> bucket-wise max merge -> month estimate
+      val daySketches = Hll.sketch(ev, Seq("event_type", "day"),
+        col("user_id"))
+      val merged = daySketches.groupBy("event_type", "bucket")
+        .agg(max("rank").as("rank"))
+      Hll.estimate(merged, Seq("event_type"))
+        .join(ev.groupBy("event_type")
+          .agg(countDistinct("day").as("n_days")), "event_type")
+        .select("event_type", "n_days", "nb", "hll_est")
+        .orderBy("event_type")
     }
   )
 }
