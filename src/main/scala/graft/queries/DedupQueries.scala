@@ -281,6 +281,45 @@ object DedupQueries {
           (col("n_shared") * 1.0 / col("n_sh") >= 0.5).cast("bigint")
             .as("contaminated"))
         .orderBy("doc_id")
+    },
+
+    // t12's broadcast-Bloom scale path: the eval set collapses to a
+    // 65536-bit filter and the training scan is one map-side agg — no
+    // shingle join at all. The oracle rebuilds the SAME filter from
+    // bit-position arithmetic (double hashing off the two PolyHash64
+    // folds, exact sub-2^33 integers), so Bloom false positives are
+    // deterministic and cross-engine: n_bloom must hash-match exactly,
+    // not just approximately.
+    "t19_bloom_decontam" -> Q(
+      hashedShingleCtes +
+        """ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+          |bits AS (
+          |  SELECT DISTINCT unnest(list_transform(range(0, 3), j ->
+          |    ((sh // 1073741824) + j * (1 + sh % 1073741824)) % 65536))
+          |    AS pos
+          |  FROM ev),
+          |tr AS (SELECT doc_id, sh FROM sh WHERE doc_id % 97 <> 0),
+          |probes AS (
+          |  SELECT doc_id, sh, unnest(list_transform(range(0, 3), j ->
+          |    ((sh // 1073741824) + j * (1 + sh % 1073741824)) % 65536))
+          |    AS pos
+          |  FROM tr),
+          |hits AS (SELECT doc_id, sh, count(*) AS nhit
+          |         FROM probes JOIN bits USING (pos) GROUP BY 1, 2),
+          |bl AS (SELECT doc_id, count(*) AS n_bloom
+          |       FROM hits WHERE nhit = 3 GROUP BY 1),
+          |sizes AS (SELECT doc_id, count(*) AS n_sh FROM tr GROUP BY 1)
+          |SELECT s.doc_id, s.n_sh, coalesce(b.n_bloom, 0) AS n_bloom,
+          |       CAST(coalesce(b.n_bloom, 0) * 1.0 / s.n_sh >= 0.5
+          |            AS BIGINT) AS contaminated
+          |FROM sizes s LEFT JOIN bl b USING (doc_id)
+          |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.text.Decontaminate.bloomOverlapStats(Tables.documents(s, d),
+          col("doc_id") % 97 === 0, mBits = 1 << 16)
+        .select(col("id").as("doc_id"), col("n_sh"), col("n_bloom"),
+          (col("n_bloom") * 1.0 / col("n_sh") >= 0.5).cast("bigint")
+            .as("contaminated"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -46,4 +46,41 @@ object Decontaminate {
       .select(col("id"), col("n_sh"),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"))
   }
+
+  /** Bloom-filter variant of [[overlapStats]] — the 100 TB shape.
+    *
+    * [[overlapStats]] joins every training shingle against the eval
+    * set; correct, but the corpus side still exchanges (id, hash)
+    * pairs. Here the eval set is folded into a
+    * [[graft.functions.BloomMightContain]] bit array ONCE (bounded
+    * work: at most `mBits` distinct positions come back to the driver,
+    * 128 KB at the 2^20 default ceiling) and the training scan becomes
+    * a single map-side aggregation — no join, nothing but partial
+    * counts travel. The price is a deterministic, engine-replayable
+    * false-positive rate on `n_bloom` (see mBitsFor), which for
+    * drop-if-contaminated gating errs on the safe side.
+    *
+    * @return (id, n_sh, n_bloom): distinct-shingle count and how many
+    *         of them the filter reports as present in the eval set
+    */
+  def bloomOverlapStats(docs: DataFrame, isEval: Column, mBits: Int = 1 << 16,
+      idCol: String = "doc_id", textCol: String = "text", n: Int = 3)
+      : DataFrame = {
+    import graft.functions.BloomMightContain
+    val sh = docs.select(col(idCol).as("id"), isEval.as("is_eval"),
+        explode(graft.functions.ShingleHashes(
+          TextFns.words(col(textCol)), n)).as("sh"))
+      .persist()
+    // <= mBits longs after distinct: bounded driver-side metadata,
+    // same class as IVF's <= 16 centroids.
+    val positions = sh.filter(col("is_eval"))
+      .select(explode(BloomMightContain.probes(col("sh"), mBits)).as("pos"))
+      .distinct().collect().map(_.getLong(0))
+    val words = BloomMightContain.buildWords(positions, mBits)
+    sh.filter(!col("is_eval"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(BloomMightContain(words, mBits, col("sh")), 1L)
+          .otherwise(0L)).as("n_bloom"))
+  }
 }

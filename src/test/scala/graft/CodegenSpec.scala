@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.functions.{ByteStride, NfcNormalize, PolyHash64,
-  RegexpExtractAllNegate, ShingleHashes}
+import graft.functions.{BloomMightContain, ByteStride, NfcNormalize,
+  PolyHash64, RegexpExtractAllNegate, ShingleHashes}
 import graft.text.TextFns
 import graft.vector.VectorFns
 
@@ -40,7 +40,13 @@ class CodegenSpec extends SparkSpec {
             .as("neg"),
           VectorFns.dot(array(lit(1.0), lit(2.0)),
             array(lit(3.0), lit(4.0))).as("dot"),
-          ByteStride($"text".cast("binary"), 4).as("bs"))
+          ByteStride($"text".cast("binary"), 4).as("bs"),
+          BloomMightContain(
+            BloomMightContain.buildWords(
+              (0 until BloomMightContain.K).map(j => BloomMightContain
+                .probe(PolyHash64.hash("cafe docs and"), j, 64).toLong)
+                .toArray, 64),
+            64, PolyHash64(lit("cafe docs and"))).as("bloom"))
         .head
       row.getLong(0) should not be 0L
       row.getString(1) shouldBe "cafe docs and more docs here"
@@ -48,6 +54,7 @@ class CodegenSpec extends SparkSpec {
       row.getString(3) shouldBe "-75.3"
       row.getDouble(4) shouldBe 11.0
       new String(row.getAs[Array[Byte]](5)) shouldBe "c sdroh" // every 4th
+      row.getBoolean(6) shouldBe true // its own 3 probes are set
     }
   }
 

@@ -39,6 +39,45 @@ class DedupSpec extends SparkSpec {
     stats shouldBe Seq((1L, 6L, 2L), (2L, 3L, 0L))
   }
 
+  test("bloom decontamination never undercounts the exact overlap") {
+    import graft.functions.BloomMightContain
+    val docs = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delta unrelated tail words here"),
+      (2L, "totally different training document content")
+    ).toDF("doc_id", "text")
+    val isEval = col("doc_id") === 100L
+    val exact = graft.text.Decontaminate.overlapStats(docs, isEval)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    // sized filter: sparse -> here the bloom count equals the exact one
+    val bloom = graft.text.Decontaminate
+      .bloomOverlapStats(docs, isEval, mBits = 1 << 12)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    bloom.keySet shouldBe exact.keySet
+    for ((id, (nSh, nBloom)) <- bloom) {
+      nSh shouldBe exact(id)._1
+      nBloom should be >= exact(id)._2 // no false negatives, ever
+    }
+    bloom(1L)._2 shouldBe 2L // at 2^12 bits / 4 keys, no false positives
+    // a deliberately tiny filter saturates: everything "contained"
+    val tiny = graft.text.Decontaminate
+      .bloomOverlapStats(docs, isEval, mBits = 64)
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> t._3).toMap
+    for ((id, n) <- tiny) n should be >= exact(id)._2
+    // sizing helper: power of two, monotone in n, shrinks with looser fp
+    val m1 = BloomMightContain.mBitsFor(1000L, 0.01)
+    Integer.bitCount(m1) shouldBe 1
+    BloomMightContain.mBitsFor(100000L, 0.01) should be > m1
+    BloomMightContain.mBitsFor(1000L, 0.2) should be <= m1
+    // every inserted key tests positive through the real bit array
+    val keys = (1 to 50).map(i => graft.functions.PolyHash64.hash(s"key $i"))
+    val m = 1 << 10
+    val words = BloomMightContain.buildWords(
+      keys.flatMap(h => (0 until BloomMightContain.K)
+        .map(j => BloomMightContain.probe(h, j, m).toLong)).toArray, m)
+    every(keys.map(BloomMightContain.test(words, m, _))) shouldBe true
+  }
+
   test("ngram jaccard finds the near-dup pair and not unrelated docs") {
     val pairs = Dedup.ngramJaccardPairs(corpus, minJaccard = 0.5)
       .select("a", "b").as[(Long, Long)].collect().toSet
