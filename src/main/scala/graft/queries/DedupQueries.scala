@@ -115,6 +115,46 @@ object DedupQueries {
         .orderBy("a", "b")
     },
 
+    // d03's ingest-time shape: docs with doc_id % 10 = 7 arrive as a
+    // NEW batch and are deduped against the stored signature index of
+    // everything else — index text never re-shingled, no index-index
+    // pairs, delta buckets broadcast. Signatures are per-doc functions
+    // of text alone, so the result must equal the full-corpus run
+    // restricted to delta-touching pairs — which is what the oracle
+    // computes (it never splits the corpus).
+    "d08_incremental_lsh" -> Q(
+      shingleCtes +
+        """sigs AS (
+          |  SELECT doc_id,
+          |         list_transform(range(0, 12), s ->
+          |           list_min(list_transform(shs, x ->
+          |             md5(CAST(s AS VARCHAR) || '|' || x)))) AS sig
+          |  FROM (SELECT doc_id, list(sh) AS shs FROM sh GROUP BY 1)),
+          |buckets AS (
+          |  SELECT doc_id, unnest(list_transform(range(0, 4), b ->
+          |           md5(CAST(b AS VARCHAR) || '|' || sig[b*3+1] || '|' ||
+          |               sig[b*3+2] || '|' || sig[b*3+3]))) AS bucket
+          |  FROM sigs),
+          |cand AS (
+          |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+          |  FROM buckets a JOIN buckets b
+          |    ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+          |  WHERE a.doc_id % 10 = 7 OR b.doc_id % 10 = 7)
+          |SELECT a, b,
+          |       round(len(list_filter(range(1, 13),
+          |             i -> sa.sig[i] = sb.sig[i])) / 12.0, 4) AS est_jaccard
+          |FROM cand JOIN sigs sa ON a = sa.doc_id JOIN sigs sb ON b = sb.doc_id
+          |WHERE len(list_filter(range(1, 13), i -> sa.sig[i] = sb.sig[i])) / 12.0 >= 0.5
+          |ORDER BY a, b""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val index = Dedup.minhashSignatures(
+        docs.filter(col("doc_id") % 10 =!= 7), "doc_id", "text", 12, 3)
+      Dedup.incrementalLshPairs(index,
+          docs.filter(col("doc_id") % 10 === 7),
+          k = 12, bands = 4, minEst = 0.5)
+        .orderBy("a", "b")
+    },
+
     // 64-bit SimHash near-dup (two 32-bit halves from independent
     // polynomial word hashes): 16-bit-band blocking, Hamming <= 6.
     "d04_simhash" -> Q(

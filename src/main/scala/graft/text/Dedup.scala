@@ -178,6 +178,58 @@ object Dedup {
       .filter(col("est_jaccard") >= minEst)
   }
 
+  /** Incremental near-dup: candidates for a (small) NEW batch against
+    * an already-materialized signature index, plus within-batch pairs —
+    * the ingest-time shape. The index side contributes ONLY its stored
+    * `(id, sig)` rows: no index text is re-shingled, no index–index
+    * pair forms, and the delta's bucket set is broadcast against the
+    * index bucket scan, so the whole pass is O(|index| + |delta|) with
+    * one shuffle on the delta side. Signatures are per-document
+    * functions of the text alone, so the result equals the full-corpus
+    * [[minhashLshPairs]] restricted to pairs touching the delta.
+    *
+    * @param indexSigs stored signature table `(id, sig array<string>)`
+    *                  as produced by [[minhashSignatures]]
+    * @return (a, b, est_jaccard) with a < b, at least one side new
+    */
+  def incrementalLshPairs(indexSigs: DataFrame, newDocs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text", k: Int = 12,
+      bands: Int = 4, minEst: Double = 0.5, n: Int = 3,
+      maxBucketSize: Int = graft.functions.Buckets.DefaultMaxBucketSize)
+      : DataFrame = {
+    require(k % bands == 0,
+      s"signature length k=$k must divide into bands=$bands evenly")
+    val rows = k / bands
+    val newSigs = minhashSignatures(newDocs, idCol, textCol, k, n).persist()
+    val newBuckets = newSigs.select(col("id"),
+      explode(lshBuckets(col("sig"), bands, rows)).as("bucket"))
+    // index buckets stream off the stored sigs; hot buckets capped the
+    // same way (and surfaced on) as the batch pipeline
+    val idxBuckets = graft.functions.Buckets.cap(
+      indexSigs.select(col("id"),
+        explode(lshBuckets(col("sig"), bands, rows)).as("bucket")),
+      "bucket", maxBucketSize, "graft.lsh.incremental")
+    val cross = idxBuckets.select(col("bucket"), col("id").as("i"))
+      .join(broadcast(newBuckets.select(col("bucket"), col("id").as("d"))),
+        Seq("bucket"))
+      .select(least(col("i"), col("d")).as("a"),
+        greatest(col("i"), col("d")).as("b"))
+      .filter(col("a") < col("b"))
+    val within = newBuckets.select(col("bucket"), col("id").as("a"))
+      .join(newBuckets.select(col("bucket"), col("id").as("b")), Seq("bucket"))
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+    val cand = cross.unionByName(within).distinct()
+    val sigs = indexSigs.unionByName(newSigs)
+    cand
+      .join(sigs.select(col("id").as("a"), col("sig").as("siga")), "a")
+      .join(sigs.select(col("id").as("b"), col("sig").as("sigb")), "b")
+      .select(col("a"), col("b"),
+        round(size(filter(zip_with(col("siga"), col("sigb"),
+          (x, y) => x === y), p => p)) / lit(k.toDouble), 4).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEst)
+  }
+
   // -------------------------------------------------------------- simhash
 
   // 64 SimHash bits held as two 32-bit halves. Two independent

@@ -86,6 +86,21 @@ class DedupSpec extends SparkSpec {
     pairs.flatMap(p => Seq(p._1, p._2)) should not contain 5L
   }
 
+  test("incremental LSH equals the full run restricted to the delta") {
+    // docs 4 and 5 arrive as the new batch; 1-3 and 6 are the index
+    val isDelta = col("doc_id").isin(4L, 5L)
+    val index = Dedup.minhashSignatures(
+      corpus.filter(!isDelta), "doc_id", "text", 12, 3)
+    val inc = Dedup.incrementalLshPairs(index, corpus.filter(isDelta),
+        k = 12, bands = 4, minEst = 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    val full = Dedup.minhashLshPairs(corpus, k = 12, bands = 4, minEst = 0.4)
+      .as[(Long, Long, Double)].collect()
+      .filter(p => Set(p._1, p._2).intersect(Set(4L, 5L)).nonEmpty).toSet
+    inc shouldBe full
+    inc.map(p => (p._1, p._2)) should contain((3L, 4L)) // the near-dup pair
+  }
+
   test("minhash LSH surfaces high-jaccard candidates with sane estimates") {
     val pairs = Dedup.minhashLshPairs(corpus, k = 12, bands = 4, minEst = 0.4)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
