@@ -53,6 +53,18 @@ class PlanSpec extends SparkSpec {
     ("\\(\\d+\\) Window".r.findAllIn(plan).size / 2) shouldBe 1
   }
 
+  test("d08 incremental LSH broadcasts the delta bucket side") {
+    val plan = formattedPlan("d08_incremental_lsh")
+    // the index bucket scan must join the (small) delta via broadcast,
+    // never sort-merge — that exchange is what makes ingest-time dedup
+    // O(index + delta) instead of a full shuffle of the index
+    plan should include("BroadcastHashJoin")
+    // t19-style map-side agg elsewhere; the only sort-merge joins
+    // allowed are the final signature lookups keyed by candidate id
+    val smjPerSide = "SortMergeJoin".r.findAllIn(plan).size / 2
+    smjPerSide should be <= 2
+  }
+
   test("q41 sessionize plans both window passes on one key shuffle") {
     val plan = formattedPlan("q41_sessionize")
     // lag + running sum share the (user_id | ts_s, event_id) sort, so
