@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.text.TextFns
@@ -327,6 +328,37 @@ object TextQueries {
       Tables.documents(s, d)
         .where(TextFns.stratifiedKeep(col("doc_id"), col("lang"), rate))
         .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
+    // systematic PPS weighted sampling: per source, lay documents on a
+    // character-count weight line (doc_id order) and keep the ones
+    // whose interval crosses one of 25 even stride boundaries —
+    // inclusion probability exactly proportional to n_chars, zero RNG,
+    // pure integer arithmetic, so the sample is byte-identical across
+    // engines, runs and partitionings. The weighted complement to
+    // t13's equal-probability stratified gate (sampling by length is
+    // how token-budget subcorpora get drawn without length bias).
+    "t20_pps_sample" -> Q(
+      """WITH c AS (
+        |  SELECT doc_id, source, n_chars,
+        |         sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |                            ROWS UNBOUNDED PRECEDING) AS cw,
+        |         sum(n_chars) OVER (PARTITION BY source) AS tw
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars
+        |FROM c
+        |WHERE (cw * 25) // tw > ((cw - n_chars) * 25) // tw
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val run = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy("source")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          sum("n_chars").over(run).as("cw"),
+          sum("n_chars").over(tot).as("tw"))
+        .where(TextFns.ppsKeep(col("cw"), col("n_chars"), col("tw"), 25))
+        .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")
     },
 

@@ -152,6 +152,30 @@ object TextFns {
     pmod(charFold(md5(concat(id.cast("string"), lit(":"), stratum))),
       lit(100L)) < pct
 
+  /** Systematic PPS (probability-proportional-to-size) inclusion
+    * predicate: with rows laid on a weight line in `orderCol` order,
+    * keep the ones whose cumulative-weight interval crosses one of `k`
+    * evenly spaced stride boundaries. Textbook PPS systematic sampling
+    * — inclusion probability is exactly `k * w / total` (rows heavier
+    * than a stride are certainty inclusions), and everything is integer
+    * arithmetic (`cw * k` stays far under 2^63 for character weights),
+    * so any engine replays the same sample: no RNG, no floats.
+    *
+    * `cw` must be the INCLUSIVE running sum of the weight and `tw` the
+    * stratum total (both from one window pass over the stratum — see
+    * t20). Weight-0 rows can never cross a boundary and are never kept.
+    * Scale note: the running sum serializes per stratum; at extreme
+    * per-stratum cardinality, pre-bucket `orderCol` ranges and sample
+    * within buckets. */
+  def ppsKeep(cw: Column, weight: Column, tw: Column, k: Int): Column = {
+    require(k >= 1, s"ppsKeep: sample size k must be >= 1, got $k")
+    // floor((cw*k)/tw) > floor((pw*k)/tw), written without division:
+    // a - a%t and b - b%t are the floors scaled back by t (a >= b >= 0)
+    val a = cw * k
+    val b = (cw - weight) * k
+    (a - pmod(a, tw)) > (b - pmod(b, tw))
+  }
+
   /** PII patterns for corpus scrubbing: conservative regexes that favor
     * precision (a false positive destroys training text; a rare miss is
     * caught by downstream filters). */

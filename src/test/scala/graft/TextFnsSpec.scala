@@ -96,4 +96,31 @@ class TextFnsSpec extends SparkSpec {
     // single char: hash is the char code itself
     one[Long](TextFns.fingerprintRolling($"text"), "a") shouldBe 97L
   }
+
+  test("PPS systematic sampling keeps k rows, weighted, zero-weight never") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, sum}
+    // 100 unit-weight rows + one zero-weight row; k=10 strides of 10
+    val rows = (1 to 100).map(i => (i.toLong, 1L)) :+ (101L, 0L)
+    val df = rows.toDF("id", "w")
+      .select(col("id"), col("w"),
+        sum("w").over(Window.orderBy("id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cw"),
+        sum("w").over(Window.partitionBy()).as("tw"))
+    val kept = df.where(TextFns.ppsKeep(col("cw"), col("w"), col("tw"), 10))
+      .select("id").as[Long].collect().sorted
+    kept.length shouldBe 10 // exactly k for sub-stride weights
+    kept should not contain 101L // zero weight cannot cross a boundary
+    kept shouldBe (1 to 10).map(_ * 10L) // every 10th unit of weight
+    // a row heavier than one stride is a certainty inclusion
+    val heavy = Seq((1L, 5L), (2L, 90L), (3L, 5L)).toDF("id", "w")
+      .select(col("id"), col("w"),
+        sum("w").over(Window.orderBy("id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cw"),
+        sum("w").over(Window.partitionBy()).as("tw"))
+    val keptHeavy = heavy
+      .where(TextFns.ppsKeep(col("cw"), col("w"), col("tw"), 10))
+      .select("id").as[Long].collect()
+    keptHeavy should contain(2L)
+  }
 }
