@@ -227,6 +227,47 @@ object AnalyticsQueries {
           .agg(countDistinct("day").as("n_days")), "event_type")
         .select("event_type", "n_days", "nb", "hll_est")
         .orderBy("event_type")
+    },
+
+    // q47's quantile counterpart: per-(event_type, day) fixed-width
+    // histograms built once, merged to whole-range p50/p90/p99 by
+    // bucket-wise count sum — a month's p99 without rescanning raw
+    // events. The oracle bins the raw corpus directly (never sees the
+    // day partials); count-sum associativity makes the two equal.
+    // Buckets are floor(value*4) (power-of-two scaling, IEEE-exact) and
+    // rank selection runs in scaled integers, so both engines pick the
+    // same bucket and interpolate identically.
+    "q48_hist_quantile_rollup" -> Q(
+      """WITH h AS (
+        |  SELECT event_type, CAST(floor(value * 4) AS BIGINT) AS bucket,
+        |         count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type, bucket, c,
+        |         sum(c) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+        |         sum(c) OVER (PARTITION BY event_type) AS n
+        |  FROM h),
+        |px AS (SELECT unnest([50, 90, 99]) AS p100),
+        |sel AS (
+        |  SELECT cum.event_type, px.p100, bucket, c, cum.cum, n,
+        |         row_number() OVER (PARTITION BY cum.event_type, px.p100
+        |                            ORDER BY bucket) AS rn
+        |  FROM cum, px
+        |  WHERE cum.cum * 100 >= px.p100 * n)
+        |SELECT event_type, p100,
+        |       round((bucket + (p100 * n - 100 * (cum - c)) / (100.0 * c))
+        |             / 4.0, 4) AS est
+        |FROM sel WHERE rn = 1
+        |ORDER BY event_type, p100""".stripMargin) { (s, d) =>
+      import graft.functions.Hist
+      val ev = Tables.events(s, d).withColumn("day", to_date(col("ts")))
+      // day-partial histograms -> bucket-wise count-sum -> percentiles
+      val day = Hist.sketch(ev, Seq("event_type", "day"),
+        col("value"), scale = 2)
+      val merged = day.groupBy("event_type", "bucket")
+        .agg(sum("c").as("c"))
+      Hist.quantiles(merged, Seq("event_type"), Seq(50, 90, 99), scale = 2)
+        .orderBy("event_type", "p100")
     }
   )
 }

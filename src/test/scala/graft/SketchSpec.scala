@@ -85,4 +85,39 @@ class SketchSpec extends SparkSpec {
     e.getMessage should include("bucket")
     e.getMessage should include("rename")
   }
+
+  test("histogram sketches merge to the direct sketch; estimates bracket") {
+    import graft.functions.Hist
+    val a = events.filter($"event_id" % 2 === 0)
+    val b = events.filter($"event_id" % 2 =!= 0)
+    val merged = Hist.merge(
+      Hist.sketch(a, Seq("event_type"), $"value"),
+      Hist.sketch(b, Seq("event_type"), $"value"), Seq("event_type"))
+    val direct = Hist.sketch(events, Seq("event_type"), $"value")
+    // count-sum is associative: merged partials == one-pass sketch
+    merged.collect().toSet shouldBe direct.collect().toSet
+    // the estimate lands in the bucket of the discrete rank-ceil(pn/100)
+    // order statistic, so it sits within one bucket width (2^-2) of it
+    // (the INTERPOLATED percentile can legitimately sit further away
+    // when adjacent order stats straddle sparse buckets)
+    val est = Hist.quantiles(direct, Seq("event_type"), Seq(50, 90))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2))
+      .toMap
+    val byType = events.select($"event_type", $"value")
+      .as[(String, Double)].collect().groupBy(_._1)
+      .map { case (t, vs) => t -> vs.map(_._2).sorted }
+    for ((t, vs) <- byType; p <- Seq(50, 90)) {
+      val v = vs(math.ceil(p * vs.length / 100.0).toInt - 1)
+      est((t, p)) shouldBe v +- 0.25
+    }
+  }
+
+  test("Hist rejects key columns that collide with its working columns") {
+    import graft.functions.Hist
+    val df = events.withColumnRenamed("event_type", "cum")
+    val e = the[IllegalArgumentException] thrownBy
+      Hist.sketch(df, Seq("cum"), $"value")
+    e.getMessage should include("cum")
+    e.getMessage should include("rename")
+  }
 }
