@@ -360,6 +360,60 @@ object DedupQueries {
           (col("n_bloom") * 1.0 / col("n_sh") >= 0.5).cast("bigint")
             .as("contaminated"))
         .orderBy("doc_id")
+    },
+
+    // content-defined chunking dedup: storage-style sub-document
+    // granularity — split every document at rolling-hash boundaries
+    // (graft.functions.CdcChunks, one fused codegen pass), then account
+    // duplicate chunks across the corpus. Boundaries move with content,
+    // so shared passages between otherwise-different documents collapse
+    // to one stored chunk; dup_chars is the byte savings chunk-level
+    // dedup would deliver. The oracle replays the identical seeded
+    // window folds per position.
+    "t21_cdc_dedup" -> Q(
+      s"""WITH t AS (SELECT doc_id, $norm AS tx FROM documents),
+         |c0 AS (
+         |  SELECT doc_id, tx,
+         |         list_transform(string_split(tx, ''),
+         |           c -> CAST(ascii(c) AS BIGINT)) AS codes
+         |  FROM t WHERE len(tx) > 0),
+         |b AS (
+         |  SELECT doc_id, tx, len(codes) AS n,
+         |         list_filter(range(8, len(codes) + 1), i ->
+         |           list_reduce(codes[i-7:i],
+         |             (acc, x) -> (acc * 31 + x) % 1000000007) % 64 = 0)
+         |           AS bnds
+         |  FROM c0),
+         |e AS (
+         |  SELECT doc_id, tx,
+         |         CASE WHEN len(bnds) > 0 AND bnds[len(bnds)] = n THEN bnds
+         |              ELSE list_append(bnds, n) END AS ends
+         |  FROM b),
+         |ch AS (
+         |  SELECT doc_id,
+         |         unnest(list_transform(range(1, len(ends) + 1), j ->
+         |           substr(tx,
+         |             CASE WHEN j = 1 THEN 1 ELSE ends[j-1] + 1 END,
+         |             ends[j] - CASE WHEN j = 1 THEN 0 ELSE ends[j-1] END)))
+         |           AS chunk
+         |  FROM e),
+         |g AS (SELECT md5(chunk) AS h, length(chunk) AS len, count(*) AS cnt
+         |      FROM ch GROUP BY 1, 2)
+         |SELECT CAST(sum(cnt) AS BIGINT) AS n_chunks,
+         |       count(*) AS n_distinct,
+         |       CAST(sum(len * cnt) AS BIGINT) AS total_chars,
+         |       CAST(sum(len * (cnt - 1)) AS BIGINT) AS dup_chars
+         |FROM g""".stripMargin) { (s, d) =>
+      val ch = Tables.documents(s, d)
+        .select(explode(graft.functions.CdcChunks(
+          TextFns.normalize(col("text")), 8, 64)).as("chunk"))
+      ch.groupBy(md5(col("chunk")).as("h"),
+          length(col("chunk")).as("len"))
+        .agg(count(lit(1)).as("cnt"))
+        .agg(sum("cnt").as("n_chunks"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("len") * col("cnt")).as("total_chars"),
+          sum(col("len") * (col("cnt") - 1)).as("dup_chars"))
     }
   )
 }

@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.functions.{BloomMightContain, ByteStride, NfcNormalize,
-  PolyHash64, RegexpExtractAllNegate, ShingleHashes}
+import graft.functions.{BloomMightContain, ByteStride, CdcChunks,
+  NfcNormalize, PolyHash64, RegexpExtractAllNegate, ShingleHashes}
 import graft.text.TextFns
 import graft.vector.VectorFns
 
@@ -46,7 +46,8 @@ class CodegenSpec extends SparkSpec {
               (0 until BloomMightContain.K).map(j => BloomMightContain
                 .probe(PolyHash64.hash("cafe docs and"), j, 64).toLong)
                 .toArray, 64),
-            64, PolyHash64(lit("cafe docs and"))).as("bloom"))
+            64, PolyHash64(lit("cafe docs and"))).as("bloom"),
+          CdcChunks($"text", 8, 64).as("cdc"))
         .head
       row.getLong(0) should not be 0L
       row.getString(1) shouldBe "cafe docs and more docs here"
@@ -55,6 +56,7 @@ class CodegenSpec extends SparkSpec {
       row.getDouble(4) shouldBe 11.0
       new String(row.getAs[Array[Byte]](5)) shouldBe "c sdroh" // every 4th
       row.getBoolean(6) shouldBe true // its own 3 probes are set
+      row.getSeq[String](7).mkString shouldBe "cafe docs and more docs here"
     }
   }
 

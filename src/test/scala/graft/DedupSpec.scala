@@ -86,6 +86,27 @@ class DedupSpec extends SparkSpec {
     pairs.flatMap(p => Seq(p._1, p._2)) should not contain 5L
   }
 
+  test("CDC chunks reassemble the text and survive a prefix edit") {
+    import graft.functions.CdcChunks
+    val text = ("alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra " +
+      "tango uniform victor whiskey xray yankee zulu") * 3
+    def chunksOf(s: String): Seq[String] =
+      Seq(s).toDF("t").select(CdcChunks(col("t"), 8, 64).as("c"))
+        .as[Seq[String]].collect()(0)
+    val base = chunksOf(text)
+    base.mkString shouldBe text // lossless split
+    base.length should be > 1 // mask 64 fires on a ~400-char text
+    // content-defined property: an edit at the front shifts offsets but
+    // chunks after the first post-edit boundary are unchanged
+    val edited = chunksOf("zzz inserted words zzz " + text)
+    base.intersect(edited).nonEmpty shouldBe true
+    base.last shouldBe edited.last
+    // degenerate inputs
+    chunksOf("") shouldBe Seq.empty
+    chunksOf("short") shouldBe Seq("short") // below the window width
+  }
+
   test("incremental LSH equals the full run restricted to the delta") {
     // docs 4 and 5 arrive as the new batch; 1-3 and 6 are the index
     val isDelta = col("doc_id").isin(4L, 5L)
