@@ -236,6 +236,97 @@ object AnnQueries {
         .orderBy("cid")
     },
 
+    // IVF-PQ (the FAISS composition): IVF probes bound the candidate
+    // set, then candidates are scored from 4 product-quantization
+    // codes each — query time never touches a stored full vector.
+    // Codebooks are per-subspace Lloyd (first-8 seed, exact-decimal
+    // means) and the asymmetric-distance summation order is pinned
+    // (p0+p1+p2+p3), so the oracle rebuilds codebooks, codes and
+    // scores bit-for-bit.
+    "s08_ann_ivfpq" -> Q(
+      ivfAssignCte +
+        """ms AS (SELECT unnest([0, 1, 2, 3]) AS m),
+          |psub AS (
+          |  SELECT vec_id AS id, m, vn[m*16+1 : m*16+16] AS sv
+          |  FROM n, ms),
+          |pc0 AS (SELECT m, id AS pcid, sv AS pcv FROM psub WHERE id < 8),
+          |pa0 AS (
+          |  SELECT id, m, sv, pcid FROM (
+          |    SELECT s.id, s.m, s.sv, c.pcid,
+          |           row_number() OVER (PARTITION BY s.id, s.m
+          |             ORDER BY 2 * list_dot_product(s.sv, c.pcv)
+          |                      - list_dot_product(c.pcv, c.pcv) DESC,
+          |                      c.pcid) AS rn
+          |    FROM psub s JOIN pc0 c USING (m)) WHERE rn = 1),
+          |pm1 AS (
+          |  SELECT m, pcid, i, SUM(CAST(sv[i] AS DECIMAL(30,15))) AS sm,
+          |         count(*) AS cnt
+          |  FROM pa0, range(1, 17) t(i) GROUP BY m, pcid, i),
+          |pb1 AS (SELECT m, pcid,
+          |               list(CAST(sm AS DOUBLE) / cnt ORDER BY i) AS pcv
+          |        FROM pm1 GROUP BY m, pcid),
+          |pa1 AS (
+          |  SELECT id, m, sv, pcid FROM (
+          |    SELECT s.id, s.m, s.sv, c.pcid,
+          |           row_number() OVER (PARTITION BY s.id, s.m
+          |             ORDER BY 2 * list_dot_product(s.sv, c.pcv)
+          |                      - list_dot_product(c.pcv, c.pcv) DESC,
+          |                      c.pcid) AS rn
+          |    FROM psub s JOIN pb1 c USING (m)) WHERE rn = 1),
+          |pm2 AS (
+          |  SELECT m, pcid, i, SUM(CAST(sv[i] AS DECIMAL(30,15))) AS sm,
+          |         count(*) AS cnt
+          |  FROM pa1, range(1, 17) t(i) GROUP BY m, pcid, i),
+          |pbook AS (SELECT m, pcid,
+          |                 list(CAST(sm AS DOUBLE) / cnt ORDER BY i) AS pcv
+          |          FROM pm2 GROUP BY m, pcid),
+          |pcode AS (
+          |  SELECT id, m, pcid FROM (
+          |    SELECT s.id, s.m, c.pcid,
+          |           row_number() OVER (PARTITION BY s.id, s.m
+          |             ORDER BY 2 * list_dot_product(s.sv, c.pcv)
+          |                      - list_dot_product(c.pcv, c.pcv) DESC,
+          |                      c.pcid) AS rn
+          |    FROM psub s JOIN pbook c USING (m)) WHERE rn = 1),
+          |qs AS (SELECT vec_id AS q, m, vn[m*16+1 : m*16+16] AS qsv
+          |       FROM n, ms WHERE vec_id % 25 = 0),
+          |probes AS (
+          |  SELECT q, cid FROM (
+          |    SELECT n.vec_id AS q, c.cid,
+          |           row_number() OVER (PARTITION BY n.vec_id
+          |             ORDER BY list_dot_product(n.vn, c.cv) DESC, c.cid)
+          |             AS rn
+          |    FROM n CROSS JOIN cent c WHERE n.vec_id % 25 = 0)
+          |  WHERE rn <= 2),
+          |cand AS (
+          |  SELECT p.q, a.id AS b
+          |  FROM probes p JOIN assign a USING (cid) WHERE p.q != a.id),
+          |parts AS (
+          |  SELECT c.q, c.b, pc.m, list_dot_product(qs.qsv, bk.pcv) AS p
+          |  FROM cand c
+          |  JOIN pcode pc ON pc.id = c.b
+          |  JOIN pbook bk ON bk.m = pc.m AND bk.pcid = pc.pcid
+          |  JOIN qs ON qs.q = c.q AND qs.m = pc.m),
+          |sc AS (
+          |  SELECT q, b,
+          |         SUM(CASE WHEN m = 0 THEN p END)
+          |         + SUM(CASE WHEN m = 1 THEN p END)
+          |         + SUM(CASE WHEN m = 2 THEN p END)
+          |         + SUM(CASE WHEN m = 3 THEN p END) AS score
+          |  FROM parts GROUP BY q, b),
+          |ranked AS (
+          |  SELECT q, b, score,
+          |         row_number() OVER (PARTITION BY q
+          |           ORDER BY score DESC, b) AS rank
+          |  FROM sc)
+          |SELECT q, rank, b, round(score, 6) AS score
+          |FROM ranked WHERE rank <= 3 ORDER BY q, rank""".stripMargin) {
+      (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Ann.ivfPqTopK(emb.filter(col("vec_id") % 25 === 0), emb, k = 3)
+        .orderBy("q", "rank")
+    },
+
     // incremental IVF maintenance: centroids are built on the base
     // corpus (90%), then a delta batch (every 10th vector) joins the
     // index by ONE frozen-centroid assignment pass (Ann.ivfAssignTo) —

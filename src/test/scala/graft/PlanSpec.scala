@@ -116,7 +116,8 @@ class PlanSpec extends SparkSpec {
     // passes of the IVF family — everything else must plan key joins
     val crossAllowed = Set("s01_ann_brute", "d05_cosine_neardup",
       "s03_ann_ivf", "s04_ann_ivf_upsert", "s06_stream_index_update",
-      "s07_semantic_dedup") // same bounded 16-centroid assignment pass
+      "s07_semantic_dedup", // same bounded 16-centroid assignment pass
+      "s08_ann_ivfpq") // bounded centroid + 32-row codebook passes
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, SfDir)
       withClue(s"$name: ") {
