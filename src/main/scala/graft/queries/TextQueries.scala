@@ -42,7 +42,58 @@ object TextQueries {
     "query" -> Seq("join", "filter", "group", "sort", "window", "order"),
     "stream" -> Seq("stream", "fast", "slow", "value", "key", "data"))
 
+  /** Oracle for t22: replay `rounds` BPE-learning rounds — pair counts
+    * over the bracketed symbol states, pick max (ties to the smaller
+    * pattern), apply via plain `replace` (leftmost-non-overlapping in
+    * both engines), repeat. Generated per round to keep the SQL and
+    * the Spark loop structurally identical. */
+  private def bpeLearnOracle(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      val prev = s"s${r - 1}"
+      val apply =
+        if (r < rounds)
+          s""",
+             |s$r AS (SELECT cnt, replace(state, (SELECT pat FROM m$r),
+             |          replace((SELECT pat FROM m$r), '><', '')) AS state
+             |        FROM $prev)""".stripMargin
+        else ""
+      s"""p$r AS (
+         |  SELECT cnt, unnest(list_transform(range(1, len(sy)), i ->
+         |    '<' || sy[i] || '><' || sy[i+1] || '>')) AS pat
+         |  FROM (SELECT cnt, string_split(trim(state, '<>'), '><') AS sy
+         |        FROM $prev) q$r),
+         |c$r AS (SELECT pat, SUM(cnt) AS c FROM p$r GROUP BY 1),
+         |m$r AS (SELECT pat, CAST(c AS BIGINT) AS c FROM c$r
+         |        ORDER BY c DESC, pat LIMIT 1)$apply""".stripMargin
+    }.mkString(",\n")
+    val finals = (1 to rounds)
+      .map(r => s"SELECT $r AS mrank, pat AS merge_pat, c AS pair_count FROM m$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH w AS (SELECT unnest(string_split($norm, ' ')) AS word
+       |           FROM documents),
+       |wc AS (SELECT word, count(*) AS cnt FROM w GROUP BY 1),
+       |s0 AS (SELECT cnt, regexp_replace(word, '(.)', '<\\1>', 'g') AS state
+       |       FROM wc),
+       |$roundCtes
+       |SELECT mrank, merge_pat, pair_count FROM (
+       |  $finals)
+       |ORDER BY mrank""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
+
+    // BPE vocabulary INDUCTION (t17 applies a merge table; this learns
+    // one): five rounds of count-adjacent-pairs -> merge-the-max over
+    // the word-frequency table, the GPT-2 learner loop. Both engines
+    // replay identical rounds because merge application is plain
+    // substring replacement on bracketed symbol states (no regex, no
+    // boundary ambiguity) and ties break lexicographically.
+    "t22_bpe_learn" -> Q(bpeLearnOracle(5)) { (s, d) =>
+      import s.implicits._
+      graft.text.BpeLearn.learnMerges(Tables.documents(s, d), rounds = 5)
+        .toDF("mrank", "merge_pat", "pair_count")
+        .orderBy("mrank")
+    },
 
     // token accounting: whitespace words + BPE-ish subword proxy.
     "t01_token_stats" -> Q(

@@ -97,6 +97,16 @@ class TextFnsSpec extends SparkSpec {
     one[Long](TextFns.fingerprintRolling($"text"), "a") shouldBe 97L
   }
 
+  test("BPE learning merges the max pair, ties lexicographic, greedy scan") {
+    // vocab: "aaab" x3. Round 1: <a><a> counts 2 per word (overlapping
+    // adjacents) = 6 > <a><b> 3; greedy leftmost apply gives <aa><a><b>.
+    // Round 2: <aa><a> and <a><b> tie at 3 -> lexicographically smaller
+    // "<a><b>" wins. Round 3: only <aa><ab> remains.
+    val docs = Seq("aaab aaab", "aaab").toDF("text")
+    graft.text.BpeLearn.learnMerges(docs, rounds = 3) shouldBe Seq(
+      (1, "<a><a>", 6L), (2, "<a><b>", 3L), (3, "<aa><ab>", 3L))
+  }
+
   test("PPS systematic sampling keeps k rows, weighted, zero-weight never") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions.{col, sum}
