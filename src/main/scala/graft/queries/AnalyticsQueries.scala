@@ -268,6 +268,53 @@ object AnalyticsQueries {
         .agg(sum("c").as("c"))
       Hist.quantiles(merged, Seq("event_type"), Seq(50, 90, 99), scale = 2)
         .orderBy("event_type", "p100")
+    },
+
+    // The sketch family's point-frequency member: per-day Count-Min
+    // partials (4x512 cells) -> cell-wise sum -> whole-range frequency
+    // estimates for the top-20 users, beside their exact counts. The
+    // oracle derives every cell directly from the raw corpus (never
+    // sees the day partials); cell-sum associativity makes the two
+    // equal, and est >= exact is the CM upper-bound guarantee. Buckets
+    // are poly_hash64(md5(j ':' user)) % 512, replayed verbatim below.
+    "q49_cms_freq_rollup" -> Q(
+      """WITH uc AS (SELECT user_id, count(*) AS exact FROM events GROUP BY 1),
+        |js AS (SELECT unnest([1, 2, 3, 4]) AS j),
+        |tb AS (
+        |  SELECT user_id, exact, j,
+        |         (list_reduce(list_transform(
+        |              string_split(md5(CAST(j AS VARCHAR) || ':' ||
+        |                               CAST(user_id AS VARCHAR)), ''),
+        |              c -> CAST(ascii(c) AS BIGINT)),
+        |            (acc, x) -> (acc * 31 + x) % 1073741789) * 1073741824 +
+        |          list_reduce(list_transform(
+        |              string_split(md5(CAST(j AS VARCHAR) || ':' ||
+        |                               CAST(user_id AS VARCHAR)), ''),
+        |              c -> CAST(ascii(c) AS BIGINT)),
+        |            (acc, x) -> (acc * 131 + x) % 1073741783)) % 512 AS bucket
+        |  FROM uc, js),
+        |cells AS (SELECT j, bucket, CAST(sum(exact) AS BIGINT) AS c
+        |          FROM tb GROUP BY 1, 2),
+        |top AS (SELECT user_id, exact FROM uc
+        |        ORDER BY exact DESC, user_id LIMIT 20),
+        |est AS (SELECT tb.user_id, min(cells.c) AS est
+        |        FROM tb JOIN cells USING (j, bucket)
+        |        WHERE tb.user_id IN (SELECT user_id FROM top)
+        |        GROUP BY 1)
+        |SELECT t.user_id, t.exact, e.est
+        |FROM top t JOIN est e USING (user_id)
+        |ORDER BY t.exact DESC, t.user_id""".stripMargin) { (s, d) =>
+      import graft.functions.Cms
+      val ev = Tables.events(s, d)
+      val day = Cms.sketch(ev.withColumn("day", to_date(col("ts"))),
+        Seq("day"), col("user_id"), d = 4, w = 512)
+      // range query: drop the day key, sum cells — the stored-partials path
+      val merged = day.groupBy("j", "bucket").agg(sum("c").as("c"))
+      val top = ev.groupBy("user_id").agg(count(lit(1)).as("exact"))
+        .orderBy(col("exact").desc, col("user_id")).limit(20)
+      Cms.estimate(merged, top, col("user_id"), d = 4, w = 512)
+        .select("user_id", "exact", "est")
+        .orderBy(col("exact").desc, col("user_id"))
     }
   )
 }

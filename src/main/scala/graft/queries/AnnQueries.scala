@@ -423,6 +423,52 @@ object AnnQueries {
           floor(col("x") * col("scale") + 0.5).cast("long").as("q"),
           col("scale"))
         .orderBy("vec_id", "pos")
+    },
+
+    // ANN index QUALITY measurement — recall@10 of the IVF index
+    // (nProbe=2) against the exact brute-force baseline, the standard
+    // acceptance metric before an index serves traffic (losses come
+    // from true neighbors living in unprobed lists). Integer hit
+    // counts, so the metric is deterministic cross-engine; both sides
+    // replay the same centroid build as s03.
+    "s09_ann_recall" -> Q(
+      ivfAssignCte +
+        s"""probes AS (
+           |  SELECT q, qv, cid FROM (
+           |    SELECT n.vec_id AS q, n.vn AS qv, c.cid,
+           |           row_number() OVER (PARTITION BY n.vec_id
+           |             ORDER BY list_dot_product(n.vn, c.cv) DESC, c.cid) AS rn
+           |    FROM n CROSS JOIN cent c WHERE n.vec_id % 25 = 0) WHERE rn <= 2),
+           |ivfk AS (
+           |  SELECT q, b FROM (
+           |    SELECT q, id AS b,
+           |           row_number() OVER (PARTITION BY q
+           |             ORDER BY list_dot_product(qv, vn) DESC, id) AS rank
+           |    FROM probes JOIN assign USING (cid) WHERE q != id)
+           |  WHERE rank <= 10),
+           |exk AS (
+           |  SELECT q, b FROM (
+           |    SELECT q.vec_id AS q, c.vec_id AS b,
+           |           row_number() OVER (PARTITION BY q.vec_id
+           |             ORDER BY $cosExpr DESC, c.vec_id) AS rank
+           |    FROM n q JOIN n c ON q.vec_id != c.vec_id
+           |    WHERE q.vec_id % 25 = 0)
+           |  WHERE rank <= 10)
+           |SELECT exk.q, count(ivfk.b) AS n_hit,
+           |       round(count(ivfk.b) / 10.0, 4) AS recall
+           |FROM exk LEFT JOIN ivfk ON exk.q = ivfk.q AND exk.b = ivfk.b
+           |GROUP BY exk.q ORDER BY exk.q""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") % 25 === 0)
+      val ex = Ann.bruteForceTopK(qs, emb, k = 10).select(col("q"), col("b"))
+      val iv = Ann.ivfTopK(qs, emb, k = 10, nCentroids = 16, nProbe = 2)
+        .select(col("q").as("iq"), col("b").as("ib"))
+      ex.join(iv, col("q") === col("iq") && col("b") === col("ib"), "left")
+        .groupBy("q")
+        .agg(count(col("ib")).as("n_hit"))
+        .select(col("q"), col("n_hit"),
+          round(col("n_hit") / 10.0, 4).as("recall"))
+        .orderBy("q")
     }
   )
 }

@@ -80,6 +80,13 @@ object TextQueries {
        |ORDER BY mrank""".stripMargin
   }
 
+  /** Ranked-retrieval query set for t23 (terms from the corpus's
+    * marker vocabulary, so every query matches real documents). */
+  val Searches: Seq[(String, Seq[String])] = Seq(
+    "storage_scan" -> Seq("table", "merge", "batch"),
+    "query_shape" -> Seq("join", "filter", "window"),
+    "stream_kv" -> Seq("stream", "key", "value"))
+
   val all: Map[String, Q] = Map(
 
     // BPE vocabulary INDUCTION (t17 applies a merge table; this learns
@@ -587,6 +594,84 @@ object TextQueries {
         .select(col("doc_id"), col("n_passages"),
           coalesce(col("n_boiler"), lit(0L)).as("n_boiler"))
         .orderBy("doc_id")
+    },
+
+    // BM25 ranked retrieval (k1=1.2, b=0.75) — real Robertson IDF
+    // scoring where t09 is the integer-only surrogate: top-5 docs per
+    // query from the Searches set. Cross-engine determinism: each
+    // (doc, term) contribution is one fixed dag of IEEE ops (identical
+    // parse both sides), rounded to 6 dp and summed as DECIMAL(18,6) —
+    // exact and order-independent, so float addition order can never
+    // flip a rank between engines; ranks then tie-break on doc_id.
+    // Shape: dl/tf are corpus-scan hash aggs; qt/df/stats stay
+    // broadcast-sized (term-count rows), so the whole plan is one scan
+    // + bounded-dimension joins at any corpus size.
+    "t23_bm25" -> Q(
+      s"""WITH qt AS (SELECT * FROM (VALUES ${Searches.flatMap {
+            case (q, ts) => ts.map(t => s"('$q','$t')")
+          }.mkString(", ")}) AS v(query, term)),
+         |dl AS (SELECT doc_id, len(string_split($norm, ' ')) AS dl
+         |       FROM documents),
+         |stats AS (SELECT count(*) AS n,
+         |                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+         |          FROM dl),
+         |w AS (SELECT doc_id, unnest(string_split($norm, ' ')) AS term
+         |      FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM w
+         |       WHERE term IN (SELECT DISTINCT term FROM qt)
+         |       GROUP BY 1, 2),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |sc AS (
+         |  SELECT qt.query, tf.doc_id,
+         |         CAST(round(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+         |             * (tf.tf * 2.2)
+         |             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)),
+         |           6) AS DECIMAL(18,6)) AS contrib
+         |  FROM tf
+         |  JOIN qt ON tf.term = qt.term
+         |  JOIN df ON tf.term = df.term
+         |  JOIN dl ON tf.doc_id = dl.doc_id, stats),
+         |agg AS (SELECT query, doc_id, sum(contrib) AS s
+         |        FROM sc GROUP BY 1, 2),
+         |r AS (SELECT query, doc_id, s,
+         |             row_number() OVER (PARTITION BY query
+         |                                ORDER BY s DESC, doc_id) AS rank
+         |      FROM agg)
+         |SELECT query, rank, doc_id, round(CAST(s AS DOUBLE), 4) AS bm25
+         |FROM r WHERE rank <= 5
+         |ORDER BY query, rank""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val dl = docs.select(col("doc_id"),
+        TextFns.tokenCount(col("text")).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n"),
+        (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+      val qt = s.createDataFrame(Searches.flatMap {
+        case (q, ts) => ts.map(t => (q, t))
+      }).toDF("query", "term")
+      val allTerms = Searches.flatMap(_._2).distinct
+      val tf = docs
+        .select(col("doc_id"), explode(TextFns.words(col("text"))).as("term"))
+        .filter(col("term").isin(allTerms: _*))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val contrib = tf
+        .join(broadcast(qt), "term")
+        .join(broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("contrib", round(
+          log(lit(1) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+            * (col("tf") * lit(2.2))
+            / (col("tf") + lit(1.2) *
+              (lit(1) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl"))),
+          6).cast("decimal(18,6)"))
+      val agg = contrib.groupBy("query", "doc_id").agg(sum("contrib").as("s"))
+      val w = Window.partitionBy("query").orderBy(col("s").desc, col("doc_id"))
+      agg.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .select(col("query"), col("rank"), col("doc_id"),
+          round(col("s").cast("double"), 4).as("bm25"))
+        .orderBy("query", "rank")
     }
   )
 }

@@ -117,7 +117,9 @@ class PlanSpec extends SparkSpec {
     val crossAllowed = Set("s01_ann_brute", "d05_cosine_neardup",
       "s03_ann_ivf", "s04_ann_ivf_upsert", "s06_stream_index_update",
       "s07_semantic_dedup", // same bounded 16-centroid assignment pass
-      "s08_ann_ivfpq") // bounded centroid + 32-row codebook passes
+      "s08_ann_ivfpq", // bounded centroid + 32-row codebook passes
+      "s09_ann_recall", // embeds the s01 exact baseline it measures against
+      "t23_bm25") // broadcasts a 1-ROW global-stats side (N, avgdl)
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, SfDir)
       withClue(s"$name: ") {

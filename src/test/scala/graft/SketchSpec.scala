@@ -120,4 +120,41 @@ class SketchSpec extends SparkSpec {
     e.getMessage should include("cum")
     e.getMessage should include("rename")
   }
+
+  test("CMS estimates upper-bound exact counts; merge equals direct") {
+    import graft.functions.Cms
+    val a = events.filter($"event_id" % 2 === 0)
+    val b = events.filter($"event_id" % 2 =!= 0)
+    val merged = Cms.merge(
+      Cms.sketch(a, Seq("event_type"), $"user_id"),
+      Cms.sketch(b, Seq("event_type"), $"user_id"), Seq("event_type"))
+    val direct = Cms.sketch(events, Seq("event_type"), $"user_id")
+    // cell-sum is associative: merged partials == one-pass sketch
+    merged.collect().toSet shouldBe direct.collect().toSet
+    // CM guarantee: est >= exact for EVERY user, never an undercount
+    val cells = direct.groupBy("j", "bucket").agg(sum("c").as("c"))
+    val exact = events.groupBy("user_id").agg(count(lit(1)).as("exact"))
+    Cms.estimate(cells, exact, $"user_id")
+      .filter($"est" < $"exact").count() shouldBe 0
+  }
+
+  test("CMS is exact when width far exceeds the distinct-value count") {
+    import graft.functions.Cms
+    // 20 distinct values into 2^16 buckets x 4 rows: a collision across
+    // all 4 rows is ~impossible, so min-over-rows recovers exact counts
+    val df = spark.range(200).select(($"id" % 20).as("v"))
+    val cells = Cms.sketch(df, Seq.empty, $"v", d = 4, w = 1 << 16)
+    val items = df.groupBy($"v").agg(count(lit(1)).as("exact"))
+    Cms.estimate(cells, items, $"v", d = 4, w = 1 << 16)
+      .filter($"est" =!= $"exact").count() shouldBe 0
+  }
+
+  test("CMS rejects item/key columns that collide with working columns") {
+    import graft.functions.Cms
+    val df = events.withColumnRenamed("event_type", "bucket")
+    val e = the[IllegalArgumentException] thrownBy
+      Cms.sketch(df, Seq("bucket"), $"user_id")
+    e.getMessage should include("bucket")
+    e.getMessage should include("rename")
+  }
 }
