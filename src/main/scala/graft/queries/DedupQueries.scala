@@ -85,6 +85,35 @@ object DedupQueries {
         .orderBy("a", "b")
     },
 
+    // asymmetric containment |A∩B|/|A| over the same rare-shingle
+    // blocking as d02 — the near-SUBSET detector (small doc quoted in a
+    // large one) that symmetric Jaccard misses once sizes diverge. Both
+    // directions emitted; gate on the larger.
+    "d09_containment" -> Q(
+      hashedShingleCtes +
+        """sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+          |rare AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY 1)
+          |         WHERE df <= 50),
+          |blocked AS (SELECT doc_id, s.sh FROM sh s JOIN rare USING (sh)),
+          |cand AS (
+          |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+          |  FROM blocked a JOIN blocked b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+          |inter AS (
+          |  SELECT c.a, c.b, count(*) AS i
+          |  FROM cand c JOIN sh x ON x.doc_id = c.a
+          |  JOIN sh y ON y.doc_id = c.b AND y.sh = x.sh
+          |  GROUP BY 1, 2)
+          |SELECT a, b, round(i * 1.0 / x.n_sh, 4) AS cont_a,
+          |       round(i * 1.0 / y.n_sh, 4) AS cont_b
+          |FROM inter JOIN sizes x ON a = x.doc_id JOIN sizes y ON b = y.doc_id
+          |WHERE greatest(round(i * 1.0 / x.n_sh, 4),
+          |               round(i * 1.0 / y.n_sh, 4)) >= 0.8
+          |ORDER BY a, b""".stripMargin) { (s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d),
+          maxDF = 50, minContainment = 0.8)
+        .orderBy("a", "b")
+    },
+
     // MinHash(12) + LSH(4 bands x 3): candidates sharing any band
     // bucket, estimated Jaccard = signature agreement rate.
     "d03_minhash_lsh" -> Q(

@@ -333,6 +333,51 @@ object StreamingQueries {
         q.awaitTermination()
       }
       s.read.parquet(s"$root/out").orderBy("user_id", "session_start")
+    },
+
+    // windowed trending: per tumbling hour, the top-3 event types by
+    // count. Ranking is not allowed on an unfinished streaming agg, so
+    // the canonical composition is windowed counts in stream state +
+    // row_number INSIDE complete-mode foreachBatch over the settled
+    // table — the "trending now" dashboard shape. Integer counts with
+    // event-type tie-break keep every rank deterministic; the streamed
+    // result must equal the batch hour-bucket top-3 exactly.
+    "st09_stream_trending" -> Q(
+      """WITH h AS (
+        |  SELECT date_trunc('hour', ts) AS w, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT w, event_type, n,
+        |         row_number() OVER (PARTITION BY w
+        |                            ORDER BY n DESC, event_type) AS rank
+        |  FROM h)
+        |SELECT CAST(floor(epoch(w)) AS BIGINT) AS w_start, rank, event_type, n
+        |FROM r WHERE rank <= 3
+        |ORDER BY w_start, rank""".stripMargin) { (s, d) =>
+      val root = freshDir(s"st09-${d.replaceAll("[^0-9a-zA-Z.]", "_")}")
+      Topic.publishEvents(Tables.events(s, d), s"$root/topic", nFiles = 4)
+      withShufflePartitions(s, 8) {
+        val src = Topic.decodeEvents(
+          Topic.readStream(s, s"$root/topic", maxFilesPerTrigger = 2))
+        val agg = src
+          .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+        val q = agg.writeStream.outputMode("complete")
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy("window").orderBy(col("n").desc, col("event_type"))
+            df.withColumn("rank", row_number().over(w))
+              .filter(col("rank") <= 3)
+              .select(unix_timestamp(col("window.start")).as("w_start"),
+                col("rank"), col("event_type"), col("n"))
+              .write.mode("overwrite").parquet(s"$root/out")
+          }
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.read.parquet(s"$root/out").orderBy("w_start", "rank")
     }
   )
 }

@@ -672,6 +672,61 @@ object TextQueries {
         .select(col("query"), col("rank"), col("doc_id"),
           round(col("s").cast("double"), 4).as("bm25"))
         .orderBy("query", "rank")
+    },
+
+    // n-gram LM perplexity scoring, the CCNet-style quality signal: a
+    // bigram model with add-1 smoothing is trained ON the corpus (prefix
+    // counts + bigram counts + vocab size — three hash aggs), then each
+    // document is scored by its average negative log-probability
+    // (cross-entropy, nats). Outlier-high CE marks gibberish; outlier-low
+    // marks boilerplate. Per-bigram log terms are rounded to 6 dp and
+    // summed as DECIMAL(18,6), so the doc score is order-independent and
+    // identical cross-engine. Shape: one corpus scan into bigram
+    // instances, two bounded count tables joined back by key — no
+    // all-pairs anywhere, scan-bound at any corpus size.
+    "t24_lm_perplexity" -> Q(
+      s"""WITH ws AS (SELECT doc_id, string_split($norm, ' ') AS ws
+         |            FROM documents),
+         |b AS (SELECT doc_id, unnest(ws[1:len(ws)-1]) AS w1,
+         |             unnest(ws[2:len(ws)]) AS w2
+         |      FROM ws WHERE len(ws) >= 2),
+         |big AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2),
+         |pre AS (SELECT w1, count(*) AS c1 FROM b GROUP BY 1),
+         |v AS (SELECT count(DISTINCT w) AS v FROM (
+         |        SELECT unnest(ws) AS w FROM ws)),
+         |terms AS (
+         |  SELECT b.doc_id,
+         |         CAST(round(ln(CAST(big.c12 + 1 AS DOUBLE)
+         |                       / (pre.c1 + v.v)), 6)
+         |           AS DECIMAL(18,6)) AS lp
+         |  FROM b JOIN big ON b.w1 = big.w1 AND b.w2 = big.w2
+         |         JOIN pre ON b.w1 = pre.w1, v)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |       round(-CAST(sum(lp) AS DOUBLE) / count(*), 4) AS ce
+         |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val ws = Tables.documents(s, d)
+        .select(col("doc_id"), TextFns.words(col("text")).as("ws"))
+      val b = ws.filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(zip_with(
+          slice(col("ws"), lit(1), size(col("ws")) - 1),
+          slice(col("ws"), lit(2), size(col("ws")) - 1),
+          (x, y) => struct(x.as("w1"), y.as("w2")))).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val big = b.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      val pre = b.groupBy("w1").agg(count(lit(1)).as("c1"))
+      val v = ws.select(explode(col("ws")).as("w"))
+        .agg(countDistinct("w").as("v"))
+      val terms = b
+        .join(big, Seq("w1", "w2"))
+        .join(pre, Seq("w1"))
+        .crossJoin(broadcast(v))
+        .withColumn("lp", round(
+          log((col("c12") + lit(1)).cast("double") / (col("c1") + col("v"))),
+          6).cast("decimal(18,6)"))
+      terms.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(-sum("lp").cast("double") / count(lit(1)), 4).as("ce"))
+        .orderBy("doc_id")
     }
   )
 }

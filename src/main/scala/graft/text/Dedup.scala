@@ -107,6 +107,42 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** Asymmetric near-SUBSET detection: containment C(A in B) =
+    * |A∩B| / |A| catches a small document quoted inside a large one,
+    * which symmetric Jaccard (i / union) misses as soon as the size
+    * ratio grows (Broder 1997's "containment" companion measure). Same
+    * rare-shingle blocking and hashed-shingle shuffle economics as
+    * [[ngramJaccardPairs]], but NO size prune — a pair of very
+    * different sizes is exactly the interesting case here. Emits both
+    * directions per unordered pair; filter is on the larger one. */
+  def containmentPairs(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3, maxDF: Int = 50,
+      minContainment: Double = 0.8): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+        explode(graft.functions.ShingleHashes(
+          TextFns.words(col(textCol)), n)).as("sh"))
+      .persist()
+    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDF)
+    val blocked = sh.join(rare.select("sh"), "sh")
+    val cand = blocked.select(col("sh"), col("id").as("a"))
+      .join(blocked.select(col("sh"), col("id").as("b")), Seq("sh"))
+      .filter(col("a") < col("b"))
+      .select("a", "b").distinct()
+    val sets = sh.groupBy("id")
+      .agg(collect_list(col("sh")).as("set"), count(lit(1)).as("n_sh"))
+    cand
+      .join(sets.toDF("a", "sa", "na"), Seq("a"))
+      .join(sets.toDF("b", "sb", "nb"), Seq("b"))
+      .select(col("a"), col("b"),
+        size(array_intersect(col("sa"), col("sb"))).cast("long").as("i"),
+        col("na"), col("nb"))
+      .select(col("a"), col("b"),
+        round(col("i") / col("na"), 4).as("cont_a"),
+        round(col("i") / col("nb"), 4).as("cont_b"))
+      .filter(greatest(col("cont_a"), col("cont_b")) >= minContainment)
+  }
+
   // -------------------------------------------------------------- minhash
 
   /** MinHash signature: k independent hash views, each the lexicographic

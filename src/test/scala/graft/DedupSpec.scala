@@ -86,6 +86,25 @@ class DedupSpec extends SparkSpec {
     pairs.flatMap(p => Seq(p._1, p._2)) should not contain 5L
   }
 
+  test("containment flags a near-subset pair that jaccard misses") {
+    // doc 11's shingles are (almost) all inside doc 10, but doc 10 is
+    // 4x larger: containment ~1 while jaccard ~ |A|/|B| stays low
+    val quote = "the quick brown fox jumps over the lazy dog again"
+    val big = quote + " " + (1 to 30).map(i => s"filler$i").mkString(" ")
+    val docs = Seq((10L, big), (11L, quote),
+      (12L, "entirely unrelated words about columnar storage engines"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.containmentPairs(docs, minContainment = 0.9)
+      .as[(Long, Long, Double, Double)].collect()
+    pairs.map(p => (p._1, p._2)).toSet shouldBe Set((10L, 11L))
+    val (_, _, contBig, contSmall) = pairs(0)
+    contSmall shouldBe 1.0 // every quote shingle lives in the big doc
+    contBig should be < 0.25 // while the big doc is mostly NOT the quote
+    // ...which is exactly the pair symmetric jaccard at 0.5 cannot see
+    Dedup.ngramJaccardPairs(docs, minJaccard = 0.5)
+      .as[(Long, Long, Double)].collect() shouldBe empty
+  }
+
   test("CDC chunks reassemble the text and survive a prefix edit") {
     import graft.functions.CdcChunks
     val text = ("alpha bravo charlie delta echo foxtrot golf hotel india " +

@@ -119,7 +119,8 @@ class PlanSpec extends SparkSpec {
       "s07_semantic_dedup", // same bounded 16-centroid assignment pass
       "s08_ann_ivfpq", // bounded centroid + 32-row codebook passes
       "s09_ann_recall", // embeds the s01 exact baseline it measures against
-      "t23_bm25") // broadcasts a 1-ROW global-stats side (N, avgdl)
+      "t23_bm25", // broadcasts a 1-ROW global-stats side (N, avgdl)
+      "t24_lm_perplexity") // broadcasts a 1-ROW vocab-size side (V)
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, SfDir)
       withClue(s"$name: ") {
