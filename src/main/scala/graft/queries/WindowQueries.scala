@@ -194,5 +194,28 @@ object WindowQueries {
           count(lit(1)).over(w).as("n_1h"),
           sum("v").over(w).cast("double").as("sum_1h"))
         .orderBy("user_id", "event_id")
+    },
+
+    // distribution ranks, completing the window-function family beyond
+    // lag/sum/quantile/range frames: ntile quartiles, percent_rank and
+    // cume_dist per event type. The order key carries an event_id
+    // tie-break so no two rows are peers — every rank is deterministic,
+    // and pr/cd are exact rationals both engines render identically
+    // after rounding.
+    "q50_window_ranks" -> Q(
+      """SELECT event_id, event_type,
+        |       ntile(4) OVER w AS quartile,
+        |       round(percent_rank() OVER w, 6) AS pr,
+        |       round(cume_dist() OVER w, 6) AS cd
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("event_type").orderBy("value", "event_id")
+      Tables.events(s, d).select(
+          col("event_id"), col("event_type"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"))
+        .orderBy("event_id")
     })
 }
