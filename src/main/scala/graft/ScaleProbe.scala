@@ -25,7 +25,9 @@ object ScaleProbe {
   private val Subset = Seq(
     "d02_ngram_jaccard", "d03_minhash_lsh", "d04_simhash",
     "d05_cosine_neardup", "d06_cosine_neardup_lsh", "d07_dedup_clusters",
-    "d08_incremental_lsh", "d09_containment", "t19_bloom_decontam",
+    "d08_incremental_lsh", "d09_containment",
+    "d10_minhash_calibration", // verify-join cost tracks candidate count
+    "t19_bloom_decontam",
     "t24_lm_perplexity", // bigram join: big/pre count tables grow with corpus
     "s02_ann_lsh", "s03_ann_ivf")
 

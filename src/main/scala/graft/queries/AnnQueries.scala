@@ -27,6 +27,9 @@ object AnnQueries {
 
   private val cosExpr = "list_dot_product(q.vn, c.vn)"
 
+  /** Oracle mirror of TextFns.normalize (s10's lexical leg). */
+  private val docNorm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
   /** Full-corpus IVF centroid build (first-16 seed + two exact-decimal
     * Lloyd passes) ending in the per-vector `assign(id, vn, cid)` CTE —
     * the shared prefix of s03 (probing top-k) and s07 (semantic dedup). */
@@ -469,6 +472,117 @@ object AnnQueries {
         .select(col("q"), col("n_hit"),
           round(col("n_hit") / 10.0, 4).as("recall"))
         .orderBy("q")
+    },
+
+    // Hybrid retrieval with reciprocal-rank fusion (Cormack et al.
+    // 2009): for query DOCUMENTS (doc_id % 50 = 0, embeddings align
+    // 1:1 with documents by id), fuse a lexical more-like-this BM25
+    // ranking (query terms = the query doc's distinct words, t23's
+    // order-independent decimal scoring) with the dense cosine ranking
+    // (s01's exact top-k) as sum of 1/(60 + rank) over both top-10
+    // lists. Ranks are integers and the two reciprocal terms add in a
+    // fixed order, so the fused score is engine-identical; ties break
+    // on candidate id. Scale shape: both legs are existing bounded
+    // passes (term-filtered tf join, |Q| x |C| dense scoring with the
+    // LSH/IVF variants as the corpus-scale path) and the fusion itself
+    // is a join of two top-k lists — O(|Q| x k).
+    "s10_hybrid_rrf" -> Q(
+      vCte +
+        s"""dtop AS (
+           |  SELECT q, cand, dr FROM (
+           |    SELECT q.vec_id AS q, c.vec_id AS cand,
+           |           row_number() OVER (PARTITION BY q.vec_id
+           |             ORDER BY $cosExpr DESC, c.vec_id) AS dr
+           |    FROM n q JOIN n c ON q.vec_id != c.vec_id
+           |    WHERE q.vec_id % 50 = 0)
+           |  WHERE dr <= 10),
+           |w AS (SELECT doc_id, string_split($docNorm, ' ') AS ws
+           |      FROM documents),
+           |qt AS (SELECT DISTINCT doc_id AS q, unnest(ws) AS term
+           |       FROM w WHERE doc_id % 50 = 0),
+           |dl AS (SELECT doc_id, len(ws) AS dl FROM w),
+           |stats AS (SELECT count(*) AS nd,
+           |                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+           |          FROM dl),
+           |tw AS (SELECT doc_id, unnest(ws) AS term FROM w),
+           |tf AS (SELECT doc_id, term, count(*) AS tf FROM tw
+           |       WHERE term IN (SELECT DISTINCT term FROM qt)
+           |       GROUP BY 1, 2),
+           |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           |sc AS (
+           |  SELECT qt.q, tf.doc_id AS cand,
+           |         CAST(round(ln(1 + (stats.nd - df.df + 0.5) / (df.df + 0.5))
+           |             * (tf.tf * 2.2)
+           |             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)),
+           |           6) AS DECIMAL(18,6)) AS contrib
+           |  FROM tf
+           |  JOIN qt ON tf.term = qt.term
+           |  JOIN df ON tf.term = df.term
+           |  JOIN dl ON tf.doc_id = dl.doc_id, stats
+           |  WHERE tf.doc_id != qt.q),
+           |lagg AS (SELECT q, cand, sum(contrib) AS sc FROM sc GROUP BY 1, 2),
+           |ltop AS (
+           |  SELECT q, cand, lr FROM (
+           |    SELECT q, cand,
+           |           row_number() OVER (PARTITION BY q
+           |             ORDER BY sc DESC, cand) AS lr
+           |    FROM lagg)
+           |  WHERE lr <= 10),
+           |fused AS (
+           |  SELECT COALESCE(d.q, l.q) AS q, COALESCE(d.cand, l.cand) AS cand,
+           |         COALESCE(CAST(1 AS DOUBLE) / (60 + d.dr), 0)
+           |           + COALESCE(CAST(1 AS DOUBLE) / (60 + l.lr), 0) AS rrf
+           |  FROM dtop d FULL JOIN ltop l ON d.q = l.q AND d.cand = l.cand)
+           |SELECT q, rank, cand, round(rrf, 6) AS rrf FROM (
+           |  SELECT q, cand, rrf,
+           |         row_number() OVER (PARTITION BY q
+           |           ORDER BY rrf DESC, cand) AS rank
+           |  FROM fused)
+           |WHERE rank <= 5 ORDER BY q, rank""".stripMargin) { (s, d) =>
+      import graft.text.TextFns
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, d)
+      val dense = Ann.bruteForceTopK(
+          emb.filter(col("vec_id") % 50 === 0), emb, k = 10)
+        .select(col("q"), col("b").as("cand"), col("rank").as("dr"))
+      val ws = Tables.documents(s, d)
+        .select(col("doc_id"), TextFns.words(col("text")).as("ws"))
+      val qt = ws.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("q"), explode(col("ws")).as("term"))
+        .distinct()
+      val dl = ws.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
+      val stats = dl.agg(count(lit(1)).as("nd"),
+        (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+      val tf = ws.select(col("doc_id"), explode(col("ws")).as("term"))
+        .join(broadcast(qt.select("term").distinct()), Seq("term"), "left_semi")
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val contrib = tf
+        .join(broadcast(qt), "term")
+        .filter(col("doc_id") =!= col("q"))
+        .join(broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("contrib", round(
+          log(lit(1) + (col("nd") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+            * (col("tf") * lit(2.2))
+            / (col("tf") + lit(1.2) *
+              (lit(1) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl"))),
+          6).cast("decimal(18,6)"))
+      val lagg = contrib.groupBy(col("q"), col("doc_id").as("cand"))
+        .agg(sum("contrib").as("sc"))
+      val lw = Window.partitionBy("q").orderBy(col("sc").desc, col("cand"))
+      val ltop = lagg.withColumn("lr", row_number().over(lw))
+        .filter(col("lr") <= 10).select("q", "cand", "lr")
+      val fused = dense.join(ltop, Seq("q", "cand"), "full")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60) + col("dr")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("lr")), lit(0.0)))
+      val rw = Window.partitionBy("q").orderBy(col("rrf").desc, col("cand"))
+      fused.withColumn("rank", row_number().over(rw))
+        .filter(col("rank") <= 5)
+        .select(col("q"), col("rank"), col("cand"), round(col("rrf"), 6).as("rrf"))
+        .orderBy("q", "rank")
     }
   )
 }

@@ -144,6 +144,72 @@ object DedupQueries {
         .orderBy("a", "b")
     },
 
+    // MinHash calibration: for every d03 candidate pair, the TRUE
+    // Jaccard over the full shingle sets next to the 12-hash estimate,
+    // plus the absolute estimator error — the QC table a dedup pipeline
+    // publishes to justify its signature length before committing to a
+    // threshold. The exact pass touches only the LSH candidates (the
+    // verify stage of a production near-dup job), never all pairs, so
+    // cost is O(candidates x shingles-per-doc) at any corpus size.
+    "d10_minhash_calibration" -> Q(
+      shingleCtes +
+        """sigs AS (
+          |  SELECT doc_id,
+          |         list_transform(range(0, 12), s ->
+          |           list_min(list_transform(shs, x ->
+          |             md5(CAST(s AS VARCHAR) || '|' || x)))) AS sig
+          |  FROM (SELECT doc_id, list(sh) AS shs FROM sh GROUP BY 1)),
+          |buckets AS (
+          |  SELECT doc_id, unnest(list_transform(range(0, 4), b ->
+          |           md5(CAST(b AS VARCHAR) || '|' || sig[b*3+1] || '|' ||
+          |               sig[b*3+2] || '|' || sig[b*3+3]))) AS bucket
+          |  FROM sigs),
+          |cand AS (
+          |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+          |  FROM buckets a JOIN buckets b
+          |    ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+          |pairs AS (
+          |  SELECT a, b,
+          |         round(len(list_filter(range(1, 13),
+          |               i -> sa.sig[i] = sb.sig[i])) / 12.0, 4) AS est
+          |  FROM cand JOIN sigs sa ON a = sa.doc_id JOIN sigs sb ON b = sb.doc_id
+          |  WHERE len(list_filter(range(1, 13), i -> sa.sig[i] = sb.sig[i])) / 12.0 >= 0.5),
+          |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+          |inter AS (
+          |  SELECT p.a, p.b, count(*) AS i
+          |  FROM pairs p JOIN sh x ON x.doc_id = p.a
+          |  JOIN sh y ON y.doc_id = p.b AND y.sh = x.sh
+          |  GROUP BY 1, 2)
+          |SELECT p.a, p.b, p.est AS est_jaccard,
+          |       round(COALESCE(i, 0) * 1.0 / (sx.n_sh + sy.n_sh - COALESCE(i, 0)), 4)
+          |         AS jaccard,
+          |       round(abs(p.est - COALESCE(i, 0) * 1.0
+          |                   / (sx.n_sh + sy.n_sh - COALESCE(i, 0))), 6) AS abs_err
+          |FROM pairs p
+          |LEFT JOIN inter ON p.a = inter.a AND p.b = inter.b
+          |JOIN sizes sx ON p.a = sx.doc_id JOIN sizes sy ON p.b = sy.doc_id
+          |ORDER BY p.a, p.b""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashLshPairs(docs, k = 12, bands = 4, minEst = 0.5)
+        .withColumnRenamed("est_jaccard", "est")
+      val sh = Dedup.shingles(docs, "doc_id", "text")
+      val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+      val inter = pairs.select("a", "b")
+        .join(sh.select(col("id").as("a"), col("sh")), "a")
+        .join(sh.select(col("id").as("b"), col("sh")), Seq("b", "sh"))
+        .groupBy("a", "b").agg(count(lit(1)).as("i"))
+      val jac = coalesce(col("i"), lit(0L)) /
+        (col("na") + col("nb") - coalesce(col("i"), lit(0L)))
+      pairs
+        .join(inter, Seq("a", "b"), "left")
+        .join(sizes.select(col("id").as("a"), col("n_sh").as("na")), "a")
+        .join(sizes.select(col("id").as("b"), col("n_sh").as("nb")), "b")
+        .select(col("a"), col("b"), col("est").as("est_jaccard"),
+          round(jac, 4).as("jaccard"),
+          round(abs(col("est") - jac), 6).as("abs_err"))
+        .orderBy("a", "b")
+    },
+
     // d03's ingest-time shape: docs with doc_id % 10 = 7 arrive as a
     // NEW batch and are deduped against the stored signature index of
     // everything else — index text never re-shingled, no index-index

@@ -727,6 +727,55 @@ object TextQueries {
         .agg(count(lit(1)).as("n_bigrams"),
           round(-sum("lp").cast("double") / count(lit(1)), 4).as("ce"))
         .orderBy("doc_id")
+    },
+
+    // Shannon word-distribution entropy per document — the
+    // info-theoretic quality signal (a near-zero entropy doc is a
+    // degenerate repeat; near-max is vocabulary-diverse) complementing
+    // t02's ratio heuristics and t07's top-share metrics. Per-term
+    // contributions -(p ln p) are rounded to 6 decimals and summed as
+    // DECIMAL (t23/t24's order-independence pattern), so the per-doc
+    // entropy is exact and engine-identical; the ln(k) normalizer
+    // divides once, after the sum. The entropy output re-rounds at the
+    // SAME scale 6 (a numeric no-op): rounding the 6-decimal sum to a
+    // coarser scale can land exactly on a .5 boundary, where Spark
+    // (decimal-string HALF_UP) and DuckDB (binary double) disagree.
+    "t25_word_entropy" -> Q(
+      s"""WITH w AS (SELECT doc_id, unnest(string_split($norm, ' ')) AS word
+         |           FROM documents),
+         |c AS (SELECT doc_id, word, count(*) AS c FROM w GROUP BY 1, 2),
+         |n AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, count(*) AS k
+         |      FROM c GROUP BY 1),
+         |terms AS (
+         |  SELECT c.doc_id,
+         |         CAST(round(-(c.c * 1.0 / n.n) * ln(c.c * 1.0 / n.n), 6)
+         |           AS DECIMAL(18,6)) AS t
+         |  FROM c JOIN n USING (doc_id))
+         |SELECT t.doc_id, n.n AS n_words, n.k AS n_distinct,
+         |       round(CAST(sum(t.t) AS DOUBLE), 6) AS entropy,
+         |       round(CASE WHEN n.k > 1
+         |               THEN CAST(sum(t.t) AS DOUBLE) / ln(n.k) ELSE 0 END,
+         |         6) AS norm_entropy
+         |FROM terms t JOIN n USING (doc_id)
+         |GROUP BY t.doc_id, n.n, n.k
+         |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+      val w = Tables.documents(s, d)
+        .select(col("doc_id"), explode(TextFns.words(col("text"))).as("word"))
+      val c = w.groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+      val n = c.groupBy("doc_id")
+        .agg(sum("c").as("n"), count(lit(1)).as("k"))
+      val terms = c.join(n, "doc_id")
+        .withColumn("t", round(
+          -(col("c") / col("n")) * log(col("c") / col("n")),
+          6).cast("decimal(18,6)"))
+      terms.groupBy("doc_id", "n", "k")
+        .agg(sum("t").as("ent"))
+        .select(col("doc_id"), col("n").as("n_words"), col("k").as("n_distinct"),
+          round(col("ent").cast("double"), 6).as("entropy"),
+          round(when(col("k") > 1,
+            col("ent").cast("double") / log(col("k").cast("double")))
+            .otherwise(lit(0.0)), 6).as("norm_entropy"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -179,4 +179,18 @@ class AnnSpec extends SparkSpec {
     val ok = top1.count { case (q, b) => b % 16 == q % 16 }
     ok.toDouble / top1.length should be >= 0.9
   }
+
+  test("hybrid RRF emits 5 fused ranks per query, scores descending") {
+    val out = SparkEntry.queries("s10_hybrid_rrf")(spark, SfDir).collect()
+    out.length should be > 0
+    val byQ = out.groupBy(_.getLong(0))
+    byQ.values.foreach { rows =>
+      rows.map(_.getInt(1)).sorted shouldBe (1 to 5)
+      val scores = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      scores.zip(scores.tail).foreach { case (hi, lo) => hi should be >= lo }
+      // each leg contributes at most 1/61 per candidate
+      scores.head should be <= (2.0 / 61 + 1e-9)
+      scores.last should be > 0.0
+    }
+  }
 }

@@ -222,6 +222,19 @@ class DedupSpec extends SparkSpec {
     truth.subsetOf(est) shouldBe true
   }
 
+  test("minhash calibration's abs_err is the true estimator error") {
+    val out = SparkEntry.queries("d10_minhash_calibration")(spark, SfDir)
+      .collect()
+    out.length should be > 0
+    out.foreach { r =>
+      val (est, jac, err) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      est should (be >= 0.0 and be <= 1.0)
+      jac should (be >= 0.0 and be <= 1.0)
+      // err uses the unrounded jaccard; the jac column rounds at 4
+      err shouldBe (math.abs(est - jac) +- 6e-5)
+    }
+  }
+
   test("cosine near-dup returns ordered pairs above threshold") {
     val pairs = Dedup.cosineNearDupPairs(Tables.embeddings(spark, SfDir),
       minCos = 0.4).collect()
