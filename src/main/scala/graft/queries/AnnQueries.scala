@@ -477,14 +477,18 @@ object AnnQueries {
     // Hybrid retrieval with reciprocal-rank fusion (Cormack et al.
     // 2009): for query DOCUMENTS (doc_id % 50 = 0, embeddings align
     // 1:1 with documents by id), fuse a lexical more-like-this BM25
-    // ranking (query terms = the query doc's distinct words, t23's
-    // order-independent decimal scoring) with the dense cosine ranking
-    // (s01's exact top-k) as sum of 1/(60 + rank) over both top-10
-    // lists. Ranks are integers and the two reciprocal terms add in a
-    // fixed order, so the fused score is engine-identical; ties break
-    // on candidate id. Scale shape: both legs are existing bounded
-    // passes (term-filtered tf join, |Q| x |C| dense scoring with the
-    // LSH/IVF variants as the corpus-scale path) and the fusion itself
+    // ranking with the dense cosine ranking (s01's exact top-k) as the
+    // sum of 1/(60 + rank) over both top-10 lists. The lexical query
+    // is NOT every word of the query doc — that makes the scoring join
+    // |queries| x |docs| dense on a Zipf-flat vocabulary — but its
+    // top-5 terms by tf x ln((N+1)/df), Lucene MoreLikeThis's term
+    // selection, chosen via the same order-independent decimal-rounded
+    // score in both engines (ties to the lexically smaller term).
+    // Ranks are integers and the two reciprocal terms add in a fixed
+    // order, so the fused score is engine-identical; ties break on
+    // candidate id. Scale shape: term selection bounds the scoring
+    // join at 5 postings lists per query, the dense leg has the
+    // LSH/IVF variants as its corpus-scale path, and the fusion itself
     // is a join of two top-k lists — O(|Q| x k).
     "s10_hybrid_rrf" -> Q(
       vCte +
@@ -498,17 +502,27 @@ object AnnQueries {
            |  WHERE dr <= 10),
            |w AS (SELECT doc_id, string_split($docNorm, ' ') AS ws
            |      FROM documents),
-           |qt AS (SELECT DISTINCT doc_id AS q, unnest(ws) AS term
-           |       FROM w WHERE doc_id % 50 = 0),
+           |qt0 AS (SELECT DISTINCT doc_id AS q, unnest(ws) AS term
+           |        FROM w WHERE doc_id % 50 = 0),
            |dl AS (SELECT doc_id, len(ws) AS dl FROM w),
            |stats AS (SELECT count(*) AS nd,
            |                 CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
            |          FROM dl),
            |tw AS (SELECT doc_id, unnest(ws) AS term FROM w),
            |tf AS (SELECT doc_id, term, count(*) AS tf FROM tw
-           |       WHERE term IN (SELECT DISTINCT term FROM qt)
+           |       WHERE term IN (SELECT DISTINCT term FROM qt0)
            |       GROUP BY 1, 2),
            |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+           |qt AS (
+           |  SELECT q, term FROM (
+           |    SELECT qt0.q, qt0.term,
+           |           row_number() OVER (PARTITION BY qt0.q ORDER BY
+           |             CAST(round(qf.tf * ln((stats.nd + 1.0) / df.df), 6)
+           |               AS DECIMAL(18,6)) DESC, qt0.term) AS tr
+           |    FROM qt0
+           |    JOIN tf qf ON qf.doc_id = qt0.q AND qf.term = qt0.term
+           |    JOIN df ON qt0.term = df.term, stats)
+           |  WHERE tr <= 5),
            |sc AS (
            |  SELECT qt.q, tf.doc_id AS cand,
            |         CAST(round(ln(1 + (stats.nd - df.df + 0.5) / (df.df + 0.5))
@@ -547,16 +561,30 @@ object AnnQueries {
         .select(col("q"), col("b").as("cand"), col("rank").as("dr"))
       val ws = Tables.documents(s, d)
         .select(col("doc_id"), TextFns.words(col("text")).as("ws"))
-      val qt = ws.filter(col("doc_id") % 50 === 0)
+      val qt0 = ws.filter(col("doc_id") % 50 === 0)
         .select(col("doc_id").as("q"), explode(col("ws")).as("term"))
         .distinct()
       val dl = ws.select(col("doc_id"), size(col("ws")).cast("long").as("dl"))
       val stats = dl.agg(count(lit(1)).as("nd"),
         (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
       val tf = ws.select(col("doc_id"), explode(col("ws")).as("term"))
-        .join(broadcast(qt.select("term").distinct()), Seq("term"), "left_semi")
+        .join(broadcast(qt0.select("term").distinct()), Seq("term"), "left_semi")
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      // MoreLikeThis term selection: the query doc's top-5 terms by
+      // tf x idf, decimal-rounded so both engines pick the same set
+      val tw = Window.partitionBy("q").orderBy(col("tscore").desc, col("term"))
+      val qt = qt0
+        .join(tf.select(col("doc_id").as("q"), col("term"),
+          col("tf").as("qtf")), Seq("q", "term"))
+        .join(broadcast(dfreq), "term")
+        .crossJoin(broadcast(stats))
+        .withColumn("tscore", round(
+          col("qtf") * log((col("nd") + lit(1.0)) / col("df")),
+          6).cast("decimal(18,6)"))
+        .withColumn("tr", row_number().over(tw))
+        .filter(col("tr") <= 5)
+        .select("q", "term")
       val contrib = tf
         .join(broadcast(qt), "term")
         .filter(col("doc_id") =!= col("q"))
