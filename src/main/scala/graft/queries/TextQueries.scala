@@ -762,9 +762,13 @@ object TextQueries {
       val w = Tables.documents(s, d)
         .select(col("doc_id"), explode(TextFns.words(col("text"))).as("word"))
       val c = w.groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
-      val n = c.groupBy("doc_id")
-        .agg(sum("c").as("n"), count(lit(1)).as("k"))
-      val terms = c.join(n, "doc_id")
+      // totals via a doc-partitioned window, not a self-join: one scan
+      // and one (doc_id, word) shuffle instead of computing the count
+      // subtree twice (DataFrame plans don't share subtrees)
+      val wd = Window.partitionBy("doc_id")
+      val terms = c
+        .withColumn("n", sum("c").over(wd))
+        .withColumn("k", count(lit(1)).over(wd))
         .withColumn("t", round(
           -(col("c") / col("n")) * log(col("c") / col("n")),
           6).cast("decimal(18,6)"))
