@@ -11,6 +11,50 @@ import graft.sources.Tables
   */
 object AnalyticsQueries {
 
+  /** q51's oracle: replay `iters` PageRank rounds, each a contribution
+    * join + sum structurally identical to the Spark loop in
+    * graft.operators.PageRank, over the same mutualized edge list.
+    * Pure integer pico-unit arithmetic (// is DuckDB's integer
+    * division; all operands positive, so it matches Spark's `div`),
+    * so the replay is bit-exact with no float rounding to align. */
+  private def pagerankOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""c$i AS (
+         |  SELECT e.dst AS node,
+         |         CAST(sum((((r.r * 17) // 20) * e.w) // ws.wsum)
+         |           AS BIGINT) AS inflow
+         |  FROM e JOIN r${i - 1} r ON e.src = r.node
+         |  JOIN ws ON e.src = ws.src
+         |  GROUP BY 1),
+         |r$i AS (
+         |  SELECT nodes.node,
+         |         ((1000000000000 * 3) // 20) // nn.n
+         |           + COALESCE(c$i.inflow, 0) AS r
+         |  FROM nodes CROSS JOIN nn
+         |  LEFT JOIN c$i ON nodes.node = c$i.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH eb AS (
+       |  SELECT l_partkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+       |         count(*) AS w
+       |  FROM lineitem GROUP BY 1, 2),
+       |e AS (SELECT src, dst, w FROM eb
+       |      UNION ALL SELECT dst, src, w FROM eb),
+       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |ws AS (SELECT src, sum(w) AS wsum FROM e GROUP BY 1),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |r0 AS (SELECT node, 1000000000000 // nn.n AS r
+       |       FROM nodes CROSS JOIN nn),
+       |$rounds
+       |SELECT rk,
+       |       CASE WHEN node % 2 = 0 THEN 'p' || CAST(node // 2 AS VARCHAR)
+       |            ELSE 's' || CAST(node // 2 AS VARCHAR) END AS node,
+       |       score_pico FROM (
+       |  SELECT row_number() OVER (ORDER BY r DESC, node) AS rk, node,
+       |         CAST(r AS BIGINT) AS score_pico
+       |  FROM r$iters)
+       |WHERE rk <= 25 ORDER BY rk""".stripMargin
+  }
+
   val all: Map[String, Q] = Map(
 
     // exact interpolated percentiles per group (both engines implement
@@ -315,6 +359,37 @@ object AnalyticsQueries {
       Cms.estimate(merged, top, col("user_id"), d = 4, w = 512)
         .select("user_id", "exact", "est")
         .orderBy(col("exact").desc, col("user_id"))
+    },
+
+    // damped PageRank (3 fixed rounds) over the part<->supplier
+    // co-occurrence graph from lineitem — the iterative WEIGHTED
+    // propagation pattern (ConnectedComponents is its unweighted
+    // sibling). Ranks are integer pico-units end to end (see
+    // operators/PageRank.scala), so the oracle replays the identical
+    // rounds (the BPE-learner replay idiom) with zero float alignment
+    // and the top-25 is exact by construction.
+    "q51_pagerank" -> Q(pagerankOracle(3)) { (s, d) =>
+      import graft.operators.PageRank
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, d)
+      // long node ids (part = 2k, supplier = 2k+1): the edge list
+      // shuffles every round, so keys stay fixed-width; labels are
+      // rendered only on the final 25 rows
+      val eb = li.groupBy(
+          (col("l_partkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val e = eb.union(eb.select(col("dst"), col("src"), col("w")))
+      val top = PageRank.ranks(e, iters = 3)
+        .orderBy(col("r").desc, col("node")).limit(25)
+      top
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("r").desc, col("node"))))
+        .select(col("rk"),
+          concat(when(col("node") % 2 === 0, lit("p")).otherwise(lit("s")),
+            expr("node div 2")).as("node"),
+          col("r").as("score_pico"))
+        .orderBy("rk")
     }
   )
 }

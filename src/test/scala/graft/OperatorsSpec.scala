@@ -236,6 +236,26 @@ class OperatorsSpec extends SparkSpec {
     out.count() shouldBe 1L
   }
 
+  test("pagerank favors the hub, conserves mass, ignores partitioning") {
+    import graft.operators.PageRank
+    // star: leaves 1..4 each point at hub 0 (w=1); hub points back with
+    // weight 1 each — mutualized, so no dangling leakage
+    val edges = (1L to 4L).flatMap(l => Seq((l, 0L, 1L), (0L, l, 1L)))
+      .toDF("src", "dst", "w")
+    val r = PageRank.ranks(edges, iters = 3).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    r(0L) should be > r(1L) // the hub concentrates rank
+    r(1L) shouldBe r(2L)    // symmetric leaves tie exactly
+    // mass sums to Unit minus bounded truncation (< 1 pico per div)
+    val total = r.values.sum
+    total should be <= PageRank.Unit
+    total should be > PageRank.Unit - 1000L
+    // pure integer arithmetic: partitioning cannot change the result
+    val r2 = PageRank.ranks(edges.repartition(7), iters = 3).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    r2 shouldBe r
+  }
+
   test("range join respects equi-keys and drops empty intervals") {
     val pts = Seq((1L, "x", 10L), (2L, "y", 10L)).toDF("pid", "k", "pt")
     val iv = Seq((100L, "x", 0L, 20L), (200L, "y", 30L, 30L))

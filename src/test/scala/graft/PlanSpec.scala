@@ -121,7 +121,8 @@ class PlanSpec extends SparkSpec {
       "s09_ann_recall", // embeds the s01 exact baseline it measures against
       "t23_bm25", // broadcasts a 1-ROW global-stats side (N, avgdl)
       "t24_lm_perplexity", // broadcasts a 1-ROW vocab-size side (V)
-      "s10_hybrid_rrf") // embeds the s01 exact dense leg + t23's 1-row stats
+      "s10_hybrid_rrf", // embeds the s01 exact dense leg + t23's 1-row stats
+      "q51_pagerank") // broadcasts a 1-ROW node-count side (N) per round
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, SfDir)
       withClue(s"$name: ") {
