@@ -47,6 +47,14 @@ object PageRank {
     */
   def ranks(edges: DataFrame, iters: Int = 3, dampNum: Int = 17,
       dampDen: Int = 20): DataFrame = {
+    val missing = Seq("src", "dst", "w").filterNot(edges.columns.contains)
+    require(missing.isEmpty,
+      s"PageRank.ranks: edges is missing column(s) ${missing.mkString(", ")} " +
+        "(expected src, dst, w)")
+    require(iters >= 1, s"PageRank.ranks: iters must be >= 1, got $iters")
+    require(dampNum > 0 && dampNum < dampDen,
+      s"PageRank.ranks: damping must satisfy 0 < num < den, " +
+        s"got $dampNum/$dampDen")
     // every round references the edge list, and the node/out-weight
     // tables bracket it — persist once or each round re-evaluates the
     // caller's upstream (a graph derivation pipeline) per reference
