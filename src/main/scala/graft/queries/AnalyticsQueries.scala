@@ -390,6 +390,74 @@ object AnalyticsQueries {
             expr("node div 2")).as("node"),
           col("r").as("score_pico"))
         .orderBy("rk")
+    },
+
+    // ordered-sequence funnel: users reaching view -> click -> purchase,
+    // each step strictly after the previous one's FIRST occurrence and
+    // within a 1-day conversion window of it (the canonical
+    // product-analytics conversion query). Each step is one
+    // aggregate + one key join on user_id — co-partitioned after the
+    // first shuffle, no per-user sorting or driver state, so the chain
+    // is O(events) at any scale. Conversion rates are integer ppm
+    // (count * 1e6 div previous) — no float anywhere. Timestamps
+    // compare at second grain on both engines (the repo's epoch idiom),
+    // so the step semantics are engine-identical.
+    "q52_funnel" -> Q(
+      """WITH s1 AS (
+        |  SELECT user_id, min(CAST(floor(epoch(ts)) AS BIGINT)) AS t1
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(CAST(floor(epoch(e.ts)) AS BIGINT)) AS t2
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click'
+        |    AND CAST(floor(epoch(e.ts)) AS BIGINT) > s1.t1
+        |    AND CAST(floor(epoch(e.ts)) AS BIGINT) <= s1.t1 + 86400
+        |  GROUP BY 1),
+        |s3 AS (
+        |  SELECT e.user_id, min(CAST(floor(epoch(e.ts)) AS BIGINT)) AS t3
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase'
+        |    AND CAST(floor(epoch(e.ts)) AS BIGINT) > s2.t2
+        |    AND CAST(floor(epoch(e.ts)) AS BIGINT) <= s2.t2 + 86400
+        |  GROUP BY 1),
+        |n1 AS (SELECT count(*) AS n FROM s1),
+        |n2 AS (SELECT count(*) AS n FROM s2),
+        |n3 AS (SELECT count(*) AS n FROM s3)
+        |SELECT * FROM (
+        |  SELECT 1 AS step, 'view' AS event_type, n AS n_users,
+        |         1000000 AS conv_ppm FROM n1
+        |  UNION ALL
+        |  SELECT 2, 'click', n2.n, (n2.n * 1000000) // n1.n
+        |  FROM n2 CROSS JOIN n1
+        |  UNION ALL
+        |  SELECT 3, 'purchase', n3.n, (n3.n * 1000000) // n2.n
+        |  FROM n3 CROSS JOIN n2)
+        |ORDER BY step""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("ts_s"))
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts_s").as("t1"))
+      val s2 = ev.filter(col("event_type") === "click")
+        .join(s1, "user_id")
+        .filter(col("ts_s") > col("t1") && col("ts_s") <= col("t1") + 86400)
+        .groupBy("user_id").agg(min("ts_s").as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2, "user_id")
+        .filter(col("ts_s") > col("t2") && col("ts_s") <= col("t2") + 86400)
+        .groupBy("user_id").agg(min("ts_s").as("t3"))
+      val n1 = s1.agg(count(lit(1)).as("n1"))
+      val n2 = s2.agg(count(lit(1)).as("n2"))
+      val n3 = s3.agg(count(lit(1)).as("n3"))
+      val r1 = n1.select(lit(1).as("step"), lit("view").as("event_type"),
+        col("n1").as("n_users"), lit(1000000L).as("conv_ppm"))
+      val r2 = n2.crossJoin(n1).select(lit(2).as("step"),
+        lit("click").as("event_type"), col("n2").as("n_users"),
+        expr("(n2 * 1000000) div n1").as("conv_ppm"))
+      val r3 = n3.crossJoin(n2).select(lit(3).as("step"),
+        lit("purchase").as("event_type"), col("n3").as("n_users"),
+        expr("(n3 * 1000000) div n2").as("conv_ppm"))
+      r1.union(r2).union(r3).orderBy("step")
     }
   )
 }

@@ -122,7 +122,8 @@ class PlanSpec extends SparkSpec {
       "t23_bm25", // broadcasts a 1-ROW global-stats side (N, avgdl)
       "t24_lm_perplexity", // broadcasts a 1-ROW vocab-size side (V)
       "s10_hybrid_rrf", // embeds the s01 exact dense leg + t23's 1-row stats
-      "q51_pagerank") // broadcasts a 1-ROW node-count side (N) per round
+      "q51_pagerank", // broadcasts a 1-ROW node-count side (N) per round
+      "q52_funnel") // joins 1-ROW step counts for the ppm ratios
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, SfDir)
       withClue(s"$name: ") {
