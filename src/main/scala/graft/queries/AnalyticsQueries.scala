@@ -458,6 +458,197 @@ object AnalyticsQueries {
         lit("purchase").as("event_type"), col("n3").as("n_users"),
         expr("(n3 * 1000000) div n2").as("conv_ppm"))
       r1.union(r2).union(r3).orderBy("step")
+    },
+
+    // Triangle counting over the part co-purchase graph (parts that
+    // appear in the same order), restricted to a one-year ship window
+    // so graph density stays sf-proportional. Uses the FORWARD
+    // algorithm with degree-ordered orientation (Chiba–Nishizeki):
+    // every undirected edge is directed from its (degree, id)-smaller
+    // endpoint, which bounds every out-degree by O(sqrt(m)) and hence
+    // the wedge set by O(m^1.5) REGARDLESS of hub skew — the property
+    // that keeps this join-only plan alive at 100 TB where naive
+    // id-orientation lets one popular part generate a quadratic wedge
+    // explosion. Three hash joins, all on bounded keys; all integers.
+    "q53_triangles" -> Q(
+      """WITH li AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate <  TIMESTAMP '1997-01-01'),
+        |ecan AS (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM li x JOIN li y ON x.l_orderkey = y.l_orderkey
+        |  WHERE x.l_partkey < y.l_partkey),
+        |deg AS (
+        |  SELECT node, count(*) AS dg FROM (
+        |    SELECT a AS node FROM ecan
+        |    UNION ALL SELECT b FROM ecan) GROUP BY 1),
+        |o AS (
+        |  SELECT CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND ecan.a < ecan.b)
+        |              THEN ecan.a ELSE ecan.b END AS src,
+        |         CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND ecan.a < ecan.b)
+        |              THEN ecan.b ELSE ecan.a END AS dst,
+        |         CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND ecan.a < ecan.b)
+        |              THEN db.dg ELSE da.dg END AS ddst
+        |  FROM ecan JOIN deg da ON ecan.a = da.node
+        |            JOIN deg db ON ecan.b = db.node),
+        |w AS (
+        |  SELECT o1.dst AS b, o2.dst AS c
+        |  FROM o o1 JOIN o o2 ON o1.src = o2.src
+        |  WHERE o1.ddst < o2.ddst
+        |     OR (o1.ddst = o2.ddst AND o1.dst < o2.dst)),
+        |tri AS (
+        |  SELECT count(*) AS n_triangles FROM w
+        |  WHERE EXISTS (SELECT 1 FROM o
+        |                WHERE o.src = w.b AND o.dst = w.c))
+        |SELECT (SELECT count(*) FROM deg) AS n_nodes,
+        |       (SELECT count(*) FROM ecan) AS n_edges,
+        |       (SELECT count(*) FROM w) AS n_wedges,
+        |       n_triangles,
+        |       CASE WHEN (SELECT count(*) FROM w) = 0 THEN 0
+        |            ELSE (n_triangles * 1000000) // (SELECT count(*) FROM w)
+        |       END AS closure_ppm
+        |FROM tri""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_partkey").distinct()
+      val ecan = li.as("x").join(li.as("y"), Seq("l_orderkey"))
+        .filter(col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+        .distinct()
+      val deg = ecan.select(col("a").as("node"))
+        .union(ecan.select(col("b").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("dg"))
+      val lt = (col("da") < col("db")) ||
+        (col("da") === col("db") && col("a") < col("b"))
+      val o = ecan
+        .join(deg.select(col("node").as("a"), col("dg").as("da")), Seq("a"))
+        .join(deg.select(col("node").as("b"), col("dg").as("db")), Seq("b"))
+        .select(
+          when(lt, col("a")).otherwise(col("b")).as("src"),
+          when(lt, col("b")).otherwise(col("a")).as("dst"),
+          when(lt, col("db")).otherwise(col("da")).as("ddst"))
+      val w = o.as("o1").join(o.as("o2"), col("o1.src") === col("o2.src"))
+        .filter(col("o1.ddst") < col("o2.ddst") ||
+          (col("o1.ddst") === col("o2.ddst") && col("o1.dst") < col("o2.dst")))
+        .select(col("o1.dst").as("b"), col("o2.dst").as("c"))
+      val tri = w.join(o.select(col("src").as("b"), col("dst").as("c")),
+        Seq("b", "c"), "left_semi")
+      val stats = deg.agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(ecan.agg(count(lit(1)).as("n_edges")))
+        .crossJoin(w.agg(count(lit(1)).as("n_wedges")))
+        .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+      stats.select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        when(col("n_wedges") === 0, lit(0L))
+          .otherwise(expr("(n_triangles * 1000000) div n_wedges"))
+          .as("closure_ppm"))
+    },
+
+    // Item-item co-occurrence similarity (the classic collaborative-
+    // filtering "customers who bought A also bought B"): Jaccard over
+    // customer baskets, integer ppm. The basket self-join is keyed on
+    // customer and guarded by a basket-size cap (HAVING <= 100 distinct
+    // parts) — the standard hub guard that keeps per-key pair fan-out
+    // bounded at any corpus size; one market segment keeps density
+    // sf-proportional. co >= 2 prunes the noise tail before the top-k.
+    "q54_item_similarity" -> Q(
+      """WITH cp AS (
+        |  SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+        |  FROM orders o
+        |  JOIN customer cu ON o.o_custkey = cu.c_custkey
+        |  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  WHERE cu.c_mktsegment = 'BUILDING'),
+        |ok AS (SELECT c FROM cp GROUP BY c HAVING count(*) <= 100),
+        |cpk AS (SELECT cp.c, cp.p FROM cp JOIN ok ON cp.c = ok.c),
+        |np AS (SELECT p, count(*) AS n FROM cpk GROUP BY 1),
+        |co AS (
+        |  SELECT x.p AS pa, y.p AS pb, count(*) AS co
+        |  FROM cpk x JOIN cpk y ON x.c = y.c AND x.p < y.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT co.pa, co.pb, co.co, na.n AS na, nb.n AS nb,
+        |       (co.co * 1000000) // (na.n + nb.n - co.co) AS jaccard_ppm
+        |FROM co JOIN np na ON co.pa = na.p
+        |        JOIN np nb ON co.pb = nb.p
+        |ORDER BY jaccard_ppm DESC, pa, pb LIMIT 25""".stripMargin) { (s, d) =>
+      val cp = Tables.orders(s, d)
+        .join(Tables.customer(s, d)
+            .filter(col("c_mktsegment") === "BUILDING"),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct()
+      val ok = cp.groupBy("c").agg(count(lit(1)).as("sz"))
+        .filter(col("sz") <= 100).select("c")
+      val cpk = cp.join(ok, Seq("c"), "left_semi")
+      val np = cpk.groupBy("p").agg(count(lit(1)).as("n"))
+      val co = cpk.as("x").join(cpk.as("y"), Seq("c"))
+        .filter(col("x.p") < col("y.p"))
+        .groupBy(col("x.p").as("pa"), col("y.p").as("pb"))
+        .agg(count(lit(1)).as("co"))
+        .filter(col("co") >= 2)
+      co.join(np.select(col("p").as("pa"), col("n").as("na")), Seq("pa"))
+        .join(np.select(col("p").as("pb"), col("n").as("nb")), Seq("pb"))
+        .select(col("pa"), col("pb"), col("co"), col("na"), col("nb"),
+          expr("(co * 1000000) div (na + nb - co)").as("jaccard_ppm"))
+        .orderBy(col("jaccard_ppm").desc, col("pa"), col("pb"))
+        .limit(25)
+    },
+
+    // 3-sigma outlier detection per event type with ZERO floating
+    // point: values become exact integer cents via the proven
+    // DECIMAL(20,2) cast, and |x - mean| > 3*sigma is evaluated in its
+    // squared form (n*x - s)^2 > 9*(n*ss - s^2) — pure integer algebra,
+    // no sqrt, no division. The big products run in bounded DECIMAL(18)
+    // multiplications (36-digit results, inside both engines' exact
+    // range). Plan shape: one hash-agg for the 5-row moment table, then
+    // a broadcast join back over the scan — the two-pass z-score shape
+    // that works unchanged at 100 TB because pass two is map-side.
+    "q56_outliers" -> Q(
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CAST(CAST(value AS DECIMAL(20,2)) * 100 AS BIGINT) AS c
+        |  FROM events),
+        |st AS (
+        |  SELECT event_type, count(*) AS n,
+        |         CAST(sum(c) AS BIGINT) AS s,
+        |         CAST(sum(c * c) AS BIGINT) AS ss
+        |  FROM e GROUP BY 1),
+        |m AS (
+        |  SELECT event_type, n, s,
+        |         CAST(n AS DECIMAL(18,0)) * CAST(ss AS DECIMAL(18,0))
+        |           - CAST(s AS DECIMAL(18,0)) * CAST(s AS DECIMAL(18,0))
+        |           AS m2
+        |  FROM st)
+        |SELECT m.event_type, m.n,
+        |       CAST(sum(CASE WHEN
+        |           CAST(m.n * e.c - m.s AS DECIMAL(18,0))
+        |             * CAST(m.n * e.c - m.s AS DECIMAL(18,0)) > 9 * m.m2
+        |         THEN 1 ELSE 0 END) AS BIGINT) AS n_out,
+        |       max(CASE WHEN
+        |           CAST(m.n * e.c - m.s AS DECIMAL(18,0))
+        |             * CAST(m.n * e.c - m.s AS DECIMAL(18,0)) > 9 * m.m2
+        |         THEN e.c END) AS max_out_cents
+        |FROM e JOIN m ON e.event_type = m.event_type
+        |GROUP BY 1, 2 ORDER BY m.event_type""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val e = Tables.events(s, d).select(col("event_type"),
+        (col("value").cast(DecimalType(20, 2)) * 100).cast("long").as("c"))
+      val st = e.groupBy("event_type").agg(
+        count(lit(1)).as("n"), sum("c").as("s"),
+        sum(col("c") * col("c")).as("ss"))
+      val m = st.select(col("event_type"), col("n"), col("s"),
+        (col("n").cast(DecimalType(18, 0)) * col("ss").cast(DecimalType(18, 0))
+          - col("s").cast(DecimalType(18, 0)) *
+            col("s").cast(DecimalType(18, 0))).as("m2"))
+      val dev = (col("n") * col("c") - col("s")).cast(DecimalType(18, 0))
+      val isOut = dev * dev > lit(9) * col("m2")
+      e.join(broadcast(m), Seq("event_type"))
+        .groupBy("event_type", "n")
+        .agg(sum(when(isOut, 1).otherwise(0)).as("n_out"),
+          max(when(isOut, col("c"))).as("max_out_cents"))
+        .orderBy("event_type")
     }
   )
 }

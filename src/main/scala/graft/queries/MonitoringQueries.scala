@@ -97,6 +97,71 @@ object MonitoringQueries {
         .select(col("provider_id"), col("lag_s"),
           when(col("lag_s") > col("slo"), "STALE").otherwise("OK").as("status"))
         .orderBy("provider_id")
+    },
+
+    // distribution-drift monitor: total-variation distance between the
+    // first and second half-month value distributions, per event type —
+    // the "did the feature distribution move between snapshots" check a
+    // training pipeline runs before each ingest is admitted. Values
+    // bucket as exact integer cents (DECIMAL(20,2) cast, div 5000), and
+    // TVD is pure integer cross-multiplication ppm: no float ever
+    // touches the comparison. One scan, one #types*10-row hash-agg —
+    // the moment table is tiny at any corpus size. (The |o1*n2 - o2*n1|
+    // cross products sit in BIGINT: exact to ~1e6 rows/group; past
+    // that, promote the sums to DECIMAL(38) as q56 does its moments.)
+    "q57_dist_drift" -> Q(
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CASE WHEN strftime(ts, '%Y-%m-%d') < '2024-01-15'
+        |              THEN 1 ELSE 2 END AS half,
+        |         least(CAST(CAST(value AS DECIMAL(20,2)) * 100 AS BIGINT)
+        |               // 5000, 9) AS b
+        |  FROM events),
+        |c AS (
+        |  SELECT event_type, b,
+        |         CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS o1,
+        |         CAST(sum(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS BIGINT) AS o2
+        |  FROM e GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(o1) AS BIGINT) AS n1,
+        |             CAST(sum(o2) AS BIGINT) AS n2
+        |      FROM c GROUP BY 1),
+        |a AS (SELECT c.event_type, c.b, abs(c.o1 * t.n2 - c.o2 * t.n1) AS ad
+        |      FROM c JOIN t USING (event_type)),
+        |sd AS (SELECT event_type, CAST(sum(ad) AS BIGINT) AS sad
+        |       FROM a GROUP BY 1),
+        |m AS (SELECT event_type, b AS top_bucket FROM (
+        |        SELECT event_type, b, row_number() OVER (
+        |          PARTITION BY event_type ORDER BY ad DESC, b) AS rn
+        |        FROM a) WHERE rn = 1)
+        |SELECT t.event_type, t.n1, t.n2,
+        |       (sd.sad * 1000000) // (2 * t.n1 * t.n2) AS tvd_ppm,
+        |       m.top_bucket
+        |FROM t JOIN sd USING (event_type) JOIN m USING (event_type)
+        |ORDER BY t.event_type""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.DecimalType
+      val e = Tables.events(s, d).select(col("event_type"),
+        when(graft.functions.Fns.datestamp(col("ts")) < "2024-01-15", 1)
+          .otherwise(2).as("half"),
+        (col("value").cast(DecimalType(20, 2)) * 100).cast("long").as("c"))
+        .withColumn("b", expr("least(c div 5000, 9)")).drop("c")
+      val c = e.groupBy("event_type", "b").agg(
+        sum(when(col("half") === 1, 1L).otherwise(0L)).as("o1"),
+        sum(when(col("half") === 2, 1L).otherwise(0L)).as("o2"))
+      val t = c.groupBy("event_type").agg(
+        sum("o1").as("n1"), sum("o2").as("n2"))
+      val a = c.join(t, Seq("event_type"))
+        .withColumn("ad", abs(col("o1") * col("n2") - col("o2") * col("n1")))
+      val sd = a.groupBy("event_type").agg(sum("ad").as("sad"))
+      val m = a.withColumn("rn", row_number().over(
+          Window.partitionBy("event_type").orderBy(col("ad").desc, col("b"))))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("b").as("top_bucket"))
+      t.join(sd, Seq("event_type")).join(m, Seq("event_type"))
+        .select(col("event_type"), col("n1"), col("n2"),
+          expr("(sad * 1000000) div (2 * n1 * n2)").as("tvd_ppm"),
+          col("top_bucket"))
+        .orderBy("event_type")
     }
   )
 }

@@ -271,6 +271,64 @@ object SinkQueries {
           .select(keys.map(col): _*), keys, numBuckets = 8)
       KeyedUpsert.diff(s, out, 1L, keys)
         .orderBy("user_id", "event_type")
+    },
+
+    // ORC round-trip: the second columnar format the engine speaks
+    // natively (Spark's built-in ORC datasource — same pushdown/pruning
+    // machinery as parquet). Datestamp-partitioned write, then a
+    // partition-pruned read-back re-aggregated; the oracle derives the
+    // same result straight from the original parquet, proving both
+    // directions of the format plumbing.
+    "k09_orc_roundtrip" -> Q(
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+        |FROM events WHERE strftime(ts, '%Y-%m-%d') >= '2024-01-15'
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val dir = freshDir(s"k09-${d.replaceAll("[^0-9a-zA-Z.]", "_")}")
+      val table = s"$dir/events_orc"
+      Tables.events(s, d)
+        .withColumn("datestamp", Fns.datestamp(col("ts")))
+        .select("event_id", "event_type", "value", "datestamp")
+        .write.mode("overwrite").partitionBy("datestamp").orc(table)
+      s.read.orc(table)
+        .filter(col("datestamp") >= "2024-01-15")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .orderBy("event_type")
+    },
+
+    // bucketed co-located join: both sides written as 8-bucket
+    // datasource tables on their join key, so the sort-merge join AND
+    // the downstream per-customer aggregate run with ZERO shuffle — the
+    // output partitioning of the bucketed scan satisfies both. This is
+    // the pre-partitioning answer to the reference's repeated
+    // device-dim joins: at 100 TB the dim and fact co-locate once at
+    // write time and every subsequent join is exchange-free (asserted
+    // in PlanSpec). The merge hint pins sort-merge so the tiny bench
+    // dim doesn't broadcast away the plan under test.
+    "k10_bucketed_join" -> Q(
+      """SELECT o_custkey, c_mktsegment, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2 ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      val tag = d.replaceAll("[^0-9a-zA-Z]", "_")
+      val dir = freshDir(s"k10-$tag")
+      val ot = s"k10_orders_$tag"
+      val ct = s"k10_cust_$tag"
+      s.sql(s"DROP TABLE IF EXISTS $ot")
+      s.sql(s"DROP TABLE IF EXISTS $ct")
+      Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.format("parquet").bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$dir/orders").saveAsTable(ot)
+      Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+        .write.format("parquet").bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$dir/cust").saveAsTable(ct)
+      s.table(ot).hint("merge")
+        .join(s.table(ct).hint("merge"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("o_custkey", "c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("o_custkey")
     }
   )
 }

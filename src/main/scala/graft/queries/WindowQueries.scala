@@ -217,5 +217,44 @@ object WindowQueries {
           round(percent_rank().over(w), 6).as("pr"),
           round(cume_dist().over(w), 6).as("cd"))
         .orderBy("event_id")
+    },
+
+    // first-order Markov transition model over per-user event
+    // sequences: lag() within (user ORDER BY ts, event_id) yields the
+    // predecessor state, then one hash-agg counts each (prev -> next)
+    // transition and a per-prev window normalizes to integer ppm
+    // probabilities. One shuffle by user for the sequencing, one by
+    // prev-state for the normalization — both keyed, both bounded by
+    // #states² output rows, so the model table stays tiny at any
+    // corpus size. START marks sequence heads (the standard absorbing
+    // boundary state).
+    "q55_markov_transitions" -> Q(
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |         lag(event_type) OVER (
+        |           PARTITION BY user_id
+        |           ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+        |           AS prev
+        |  FROM events),
+        |tr AS (
+        |  SELECT COALESCE(prev, 'START') AS prev, event_type AS next,
+        |         count(*) AS n
+        |  FROM seq GROUP BY 1, 2)
+        |SELECT prev, next, n,
+        |       (n * 1000000)
+        |         // CAST(sum(n) OVER (PARTITION BY prev) AS BIGINT) AS p_ppm
+        |FROM tr ORDER BY prev, next""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts_s"), col("event_id"))
+      val tr = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("ts_s"), col("event_id"))
+        .withColumn("prev", lag("event_type", 1).over(w))
+        .groupBy(coalesce(col("prev"), lit("START")).as("prev"),
+          col("event_type").as("next"))
+        .agg(count(lit(1)).as("n"))
+      tr.withColumn("p_ppm",
+          expr("(n * 1000000) div sum(n) over (partition by prev)"))
+        .orderBy("prev", "next")
     })
 }

@@ -110,6 +110,18 @@ class PlanSpec extends SparkSpec {
     plan should not include "BroadcastNestedLoopJoin"
   }
 
+  test("k10 bucketed join and aggregate run with zero hash exchanges") {
+    val plan = formattedPlan("k10_bucketed_join")
+    // both sides are 8-bucket tables on the join key: the sort-merge
+    // join AND the per-customer aggregate must reuse the bucket
+    // partitioning — the only exchange left is the presentation sort's
+    // rangepartitioning. This is the write-once/join-forever layout
+    // that removes the fact-dim shuffle at 100 TB.
+    plan should include("SortMergeJoin")
+    plan should not include "hashpartitioning"
+    plan should include("Bucketed: true")
+  }
+
   test("every registered query has a non-empty schema and distinct columns") {
     // queries allowed a cross join: the two LABELED exact all-pairs
     // baselines, and the bounded |corpus| x 16 centroid-assignment
@@ -123,7 +135,8 @@ class PlanSpec extends SparkSpec {
       "t24_lm_perplexity", // broadcasts a 1-ROW vocab-size side (V)
       "s10_hybrid_rrf", // embeds the s01 exact dense leg + t23's 1-row stats
       "q51_pagerank", // broadcasts a 1-ROW node-count side (N) per round
-      "q52_funnel") // joins 1-ROW step counts for the ppm ratios
+      "q52_funnel", // joins 1-ROW step counts for the ppm ratios
+      "q53_triangles") // joins four 1-ROW graph-stat aggregates
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, SfDir)
       withClue(s"$name: ") {
