@@ -97,6 +97,26 @@ object Multimodal {
         md5(resized).as("fp_out"))
   }
 
+  /** Overlapping analysis windows over audio media: fixed `win`-byte
+    * windows every `hop` bytes (hop < win ⇒ 50 % overlap at the
+    * defaults) over the raw sample stream, each window fingerprinted
+    * from its actual content slice — the framing pass every audio
+    * featurizer (MFCC, fbank) runs before its transform. Generator +
+    * byte-slice + hash, all codegen'd expressions over one scan; only
+    * full windows are emitted (trailing partial frames carry no full
+    * feature), which also keeps the `sequence` builder off the
+    * descending-range edge case for short objects. */
+  def audioWindows(media: DataFrame, win: Int = 256, hop: Int = 128): DataFrame =
+    media.filter(col("kind") === "audio")
+      .withColumn("n_bytes", length(col("content")))
+      .filter(col("n_bytes") >= win)
+      .withColumn("n_win", expr(s"(n_bytes - $win) div $hop + 1"))
+      .select(col("media_id"), col("content"), col("n_win"),
+        explode(sequence(lit(0L), col("n_win") - 1)).as("win_idx"))
+      .withColumn("start_byte", col("win_idx") * hop)
+      .select(col("media_id"), col("n_win"), col("win_idx"), col("start_byte"),
+        md5(expr(s"substring(content, start_byte + 1, $win)")).as("win_fp"))
+
   /** Frame sampling for video media: one row per sampled frame index
     * (every `stride`-th frame of n_bytes/bytesPerFrame fake frames),
     * frame fingerprint derived from content fp + index. The generator

@@ -71,6 +71,28 @@ object MultimodalQueries {
       Multimodal.resizeStub(
           Multimodal.mediaFromDocuments(Tables.documents(s, d)), stride = 4)
         .orderBy("media_id")
+    },
+
+    // overlapping audio analysis windows (256-byte window, 128-byte
+    // hop): each window's fingerprint hashes the REAL content slice —
+    // Spark slices the binary by bytes, the oracle slices the text by
+    // characters, identical on the ASCII corpus.
+    "m04_audio_windows" -> Q(
+      mediaCte +
+        """SELECT media_id, n_win, win_idx,
+          |       win_idx * 128 AS start_byte,
+          |       md5(substring(content, win_idx * 128 + 1, 256)) AS win_fp
+          |FROM (
+          |  SELECT media_id, content,
+          |         (octet_length(encode(content)) - 256) // 128 + 1 AS n_win
+          |  FROM media
+          |  WHERE kind = 'audio' AND octet_length(encode(content)) >= 256),
+          |  LATERAL (SELECT unnest(range(0, n_win)) AS win_idx)
+          |ORDER BY media_id, win_idx""".stripMargin) { (s, d) =>
+      Multimodal.audioWindows(
+          Multimodal.mediaFromDocuments(Tables.documents(s, d)),
+          win = 256, hop = 128)
+        .orderBy("media_id", "win_idx")
     }
   )
 }

@@ -378,6 +378,56 @@ object StreamingQueries {
         q.awaitTermination()
       }
       s.read.parquet(s"$root/out").orderBy("w_start", "rank")
+    },
+
+    // A3/ST custom keyed state through the correctness gate: the
+    // flatMapGroupsWithState tracker (StatefulOps.track — running
+    // count + latest reading per key) fed by the shuffled topic
+    // replay, its per-batch emissions MERGEd into the keyed store
+    // (cumulative n is monotone, so keepMax-on-n picks the final
+    // state), must converge to the batch argmax truth. event_id is the
+    // sequence key: globally unique, so "value at max event_id" is
+    // deterministic no matter how micro-batches slice the replay.
+    "st10_stream_state_track" -> Q(
+      """WITH k AS (
+        |  SELECT CAST(user_id AS VARCHAR) || '|' || event_type AS key,
+        |         event_id, value
+        |  FROM events),
+        |r AS (SELECT key, value, row_number() OVER (
+        |        PARTITION BY key ORDER BY event_id DESC) AS rn
+        |      FROM k),
+        |n AS (SELECT key, count(*) AS n, max(event_id) AS max_event_id
+        |      FROM k GROUP BY 1)
+        |SELECT n.key, n.n, n.max_event_id, r.value AS last_value
+        |FROM n JOIN r ON n.key = r.key AND r.rn = 1
+        |ORDER BY n.key""".stripMargin) { (s, d) =>
+      import s.implicits._
+      import graft.streaming.StatefulOps
+      val root = freshDir(s"st10-${d.replaceAll("[^0-9a-zA-Z.]", "_")}")
+      Topic.publishEvents(Tables.events(s, d), s"$root/topic", nFiles = 4)
+      withShufflePartitions(s, 8) {
+        val readings = Topic.decodeEvents(
+            Topic.readStream(s, s"$root/topic", maxFilesPerTrigger = 2))
+          .select(concat(col("user_id"), lit("|"), col("event_type")).as("key"),
+            col("event_id").as("ts"), col("value"))
+          .as[StatefulOps.KeyedReading]
+        val q = StatefulOps.track(s, readings)
+          .writeStream.outputMode("update")
+          .foreachBatch {
+            (b: org.apache.spark.sql.Dataset[StatefulOps.TrackOutput],
+                _: Long) =>
+              KeyedUpsert.upsert(s, s"$root/state", b.toDF(), Seq("key"),
+                numBuckets = 8, tieBreak = Some("n"), keepMaxOnMerge = true)
+          }
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      KeyedUpsert.read(s, s"$root/state")
+        .select(col("key"), col("n"), col("maxTs").as("max_event_id"),
+          col("lastValue").as("last_value"))
+        .orderBy("key")
     }
   )
 }
