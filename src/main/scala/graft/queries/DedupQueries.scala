@@ -509,6 +509,47 @@ object DedupQueries {
           count(lit(1)).as("n_distinct"),
           sum(col("len") * col("cnt")).as("total_chars"),
           sum(col("len") * (col("cnt") - 1)).as("dup_chars"))
+    },
+
+    // d06 at the SCALE configuration: planes per table sized to the
+    // corpus with Ann.planesFor (greatest(3, ceil(log2(n/target))),
+    // target 25 here so the sizing actually engages at test scale —
+    // 5 planes at 500 vectors, 7 at 2000). The plane count is a pure
+    // function of count(*), so the oracle recomputes it in SQL and the
+    // hash check covers the exact bucket construction the 100 TB path
+    // uses, not just the 3-plane toy configuration (BASELINE.md §4
+    // measured 44x blowup at fixed planes vs 9.4x sized).
+    "d11_cosine_lsh_sized" -> Q(
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings),
+        |params AS (
+        |  SELECT greatest(3, CAST(ceil(log2(count(*) / 25.0)) AS INT)) AS np
+        |  FROM e),
+        |n AS (
+        |  SELECT vec_id,
+        |         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn
+        |  FROM e),
+        |b AS (
+        |  SELECT vec_id,
+        |         unnest(list_transform(range(0, 8), t ->
+        |           t * (1::BIGINT << np) + list_sum(list_transform(range(0, np), j ->
+        |             CASE WHEN list_dot_product(v, list_transform(range(0, 64),
+        |                    i -> (((t*np+j)*7919 + i*104729 + 12345) % 2001 - 1000) / 1000.0)) > 0
+        |                  THEN (1::BIGINT << j) ELSE 0 END)))) AS bucket
+        |  FROM e, params),
+        |cand AS (
+        |  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+        |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+        |SELECT a, b, round(list_dot_product(p.vn, q.vn), 6) AS cos
+        |FROM cand JOIN n p ON a = p.vec_id JOIN n q ON b = q.vec_id
+        |WHERE round(list_dot_product(p.vn, q.vn), 6) >= 0.4
+        |ORDER BY a, b""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      // one bounded driver action: the corpus count that sizes the planes
+      val p = graft.vector.Ann.planesFor(emb.count(), targetBucketSize = 25)
+      Dedup.cosineNearDupPairsLsh(emb, minCos = 0.4, planesPerTable = p)
+        .orderBy("a", "b")
     }
   )
 }

@@ -22,18 +22,31 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark 4 rejects by default (PARQUET_TYPE_ILLEGAL). Read nanos as a
-    * long (SPARK-40819 `nanosAsLong`) and convert to a µs TimestampType
-    * column — exact integer µs truncation, matching DuckDB's ns handling
-    * for every derived bucket/epoch value. */
+  /** The events table's `ts` physical type has varied across testdata
+    * generations: TIMESTAMP(NANOS) (which Spark 4 rejects by default,
+    * PARQUET_TYPE_ILLEGAL) and TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    * (which Spark reads as TIMESTAMP_NTZ). Branch on the type the footer
+    * actually decodes to, normalizing every generation to a µs
+    * TimestampType column with identical epoch values:
+    *   - LongType (nanosAsLong legacy read): integer-divide ns→µs.
+    *     Integer division matters: ns epochs (~1.7e18) exceed double's
+    *     53-bit mantissa, so `/ 1000` would round ~12% of rows by 1µs.
+    *   - TimestampNTZType: cast to TimestampType. The session TZ is UTC
+    *     in every entry point (Verify/Bench/specs), so the naive wall
+    *     clock maps to the same epoch micros DuckDB derives.
+    *   - TimestampType: already what we want; pass through. */
   def events(s: SparkSession, d: String): DataFrame = {
+    // harmless for µs/tz-typed data; required to read NANOS footers at all
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(s, d, "events")
-    // integer division: ns epochs (~1.7e18) exceed double's 53-bit
-    // mantissa, so `/ 1000` would round ~12% of rows by 1us and can
-    // cross second boundaries near *.999999999 ns
-    raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other => throw new IllegalStateException(
+        s"events.ts decoded as unsupported type $other — update Tables.events for this testdata generation")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

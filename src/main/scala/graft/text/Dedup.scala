@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.vector.VectorFns
 
@@ -347,27 +348,73 @@ object Dedup {
   /** SimHash near-dup pairs: block on any shared 16-bit band (4 bands
     * over 64 bits — ≥ 65k possible ids per band, so bucket occupancy
     * grows with the corpus instead of saturating a few hundred ids),
-    * keep pairs with Hamming distance <= maxHamming. Buckets above
-    * `maxBucketSize` are dropped and surfaced via the
-    * "graft.lsh.simhash" observation ([[graft.functions.Buckets]]). */
+    * keep pairs with Hamming distance <= maxHamming.
+    *
+    * Near-dup-dense corpora concentrate whole cliques into a few bands,
+    * and the candidate self-join is quadratic in band occupancy — the
+    * 10× adversarial probe showed a 69× candidate blowup at fixed
+    * 16-bit bands (BASELINE.md §4). Two-stage defense, both surfaced:
+    *
+    *   1. occupancy-adaptive sub-banding: a band whose occupancy
+    *      exceeds `refineThreshold` is refined by 8 extra bits drawn
+    *      from the OTHER 32-bit half of the simhash (bands 0–1 refine
+    *      with sim_hi bits, 2–3 with sim_lo), splitting one O(B²)
+    *      bucket into ≤256 sub-buckets of ~B/256 — O(B²/256) pairs.
+    *      Recall within a refined band only drops for pairs whose
+    *      Hamming errors land in the 8 refinement bits, and those
+    *      pairs usually still collide in one of the 3 other bands —
+    *      strictly better than dropping the band outright.
+    *   2. the hard cap: sub-buckets still above `maxBucketSize`
+    *      (identical-hash cliques that no banding can split) are
+    *      dropped and surfaced via the "graft.lsh.simhash" observation
+    *      ([[graft.functions.Buckets]]).
+    *
+    * At non-adversarial occupancy (`<= refineThreshold`, all of the
+    * oracle testdata) stage 1 is the identity, so the oracled d04
+    * results are byte-identical with or without it. */
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", maxHamming: Int = 6,
-      maxBucketSize: Int = graft.functions.Buckets.DefaultMaxBucketSize)
-      : DataFrame = {
+      maxBucketSize: Int = graft.functions.Buckets.DefaultMaxBucketSize,
+      refineThreshold: Int = 2000): DataFrame = {
     val withSim = simhashes(docs, idCol, textCol)
     val bands = withSim.select(col("id"), col("sim_lo"), col("sim_hi"),
-      explode(array(
-        concat(lit("0|"), col("sim_lo").bitwiseAND(65535L).cast("string")),
-        concat(lit("1|"),
-          shiftright(col("sim_lo"), 16).bitwiseAND(65535L).cast("string")),
-        concat(lit("2|"), col("sim_hi").bitwiseAND(65535L).cast("string")),
-        concat(lit("3|"),
-          shiftright(col("sim_hi"), 16).bitwiseAND(65535L).cast("string"))))
-        .as("band"))
-    // persisted: the capped frame (simhash pipeline + cap window) feeds
-    // both sides of the candidate self-join
-    val kept = graft.functions.Buckets.cap(bands, "band", maxBucketSize,
-      "graft.lsh.simhash").persist()
+      posexplode(array(
+        col("sim_lo").bitwiseAND(65535L),
+        shiftright(col("sim_lo"), 16).bitwiseAND(65535L),
+        col("sim_hi").bitwiseAND(65535L),
+        shiftright(col("sim_hi"), 16).bitwiseAND(65535L))))
+      .withColumn("band",
+        concat(col("pos").cast("string"), lit("|"), col("col").cast("string")))
+      .drop("pos", "col")
+    // 8 refinement bits from the opposite half: a doc's band-i bits and
+    // its refinement bits never overlap, so refinement adds independent
+    // discrimination instead of re-reading the bits that collided
+    val sub = when(col("band").startsWith("0|"), col("sim_hi").bitwiseAND(255L))
+      .when(col("band").startsWith("1|"),
+        shiftright(col("sim_hi"), 8).bitwiseAND(255L))
+      .when(col("band").startsWith("2|"), col("sim_lo").bitwiseAND(255L))
+      .otherwise(shiftright(col("sim_lo"), 8).bitwiseAND(255L))
+    // cold bands (occupancy <= threshold <= maxBucketSize) can never
+    // trip the cap, so only the HOT subset pays the second occupancy
+    // count — at normal occupancy that subset is empty and the whole
+    // refine+cap stage reduces to the one band-key exchange the plain
+    // cap always cost. The threshold clamps to the cap so a tight cap
+    // (tests, paranoid callers) can never be evaded by unrefined bands.
+    val thresh = math.min(refineThreshold, maxBucketSize)
+    val withOcc = bands
+      .withColumn("__band_occ", count(lit(1)).over(Window.partitionBy("band")))
+    val cold = withOcc.filter(col("__band_occ") <= thresh)
+      .drop("__band_occ")
+    val hot = withOcc.filter(col("__band_occ") > thresh)
+      .withColumn("band",
+        concat(col("band"), lit("~"), sub.cast("string")))
+      .drop("__band_occ")
+    // persisted: the capped frame (simhash pipeline + refine + cap)
+    // feeds both sides of the candidate self-join
+    val kept = cold
+      .unionByName(graft.functions.Buckets.cap(hot, "band", maxBucketSize,
+        "graft.lsh.simhash"))
+      .persist()
     val cand = kept.select(col("band"), col("id").as("a"),
         col("sim_lo").as("loa"), col("sim_hi").as("hia"))
       .join(kept.select(col("band"), col("id").as("b"),
