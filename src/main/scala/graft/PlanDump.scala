@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Diagnostic: print the formatted physical plan of registered queries.
+  *
+  * Usage: `sbt "runMain graft.PlanDump q51_pagerank d11_cosine_lsh_sized"`
+  * (no args = a compact one-line summary of join/exchange/codegen counts
+  * for EVERY registered query — the round's plan-audit worklist).
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftExtensions.register(spark)
+
+    def planOf(name: String): String = {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect() // AQE-final plan
+      df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    }
+
+    if (args.nonEmpty) args.foreach { n =>
+      println(s"========== $n ==========")
+      println(planOf(n))
+    } else {
+      // counts are doubled by AQE's final+initial rendering; halve them
+      def c(p: String, re: String) = re.r.findAllIn(p).size / 2
+      SparkEntry.queries.keys.toSeq.sorted.foreach { n =>
+        try {
+          val p = planOf(n)
+          println(f"$n%-30s smj=${c(p, "SortMergeJoin")}%2d " +
+            f"bhj=${c(p, "BroadcastHashJoin")}%2d " +
+            f"bnlj=${c(p, "BroadcastNestedLoop")}%2d " +
+            f"exch=${c(p, "Exchange")}%2d " +
+            f"wscg=${c(p, "WholeStageCodegen")}%2d")
+        } catch { case e: Throwable =>
+          println(f"$n%-30s ERROR ${e.getClass.getSimpleName}")
+        }
+      }
+    }
+    spark.stop()
+  }
+}

@@ -122,6 +122,35 @@ class PlanSpec extends SparkSpec {
     plan should include("Bucketed: true")
   }
 
+  test("d11 sized-LSH candidates join on bucket keys, never a nested loop") {
+    val plan = formattedPlan("d11_cosine_lsh_sized")
+    // the scale path's whole point: candidate generation must stay a
+    // bucket-key equi join (hash/sort-merge by data size), with the
+    // only cross-shaped operators being none at all
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should not include "CartesianProduct"
+  }
+
+  test("st09/st10 streaming state queries plan no joins and minimal exchanges") {
+    for (name <- Seq("st09_stream_trending", "st10_stream_state_track")) {
+      val plan = formattedPlan(name)
+      // post-stream analysis is a pure keyed aggregation chain: one
+      // hash exchange for the groupBy plus the presentation sort — a
+      // join here would mean state tracking re-reads its own output
+      plan should not include "Join"
+      ("Exchange".r.findAllIn(plan).size / 2) should be <= 2
+    }
+  }
+
+  test("q55/q56 event analytics aggregate without cross-shaped joins") {
+    for (name <- Seq("q55_markov_transitions", "q56_outliers")) {
+      val plan = formattedPlan(name)
+      plan should not include "BroadcastNestedLoopJoin"
+      plan should not include "CartesianProduct"
+      plan should not include "SortMergeJoin" // stats sides stay broadcast
+    }
+  }
+
   test("every registered query has a non-empty schema and distinct columns") {
     // queries allowed a cross join: the two LABELED exact all-pairs
     // baselines, and the bounded |corpus| x 16 centroid-assignment
