@@ -12,8 +12,10 @@ object DedupQueries {
 
   private val norm = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
-  /** Shared oracle CTEs: normalized words + distinct 3-gram shingles. */
-  private val shingleCtes =
+  /** Shared oracle CTEs: normalized words + distinct 3-gram shingles.
+    * Package-private: st11's streaming ingest-dedup oracle replays the
+    * identical signature pipeline. */
+  private[queries] val shingleCtes =
     s"""WITH w AS (
        |  SELECT doc_id, string_split($norm, ' ') AS ws FROM documents),
        |sh AS (

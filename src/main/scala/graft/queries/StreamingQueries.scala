@@ -428,6 +428,49 @@ object StreamingQueries {
         .select(col("key"), col("n"), col("maxTs").as("max_event_id"),
           col("lastValue").as("last_value"))
         .orderBy("key")
+    },
+
+    // Ingest-time near-dup dedup — the 100 TB training-data front door:
+    // documents arrive on a topic in micro-batches, and each batch is
+    // LSH-deduped against the signature index accumulated from all
+    // previous batches (Dedup.incrementalLshPairs: index side only
+    // contributes stored signatures, delta buckets broadcast, no
+    // index-index pairs), then its own signatures append to the index.
+    // Correctness is batching-INVARIANT: each near-dup pair is found
+    // exactly once — when its later member arrives (or within-batch if
+    // both arrive together) — so the union of per-batch pairs must
+    // equal the full-corpus batch run (d03) no matter how the stream
+    // is sliced into micro-batches. The oracle is d03's, verbatim.
+    "st11_stream_ingest_dedup" -> Q(
+      DedupQueries.shingleCtes +
+        """sigs AS (
+          |  SELECT doc_id,
+          |         list_transform(range(0, 12), s ->
+          |           list_min(list_transform(shs, x ->
+          |             md5(CAST(s AS VARCHAR) || '|' || x)))) AS sig
+          |  FROM (SELECT doc_id, list(sh) AS shs FROM sh GROUP BY 1)),
+          |buckets AS (
+          |  SELECT doc_id, unnest(list_transform(range(0, 4), b ->
+          |           md5(CAST(b AS VARCHAR) || '|' || sig[b*3+1] || '|' ||
+          |               sig[b*3+2] || '|' || sig[b*3+3]))) AS bucket
+          |  FROM sigs),
+          |cand AS (
+          |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+          |  FROM buckets a JOIN buckets b
+          |    ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+          |SELECT a, b,
+          |       round(len(list_filter(range(1, 13),
+          |             i -> sa.sig[i] = sb.sig[i])) / 12.0, 4) AS est_jaccard
+          |FROM cand JOIN sigs sa ON a = sa.doc_id JOIN sigs sb ON b = sb.doc_id
+          |WHERE len(list_filter(range(1, 13), i -> sa.sig[i] = sb.sig[i])) / 12.0 >= 0.5
+          |ORDER BY a, b""".stripMargin) { (s, d) =>
+      val root = freshDir(s"st11-${d.replaceAll("[^0-9a-zA-Z.]", "_")}")
+      withShufflePartitions(s, 8) {
+        graft.streaming.IngestDedup
+          .run(s, Tables.documents(s, d), root.toString,
+            nFiles = 4, maxFilesPerTrigger = 1)
+          .orderBy("a", "b")
+      }
     }
   )
 }

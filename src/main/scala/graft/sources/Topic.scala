@@ -77,4 +77,24 @@ object Topic {
     decode(topic, eventsPayloadSchema)
       .withColumn("ts", timestamp_micros(col("ts")))
       .drop("_kafka_ts")
+
+  /** The documents-table envelope (corpus ingest: docs arrive as
+    * messages on a topic, the 100 TB training-data front door). */
+  val documentsPayloadSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Publish the documents table (doc_id keyed; no event time in the
+    * corpus, so the message timestamp is the doc id — ingest-order
+    * semantics, like a producer stamping enqueue time). */
+  def publishDocuments(docs: DataFrame, topicDir: String, nFiles: Int = 4): Unit =
+    publish(docs, topicDir, tsMicros = col("doc_id"),
+      keyCol = Some("doc_id"), nFiles = nFiles)
+
+  /** Decode a documents topic back to the documents-table shape. */
+  def decodeDocuments(topic: DataFrame): DataFrame =
+    decode(topic, documentsPayloadSchema).drop("_kafka_ts")
 }
