@@ -552,6 +552,39 @@ object DedupQueries {
       val p = graft.vector.Ann.planesFor(emb.count(), targetBucketSize = 25)
       Dedup.cosineNearDupPairsLsh(emb, minCos = 0.4, planesPerTable = p)
         .orderBy("a", "b")
+    },
+
+    // Exact cross-document substring spans: maximal character regions
+    // (>= 20 chars) whose every 20-gram also appears in another doc —
+    // the character-level dedup (licence blocks, templated passages)
+    // that document/chunk-level methods miss. Both engines hash the
+    // identical normalized 20-grams and merge identical position runs.
+    "d12_substring_spans" -> Q(
+      s"""WITH nd AS (
+         |  SELECT doc_id, $norm AS t FROM documents),
+         |ge AS (
+         |  SELECT doc_id, u.p AS p, u.h AS h
+         |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(t) - 18),
+         |          i -> {'p': i, 'h': md5(substr(t, i, 20))})) AS u
+         |        FROM nd WHERE len(t) >= 20)),
+         |cross_doc AS (
+         |  SELECT h FROM ge GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+         |hits AS (SELECT doc_id, p FROM ge JOIN cross_doc USING (h)),
+         |runs AS (
+         |  SELECT doc_id, p,
+         |         CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) = 1
+         |              THEN 0 ELSE 1 END AS brk
+         |  FROM hits),
+         |spans AS (
+         |  SELECT doc_id, p,
+         |         sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS span
+         |  FROM runs)
+         |SELECT doc_id, min(p) AS span_start, max(p) + 19 AS span_end,
+         |       max(p) + 19 - min(p) + 1 AS span_len
+         |FROM spans GROUP BY doc_id, span
+         |ORDER BY doc_id, span_start""".stripMargin) { (s, d) =>
+      Dedup.substringSpans(Tables.documents(s, d), k = 20)
+        .orderBy("doc_id", "span_start")
     }
   )
 }

@@ -267,6 +267,61 @@ object Dedup {
       .filter(col("est_jaccard") >= minEst)
   }
 
+  // ----------------------------------------------- substring span dedup
+
+  /** Exact cross-document repeated SUBSTRING spans — the
+    * character-level dedup that document/chunk-level methods miss
+    * (boilerplate headers, licence blocks, templated passages shorter
+    * than a document but longer than a shingle).
+    *
+    * Method (the distributed stand-in for an offline suffix array):
+    *   1. every k-char gram of the normalized text becomes a
+    *      (md5(gram), doc, pos) row — map-side generation, O(chars);
+    *   2. grams are rare-filtered to hashes appearing in ≥ 2 DISTINCT
+    *      docs (one hash-keyed count with map-side partial agg — the
+    *      only full shuffle, and its payload is 16-byte hashes, never
+    *      text);
+    *   3. per doc, surviving positions merge into maximal runs with
+    *      one lag window + running sum (consecutive positions = the
+    *      same repeated region), giving spans [start, end] of length
+    *      ≥ k whose every k-gram also occurs in some other document.
+    *
+    * Shuffle discipline at 100 TB: stage 2's aggregate bounds the
+    * data movement by distinct-gram count; stage 3 shuffles only
+    * positions of CROSS-DOC-repeated grams — proportional to the
+    * duplicated content, not the corpus. */
+  def substringSpans(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 20): DataFrame = {
+    require(k >= 4, s"substringSpans: gram length k=$k too short to block on")
+    val normed = docs.select(col(idCol).as("id"),
+      TextFns.normalize(col(textCol)).as("t"))
+    val grams = normed
+      .filter(length(col("t")) >= k)
+      .select(col("id"), posexplode(transform(
+        sequence(lit(1), length(col("t")) - (k - 1)),
+        i => md5(col("t").substr(i, lit(k))))))
+      .select(col("id"), (col("pos") + 1).as("p"), col("col").as("h"))
+    // rare filter: hashes present in >= 2 distinct docs. count(distinct)
+    // per hash collapses map-side to (hash, doc) pairs first.
+    val crossDoc = grams.groupBy("h")
+      .agg(count_distinct(col("id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select("h")
+    val hits = grams.join(crossDoc, "h").select("id", "p")
+    // run-merge: consecutive positions belong to one maximal span
+    val w = Window.partitionBy("id").orderBy("p")
+    hits
+      .withColumn("brk",
+        when(col("p") - lag("p", 1).over(w) === 1, 0).otherwise(1))
+      .withColumn("span", sum("brk").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("id").as(idCol), col("span"))
+      .agg(min("p").as("span_start"),
+        (max("p") + (k - 1)).as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1).as("span_len"))
+  }
+
   // -------------------------------------------------------------- simhash
 
   // 64 SimHash bits held as two 32-bit halves. Two independent

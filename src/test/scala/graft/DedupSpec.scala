@@ -244,4 +244,37 @@ class DedupSpec extends SparkSpec {
       r.getDouble(2) should be >= 0.4
     }
   }
+
+  test("substring spans find the shared region and nothing in unique docs") {
+    // docs 1 and 2 are identical after normalization (43 chars): the
+    // whole text is one maximal span in each. docs 3 and 4 share the
+    // 31-char prefix "the quick brown fox jumps over " + diverge, and
+    // share the trailing " today"-ish region only below the 20-gram
+    // floor. docs 5 and 6 share nothing 20 chars long.
+    val spans = Dedup.substringSpans(corpus, k = 20)
+      .orderBy("doc_id", "span_start").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val byDoc = spans.groupBy(_._1)
+    byDoc(1L).toSeq shouldBe Seq((1L, 1, 43))
+    byDoc(2L).toSeq shouldBe Seq((2L, 1, 43))
+    // 3/4: spans must start at position 1 and cover the shared prefix
+    // (ends inside the diverging tail are method-defined: every 20-gram
+    // in [1, end] occurs in the sibling)
+    byDoc(3L).head._2 shouldBe 1
+    byDoc(4L).head._2 shouldBe 1
+    byDoc(3L).head._3 should be >= 31
+    byDoc.contains(5L) shouldBe false
+    byDoc.contains(6L) shouldBe false
+  }
+
+  test("substring spans: every span is at least gram-length long") {
+    val out = Dedup.substringSpans(Tables.documents(spark, SfDir), k = 20)
+      .collect()
+    out.length should be > 0
+    out.foreach { r =>
+      r.getInt(3) should be >= 20 // span_len
+      r.getInt(1) should be >= 1  // 1-indexed start
+      r.getInt(2) shouldBe r.getInt(1) + r.getInt(3) - 1
+    }
+  }
 }
