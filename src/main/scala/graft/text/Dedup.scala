@@ -295,17 +295,22 @@ object Dedup {
     require(k >= 4, s"substringSpans: gram length k=$k too short to block on")
     val normed = docs.select(col(idCol).as("id"),
       TextFns.normalize(col(textCol)).as("t"))
+    // persisted: the gram table feeds the cross-doc aggregate AND the
+    // hits join; without it every position's md5 computes twice
     val grams = normed
       .filter(length(col("t")) >= k)
       .select(col("id"), posexplode(transform(
         sequence(lit(1), length(col("t")) - (k - 1)),
         i => md5(col("t").substr(i, lit(k))))))
       .select(col("id"), (col("pos") + 1).as("p"), col("col").as("h"))
-    // rare filter: hashes present in >= 2 distinct docs. count(distinct)
-    // per hash collapses map-side to (hash, doc) pairs first.
+      .persist()
+    // rare filter: hashes present in >= 2 distinct docs — tested as
+    // min(id) != max(id), a plain min/max partial aggregate instead of
+    // per-hash distinct-set tracking (same predicate, far cheaper
+    // map-side state)
     val crossDoc = grams.groupBy("h")
-      .agg(count_distinct(col("id")).as("nd"))
-      .filter(col("nd") >= 2)
+      .agg(min("id").as("i0"), max("id").as("i1"))
+      .filter(col("i0") =!= col("i1"))
       .select("h")
     val hits = grams.join(crossDoc, "h").select("id", "p")
     // run-merge: consecutive positions belong to one maximal span
