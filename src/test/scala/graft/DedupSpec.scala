@@ -267,6 +267,23 @@ class DedupSpec extends SparkSpec {
     byDoc.contains(6L) shouldBe false
   }
 
+  test("dedup keep: one canonical per cluster, uniques untouched, total adds up") {
+    val docs = Tables.documents(spark, SfDir)
+    val kept = SparkEntry.queries("d13_dedup_keep")(spark, SfDir).collect()
+    val labels = graft.operators.ConnectedComponents.run(
+      Dedup.ngramJaccardPairs(docs, maxDF = 50, minJaccard = 0.8))
+    val clustered = labels.count()
+    val nClusters = labels.select("label").distinct().count()
+    // kept = (corpus - clustered docs) + one canonical per cluster
+    kept.length.toLong shouldBe docs.count() - clustered + nClusters
+    val canonical = kept.filter(_.getString(1) == "canonical").map(_.getLong(0))
+    canonical.length.toLong shouldBe nClusters
+    // every canonical keeper is its own cluster label (min member)
+    val labelSet = labels.select("label").distinct()
+      .collect().map(_.getLong(0)).toSet
+    canonical.toSet shouldBe labelSet
+  }
+
   test("substring spans: every span is at least gram-length long") {
     val out = Dedup.substringSpans(Tables.documents(spark, SfDir), k = 20)
       .collect()
