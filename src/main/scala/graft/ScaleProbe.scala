@@ -27,6 +27,7 @@ object ScaleProbe {
     "d05_cosine_neardup", "d06_cosine_neardup_lsh", "d07_dedup_clusters",
     "d08_incremental_lsh", "d09_containment",
     "d10_minhash_calibration", // verify-join cost tracks candidate count
+    "d12_substring_spans", // gram table is linear; hits track dup content
     "t19_bloom_decontam",
     "t24_lm_perplexity", // bigram join: big/pre count tables grow with corpus
     "s02_ann_lsh", "s03_ann_ivf")

@@ -780,6 +780,37 @@ object TextQueries {
             col("ent").cast("double") / log(col("k").cast("double")))
             .otherwise(lit(0.0)), 6).as("norm_entropy"))
         .orderBy("doc_id")
+    },
+
+    // Leakage-safe train/val split: near-duplicate documents MUST land
+    // in the same split, or the val set silently contains paraphrases
+    // of training docs and every eval number is contaminated. The split
+    // key is the near-dup cluster's canonical id (d07 labels) for
+    // clustered docs and the doc's own id otherwise, run through the
+    // same engine-portable hash gate as t05 — so the split stays
+    // deterministic, stratification-composable, and whole-cluster.
+    "t26_leakage_safe_split" -> Q(
+      DedupQueries.clusterLabelCtes +
+        """SELECT d.doc_id,
+          |       coalesce(l.cluster_id, d.doc_id) AS split_key,
+          |       CASE WHEN list_reduce(list_transform(
+          |              string_split(md5(CAST(coalesce(l.cluster_id, d.doc_id)
+          |                                    AS VARCHAR)), ''),
+          |              c -> CAST(ascii(c) AS BIGINT)),
+          |              (acc, x) -> (acc * 31 + x) % 1000000007) % 100 < 80
+          |            THEN 'train' ELSE 'val' END AS split
+          |FROM documents d LEFT JOIN labels l ON d.doc_id = l.node
+          |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val labels = graft.operators.ConnectedComponents.run(
+          graft.text.Dedup.ngramJaccardPairs(docs, maxDF = 50, minJaccard = 0.8))
+        .withColumnRenamed("node", "doc_id")
+      docs.select("doc_id")
+        .join(labels, Seq("doc_id"), "left")
+        .withColumn("split_key", coalesce(col("label"), col("doc_id")))
+        .select(col("doc_id"), col("split_key"),
+          TextFns.splitAssign(col("split_key")).as("split"))
+        .orderBy("doc_id")
     }
   )
 }

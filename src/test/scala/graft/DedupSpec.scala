@@ -284,6 +284,19 @@ class DedupSpec extends SparkSpec {
     canonical.toSet shouldBe labelSet
   }
 
+  test("leakage-safe split keeps every near-dup cluster in one split") {
+    val out = SparkEntry.queries("t26_leakage_safe_split")(spark, SfDir)
+      .persist()
+    // no split_key straddles train and val — the whole point
+    out.groupBy("split_key")
+      .agg(count_distinct(col("split")).as("k"))
+      .filter(col("k") > 1).count() shouldBe 0L
+    // and the guard is live: at least one cluster groups multiple docs
+    out.groupBy("split_key").count()
+      .filter(col("count") > 1).count() should be > 0L
+    out.unpersist()
+  }
+
   test("substring spans: every span is at least gram-length long") {
     val out = Dedup.substringSpans(Tables.documents(spark, SfDir), k = 20)
       .collect()
