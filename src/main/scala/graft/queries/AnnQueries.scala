@@ -611,6 +611,34 @@ object AnnQueries {
         .filter(col("rank") <= 5)
         .select(col("q"), col("rank"), col("cand"), round(col("rrf"), 6).as("rrf"))
         .orderBy("q", "rank")
+    },
+
+    // Filtered vector search: top-3 cosine neighbors among SAME-label
+    // vectors only (the "similar docs in my language/shard" production
+    // query). The label is an equi-join key — both sides co-partition
+    // on it, per-label work is quadratic in that label's population
+    // only — never a generate-then-post-filter over global candidates.
+    "s11_ann_filtered" -> Q(
+      """WITH e AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, label,
+        |         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn
+        |  FROM e),
+        |ranked AS (
+        |  SELECT q.vec_id AS q, c.vec_id AS b, q.label AS label,
+        |         list_dot_product(q.vn, c.vn) AS cos,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |           ORDER BY list_dot_product(q.vn, c.vn) DESC, c.vec_id) AS rank
+        |  FROM n q JOIN n c ON q.label = c.label AND q.vec_id != c.vec_id
+        |  WHERE q.vec_id % 25 = 0)
+        |SELECT q, rank, b, label, round(cos, 6) AS cos
+        |FROM ranked WHERE rank <= 3 ORDER BY q, rank""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Ann.filteredTopK(emb.filter(col("vec_id") % 25 === 0), emb, k = 3,
+          keyCols = Seq("label"))
+        .orderBy("q", "rank")
     }
   )
 }

@@ -193,4 +193,27 @@ class AnnSpec extends SparkSpec {
       scores.last should be > 0.0
     }
   }
+
+  test("filtered top-k restricts to the key and never beats the unfiltered top") {
+    val queries = emb.filter($"vec_id" % 25 === 0)
+    val filtered = Ann.filteredTopK(queries, emb, k = 3, keyCols = Seq("label"))
+      .collect()
+    filtered.length should be > 0
+    // every neighbor carries the query's label by construction (the
+    // label column survives the join only when both sides agree)
+    val labelOf = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    filtered.foreach { r =>
+      labelOf(r.getLong(0)) shouldBe r.getInt(3)
+      labelOf(r.getLong(2)) shouldBe r.getInt(3)
+      r.getLong(0) should not be r.getLong(2)
+    }
+    // subset property: the best same-label cosine cannot exceed the
+    // best unrestricted cosine for the same query
+    val unfLead = Ann.bruteForceTopK(queries, emb, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    filtered.filter(_.getInt(1) == 1).foreach { r =>
+      r.getDouble(4) should be <= (unfLead(r.getLong(0)) + 1e-9)
+    }
+  }
 }
