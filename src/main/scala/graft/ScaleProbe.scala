@@ -30,7 +30,8 @@ object ScaleProbe {
     "d12_substring_spans", // gram table is linear; hits track dup content
     "t19_bloom_decontam",
     "t24_lm_perplexity", // bigram join: big/pre count tables grow with corpus
-    "s02_ann_lsh", "s03_ann_ivf")
+    "s02_ann_lsh", "s03_ann_ivf",
+    "s11_ann_filtered") // labels repeat across copies -> hot-key direction
 
   /** Copy k keeps ids disjoint by a fixed stride. */
   private val IdStride = 10000000L
@@ -119,12 +120,36 @@ object ScaleProbe {
     // as the corpus grows — sized planes restore bucket-local work.
     val emb = sources.Tables.embeddings(spark, dir)
     val planes = vector.Ann.planesFor(emb.count())
+    // s11 contrast: the row_number-window plan the bounded-heap TopKAgg
+    // replaced, on the same scaled corpus — per label, the window sorts
+    // EVERY candidate of a query in one partition; the heap ships <= k
+    // rows per query per task. The delta is the measured cost of the
+    // scale-killer pattern.
+    def s11ViaWindow(d: String): Long = {
+      import org.apache.spark.sql.expressions.Window
+      val e = sources.Tables.embeddings(spark, d)
+      def norm(df: org.apache.spark.sql.DataFrame, id: String, v: String) =
+        df.select(col("vec_id").as(id), col("label"),
+            col("embedding").as("e"))
+          .withColumn("nrm", vector.VectorFns.norm(col("e")))
+          .select(col(id), col("label"),
+            vector.VectorFns.normalized(col("e"), col("nrm")).as(v))
+      val w = Window.partitionBy("q").orderBy(col("cos").desc, col("b"))
+      norm(e.filter(col("vec_id") % 25 === 0), "q", "qv")
+        .join(norm(e, "b", "bv"), Seq("label"))
+        .filter(col("q") =!= col("b"))
+        .withColumn("cos", vector.VectorFns.dot(col("qv"), col("bv")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .count()
+    }
     val sized = Seq(
       "d06_sized" -> (() => text.Dedup.cosineNearDupPairsLsh(
         emb, planesPerTable = planes).count()),
       "s02_sized" -> (() => vector.Ann.lshTopK(
         emb.filter(col("vec_id") % 25 === 0), emb, k = 3,
-        planesPerTable = planes).count())
+        planesPerTable = planes).count()),
+      "s11_window_contrast" -> (() => s11ViaWindow(dir))
     ).map { case (n, f) =>
       val t0 = System.nanoTime()
       val rows = f()

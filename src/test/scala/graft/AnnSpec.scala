@@ -216,4 +216,35 @@ class AnnSpec extends SparkSpec {
       r.getDouble(4) should be <= (unfLead(r.getLong(0)) + 1e-9)
     }
   }
+
+  test("filtered top-k plans as a bounded-heap aggregate, never a window") {
+    val df = Ann.filteredTopK(emb.filter($"vec_id" % 25 === 0), emb,
+      k = 3, keyCols = Seq("label"))
+    val plan = df.queryExecution.executedPlan.toString
+    plan should not include "Window"
+    plan should include ("topk")
+    // partial/final split: the heap combines map-side, so the shuffle
+    // carries bounded partial heaps, not raw candidates
+    plan should include ("partial_topk")
+    // and the heap path must agree with the window path it replaced
+    val viaWindow = {
+      import org.apache.spark.sql.expressions.Window
+      val q = emb.filter($"vec_id" % 25 === 0)
+      val norm = (d: org.apache.spark.sql.DataFrame, id: String, v: String) =>
+        d.select(col("vec_id").as(id), col("label"), col("embedding").as("e"))
+          .withColumn("nrm", VectorFns.norm(col("e")))
+          .select(col(id), col("label"),
+            VectorFns.normalized(col("e"), col("nrm")).as(v))
+      val w = Window.partitionBy("q").orderBy(col("cos").desc, col("b"))
+      norm(q, "q", "qv").join(norm(emb, "b", "bv"), Seq("label"))
+        .filter(col("q") =!= col("b"))
+        .withColumn("cos", VectorFns.dot(col("qv"), col("bv")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("q"), col("rank").cast("int").as("rank"), col("b"),
+          col("label"), round(col("cos"), 6).as("cos"))
+    }
+    df.collect().sortBy(r => (r.getLong(0), r.getInt(1))) shouldBe
+      viaWindow.collect().sortBy(r => (r.getLong(0), r.getInt(1)))
+  }
 }
