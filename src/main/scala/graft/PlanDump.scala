@@ -32,8 +32,12 @@ object PlanDump {
       println(s"========== $n ==========")
       println(planOf(n))
     } else {
-      // counts are doubled by AQE's final+initial rendering; halve them
-      def c(p: String, re: String) = re.r.findAllIn(p).size / 2
+      // count only the AQE FINAL plan: the "Initial Plan" section that
+      // follows it renders the pre-adaptive plan, whose operator set can
+      // legitimately differ (SMJ->BHJ conversion, coalesced exchanges) —
+      // halving total hits would mis-count exactly those plans
+      def c(p: String, re: String) =
+        re.r.findAllIn(p.split("== Initial Plan ==")(0)).size
       SparkEntry.queries.keys.toSeq.sorted.foreach { n =>
         try {
           val p = planOf(n)
@@ -41,7 +45,9 @@ object PlanDump {
             f"bhj=${c(p, "BroadcastHashJoin")}%2d " +
             f"bnlj=${c(p, "BroadcastNestedLoop")}%2d " +
             f"exch=${c(p, "Exchange")}%2d " +
-            f"wscg=${c(p, "WholeStageCodegen")}%2d")
+            // codegen'd operators render as "+- * Op (n)" in the final
+            // tree (formatted mode never prints "WholeStageCodegen")
+            f"cg=${c(p, "[+:]- \\* ")}%2d")
         } catch { case e: Throwable =>
           println(f"$n%-30s ERROR ${e.getClass.getSimpleName}")
         }

@@ -435,31 +435,8 @@ object DedupQueries {
     // on mostly-unique corpora and shuffles it on dup-heavy ones — no
     // hint, since either regime is legitimate at scale.
     "d13_dedup_keep" -> Q(
-      hashedShingleCtes.replaceFirst("WITH w AS", "WITH RECURSIVE w AS") +
-        """sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-          |rare AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY 1)
-          |         WHERE df <= 50),
-          |blocked AS (SELECT doc_id, s.sh FROM sh s JOIN rare USING (sh)),
-          |cand AS (
-          |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-          |  FROM blocked a JOIN blocked b ON a.sh = b.sh AND a.doc_id < b.doc_id),
-          |inter AS (
-          |  SELECT c.a, c.b, count(*) AS i
-          |  FROM cand c JOIN sh x ON x.doc_id = c.a
-          |  JOIN sh y ON y.doc_id = c.b AND y.sh = x.sh
-          |  GROUP BY 1, 2),
-          |pairs AS (
-          |  SELECT a, b
-          |  FROM inter JOIN sizes x ON a = x.doc_id JOIN sizes y ON b = y.doc_id
-          |  WHERE round(i * 1.0 / (x.n_sh + y.n_sh - i), 4) >= 0.8),
-          |und AS (SELECT a AS src, b AS dst FROM pairs
-          |        UNION SELECT b, a FROM pairs),
-          |cc AS (
-          |  SELECT src AS node, src AS label FROM und
-          |  UNION
-          |  SELECT u.dst, cc.label FROM cc JOIN und u ON cc.node = u.src),
-          |labels AS (SELECT node, min(label) AS cluster_id FROM cc GROUP BY 1)
-          |SELECT d.doc_id,
+      clusterLabelCtes +
+        """SELECT d.doc_id,
           |       CASE WHEN l.node IS NULL THEN 'unique'
           |            ELSE 'canonical' END AS reason
           |FROM documents d LEFT JOIN labels l ON d.doc_id = l.node

@@ -59,13 +59,23 @@ object RestDim {
 
   /** Runtime transport on `java.net.HttpURLConnection`: headers
     * applied via `setRequestProperty` (the reference's envelope),
-    * 5xx mapped to Transient, other non-2xx to Permanent, connect
-    * errors to Transient. */
+    * 5xx mapped to Transient, other non-2xx to Permanent. Thrown
+    * errors are classified, not blanket-retried: misconfigurations
+    * that can never heal — a non-HTTP scheme (the ClassCastException
+    * from `file:`/`ftp:` URLs), SSL/certificate failures, an unknown
+    * protocol — are Permanent; connect/read timeouts and resets are
+    * Transient. The connection is always disconnected (after draining
+    * whichever stream is live) so retries never stack leaked sockets. */
   def urlTransport(connectTimeoutMs: Int = 10000,
       readTimeoutMs: Int = 30000): Transport = { req =>
+    var conn: java.net.HttpURLConnection = null
     try {
-      val conn = new java.net.URL(req.url).openConnection()
-        .asInstanceOf[java.net.HttpURLConnection]
+      conn = new java.net.URL(req.url).openConnection() match {
+        case c: java.net.HttpURLConnection => c
+        case other => throw new java.net.MalformedURLException(
+          s"${req.url} is not an http(s) URL " +
+            s"(got ${other.getClass.getName})")
+      }
       conn.setConnectTimeout(connectTimeoutMs)
       conn.setReadTimeout(readTimeoutMs)
       req.headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
@@ -73,11 +83,21 @@ object RestDim {
       if (code >= 200 && code < 300) {
         val src = scala.io.Source.fromInputStream(conn.getInputStream)
         try Ok(src.getLines().mkString("\n")) finally src.close()
-      } else if (code >= 500) Transient(s"HTTP $code")
-      else Permanent(s"HTTP $code")
+      } else {
+        // drain the error body so the socket can be reused/closed clean
+        Option(conn.getErrorStream).foreach { es =>
+          val src = scala.io.Source.fromInputStream(es)
+          try src.getLines().foreach(_ => ()) finally src.close()
+        }
+        if (code >= 500) Transient(s"HTTP $code") else Permanent(s"HTTP $code")
+      }
     } catch {
-      case e: java.net.MalformedURLException => Permanent(e.toString)
-      case scala.util.control.NonFatal(e)    => Transient(e.toString)
+      case e: java.net.MalformedURLException   => Permanent(e.toString)
+      case e: javax.net.ssl.SSLException       => Permanent(e.toString)
+      case e: java.net.UnknownServiceException => Permanent(e.toString)
+      case scala.util.control.NonFatal(e)      => Transient(e.toString)
+    } finally {
+      if (conn != null) conn.disconnect()
     }
   }
 

@@ -3,6 +3,7 @@ package graft.streaming
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructField, StructType}
 
@@ -22,7 +23,22 @@ import graft.text.Dedup
   * of per-batch pair outputs equals the full-corpus batch run
   * ([[Dedup.minhashLshPairs]]) no matter how the stream is sliced into
   * micro-batches. IngestDedupSpec asserts that equality across
-  * batchings; the st11 oracle pins it against DuckDB.
+  * batchings; the st11 oracle pins it against DuckDB. The equality is
+  * exact while every LSH band bucket stays under `maxBucketSize`; once
+  * a bucket crosses the cap mid-stream, pairs it emitted while still
+  * under the cap persist, so the streamed union is a superset of the
+  * capped batch run on that bucket (see
+  * [[Dedup.incrementalLshPairs]]'s cap-semantics note — occupancy is
+  * counted over index + delta together, so the cap engages at
+  * accumulated corpus size, same as the batch pipeline).
+  *
+  * Replay safety: each micro-batch writes its pairs and its signature
+  * rows to `batch=<id>`-keyed subdirectories in OVERWRITE mode, so a
+  * crash/retry between the two writes — or a whole-batch re-run after
+  * checkpoint recovery — rewrites the same content instead of
+  * appending duplicates; the index read for batch b takes only
+  * `batch < b`, which also excludes a crashed attempt's own partial
+  * output.
   *
   * At cluster scale the topic is Kafka and the index is the stored
   * signature table (S1/K4); per-batch cost is O(index + delta) with
@@ -45,23 +61,36 @@ object IngestDedup {
     val src = Topic.decodeDocuments(
       Topic.readStream(spark, s"$root/topic", maxFilesPerTrigger))
     val q = src.writeStream.outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val sp = batch.sparkSession
-        // previous batches' signatures only — read BEFORE appending
-        val index =
-          if (Files.exists(Paths.get(s"$root/index")))
-            sp.read.parquet(s"$root/index")
-          else sp.createDataFrame(new java.util.ArrayList[Row](), sigSchema)
-        Dedup.incrementalLshPairs(index, batch,
-            k = k, bands = bands, minEst = minEst)
-          .write.mode("append").parquet(s"$root/pairs")
-        Dedup.minhashSignatures(batch, "doc_id", "text", k, 3)
-          .write.mode("append").parquet(s"$root/index")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, root, k, bands, minEst)
       }
       .option("checkpointLocation", s"$root/ckpt")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(s"$root/pairs")
+    spark.read.parquet(s"$root/pairs").select("a", "b", "est_jaccard")
+  }
+
+  /** One micro-batch's dedup work, IDEMPOTENT in `batchId`: dedup the
+    * batch against the signatures of strictly-earlier batches, then
+    * write this batch's pairs and signatures to `batch=<id>` subdirs in
+    * overwrite mode. Re-executing the same (batch, batchId) — a crashed
+    * attempt retried, or checkpoint recovery re-running the last batch
+    * — rewrites identical content instead of appending duplicates. */
+  def processBatch(batch: DataFrame, batchId: Long, root: String,
+      k: Int = 12, bands: Int = 4, minEst: Double = 0.5): Unit = {
+    val sp = batch.sparkSession
+    // previous batches' signatures only: batch < current id, which
+    // also excludes a crashed attempt's own partial index write
+    val index =
+      if (Files.exists(Paths.get(s"$root/index")))
+        sp.read.parquet(s"$root/index")
+          .filter(col("batch") < batchId).select("id", "sig")
+      else sp.createDataFrame(new java.util.ArrayList[Row](), sigSchema)
+    Dedup.incrementalLshPairs(index, batch,
+        k = k, bands = bands, minEst = minEst)
+      .write.mode("overwrite").parquet(s"$root/pairs/batch=$batchId")
+    Dedup.minhashSignatures(batch, "doc_id", "text", k, 3)
+      .write.mode("overwrite").parquet(s"$root/index/batch=$batchId")
   }
 }

@@ -225,6 +225,18 @@ object Dedup {
     * functions of the text alone, so the result equals the full-corpus
     * [[minhashLshPairs]] restricted to pairs touching the delta.
     *
+    * Hot-bucket cap semantics: occupancy is counted over the
+    * ACCUMULATED bucket population — stored index rows plus this
+    * delta's rows together — so within-batch buckets are capped too,
+    * and a bucket that crosses `maxBucketSize` stops producing pairs
+    * from that batch on, exactly when the batch pipeline would drop it.
+    * Pairs a hot bucket emitted in EARLIER batches (while still under
+    * the cap) are already persisted and are not retracted, so on a
+    * dup-dense corpus the streamed union of per-batch outputs is a
+    * SUPERSET of [[minhashLshPairs]] on over-cap buckets; the two are
+    * equal exactly when every bucket stays under the cap for the whole
+    * run (the sub-cap regime the batching-invariance tests pin).
+    *
     * @param indexSigs stored signature table `(id, sig array<string>)`
     *                  as produced by [[minhashSignatures]]
     * @return (a, b, est_jaccard) with a < b, at least one side new
@@ -238,14 +250,20 @@ object Dedup {
       s"signature length k=$k must divide into bands=$bands evenly")
     val rows = k / bands
     val newSigs = minhashSignatures(newDocs, idCol, textCol, k, n).persist()
-    val newBuckets = newSigs.select(col("id"),
-      explode(lshBuckets(col("sig"), bands, rows)).as("bucket"))
-    // index buckets stream off the stored sigs; hot buckets capped the
-    // same way (and surfaced on) as the batch pipeline
-    val idxBuckets = graft.functions.Buckets.cap(
+    // cap on index+delta occupancy TOGETHER (one window shuffle on
+    // bucket — the same exchange the index-side cap already paid), so
+    // the within-batch self-join is bounded by the same policy as the
+    // batch pipeline and the cap engages at accumulated corpus size
+    val allBuckets = graft.functions.Buckets.cap(
       indexSigs.select(col("id"),
-        explode(lshBuckets(col("sig"), bands, rows)).as("bucket")),
-      "bucket", maxBucketSize, "graft.lsh.incremental")
+          explode(lshBuckets(col("sig"), bands, rows)).as("bucket"))
+        .withColumn("side", lit("i"))
+        .unionByName(newSigs.select(col("id"),
+            explode(lshBuckets(col("sig"), bands, rows)).as("bucket"))
+          .withColumn("side", lit("d"))),
+      "bucket", maxBucketSize, "graft.lsh.incremental").persist()
+    val newBuckets = allBuckets.filter(col("side") === "d").drop("side")
+    val idxBuckets = allBuckets.filter(col("side") === "i").drop("side")
     val cross = idxBuckets.select(col("bucket"), col("id").as("i"))
       .join(broadcast(newBuckets.select(col("bucket"), col("id").as("d"))),
         Seq("bucket"))

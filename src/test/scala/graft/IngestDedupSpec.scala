@@ -53,4 +53,26 @@ class IngestDedupSpec extends SparkSpec {
       nFiles = 4, maxFilesPerTrigger = 1)
     out.count() shouldBe out.select("a", "b").distinct().count()
   }
+
+  test("a replayed micro-batch rewrites instead of duplicating (crash-retry)") {
+    import org.apache.spark.sql.functions.col
+    val root = fresh("ingest-replay").toString
+    val docs = Tables.documents(spark, SfDir)
+    val b0 = docs.filter(col("doc_id") % 2 === 0)
+    val b1 = docs.filter(col("doc_id") % 2 === 1)
+    IngestDedup.processBatch(b0, 0, root)
+    IngestDedup.processBatch(b1, 1, root)
+    def result() = spark.read.parquet(s"$root/pairs")
+      .select("a", "b", "est_jaccard")
+    val once = pairsOf(result())
+    val rowsOnce = result().count()
+    // checkpoint recovery re-runs the last batch after its writes landed
+    IngestDedup.processBatch(b1, 1, root)
+    pairsOf(result()) shouldBe once
+    result().count() shouldBe rowsOnce // same multiset, not just same set
+    // and the replayed run still equals the full-corpus batch run
+    once shouldBe pairsOf(
+      Dedup.minhashLshPairs(docs, k = 12, bands = 4, minEst = 0.5)
+        .select("a", "b", "est_jaccard"))
+  }
 }

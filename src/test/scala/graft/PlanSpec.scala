@@ -8,12 +8,36 @@ package graft
 class PlanSpec extends SparkSpec {
 
   /** Full formatted explain (the plan toString truncates long fields
-    * like PushedFilters at 100 chars). */
+    * like PushedFilters at 100 chars), restricted to the AQE FINAL
+    * plan: the "Initial Plan" section renders the pre-adaptive plan,
+    * whose operator set can legitimately differ (SMJ->BHJ conversion,
+    * coalesced exchanges) — counting both and halving would mis-count
+    * exactly the plans AQE improved. The per-operator detail blocks
+    * (PushedFilters, codegen ids, partitioning arguments) print AFTER
+    * the initial tree and are keyed by operator id, so keep the final
+    * tree plus only the detail blocks the final tree references. */
   private def formattedPlan(name: String): String = {
     val df = SparkEntry.queries(name)(spark, SfDir)
     df.collect() // materialize so AQE finalizes the plan (codegen ids appear)
-    df.queryExecution.explainString(
+    val full = df.queryExecution.explainString(
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val initIdx = full.indexOf("== Initial Plan ==")
+    if (initIdx < 0) full
+    else {
+      val head = full.substring(0, initIdx)
+      val finalIds =
+        "\\((\\d+)\\)".r.findAllMatchIn(head).map(_.group(1)).toSet
+      val rest = full.substring(initIdx)
+      "(?m)^\\(\\d+\\) ".r.findFirstMatchIn(rest) match {
+        case None => head
+        case Some(m) =>
+          val details = rest.substring(m.start).split("\n\n")
+          head + "\n" + details.filter { b =>
+            "^\\((\\d+)\\)".r.findFirstMatchIn(b)
+              .forall(mm => finalIds(mm.group(1)))
+          }.mkString("\n\n")
+      }
+    }
   }
 
   test("q02 filter+project pushes predicates and prunes columns at the scan") {
@@ -46,11 +70,10 @@ class PlanSpec extends SparkSpec {
     plan should not include "BroadcastNestedLoopJoin"
     plan should include("Window")
     // exactly one hash-partitioning exchange (user_id) + the
-    // rangepartitioning for the output sort; formatted explain under
-    // AQE renders the plan twice (final + initial), hence / 2
-    ("hashpartitioning".r.findAllIn(plan).size / 2) shouldBe 1
+    // rangepartitioning for the output sort
+    "hashpartitioning".r.findAllIn(plan).size shouldBe 1
     // and all carried payloads ride ONE Window operator (one sorted pass)
-    ("\\(\\d+\\) Window".r.findAllIn(plan).size / 2) shouldBe 1
+    "\\(\\d+\\) Window".r.findAllIn(plan).size shouldBe 1
   }
 
   test("d08 incremental LSH broadcasts the delta bucket side") {
@@ -61,8 +84,7 @@ class PlanSpec extends SparkSpec {
     plan should include("BroadcastHashJoin")
     // t19-style map-side agg elsewhere; the only sort-merge joins
     // allowed are the final signature lookups keyed by candidate id
-    val smjPerSide = "SortMergeJoin".r.findAllIn(plan).size / 2
-    smjPerSide should be <= 2
+    "SortMergeJoin".r.findAllIn(plan).size should be <= 2
   }
 
   test("q41 sessionize plans both window passes on one key shuffle") {
@@ -71,7 +93,7 @@ class PlanSpec extends SparkSpec {
     // Catalyst must fuse them into window passes over a single
     // hashpartitioning exchange (plus the output sort's range exchange)
     plan should not include "SortMergeJoin"
-    ("hashpartitioning\\(user_id".r.findAllIn(plan).size / 2) shouldBe 1
+    "hashpartitioning\\(user_id".r.findAllIn(plan).size shouldBe 1
   }
 
   test("q42 range join plans an equi join on the bin, not a nested loop") {
@@ -102,9 +124,8 @@ class PlanSpec extends SparkSpec {
     val plan = formattedPlan("p17_gold_asof")
     // exactly one broadcast join (the small mapping dim); the history
     // resolution is the shuffled as-of window — the plan that holds
-    // when the history dim outgrows a broadcast. Numbered-detail form
-    // appears once per render; AQE renders final + initial
-    ("\\(\\d+\\) BroadcastHashJoin".r.findAllIn(plan).size / 2) shouldBe 1
+    // when the history dim outgrows a broadcast
+    "\\(\\d+\\) BroadcastHashJoin".r.findAllIn(plan).size shouldBe 1
     plan should not include "SortMergeJoin"
     plan should include("Window")
     plan should not include "BroadcastNestedLoopJoin"
@@ -138,7 +159,7 @@ class PlanSpec extends SparkSpec {
       // hash exchange for the groupBy plus the presentation sort — a
       // join here would mean state tracking re-reads its own output
       plan should not include "Join"
-      ("Exchange".r.findAllIn(plan).size / 2) should be <= 2
+      "Exchange".r.findAllIn(plan).size should be <= 2
     }
   }
 

@@ -82,4 +82,20 @@ class RestDimSpec extends SparkSpec {
       case other => fail(s"expected Permanent, got $other")
     }
   }
+
+  test("url transport classifies a non-http scheme as permanent, not retried") {
+    // file: URLs open a FileURLConnection — a misconfiguration that can
+    // never heal, so it must be Permanent (one attempt), not a
+    // ClassCastException burning the whole retry/backoff budget
+    urlTransport()(Request("file:///etc/hostname")) match {
+      case Permanent(reason) => reason should include("not an http(s) URL")
+      case other => fail(s"expected Permanent, got $other")
+    }
+    var slept = false
+    val e = intercept[RuntimeException] {
+      fetch(Request("file:///etc/hostname"), urlTransport(), _ => slept = true)
+    }
+    e.getMessage should include("attempt 1")
+    slept shouldBe false
+  }
 }
