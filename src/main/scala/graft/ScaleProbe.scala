@@ -31,7 +31,11 @@ object ScaleProbe {
     "t19_bloom_decontam",
     "t24_lm_perplexity", // bigram join: big/pre count tables grow with corpus
     "s02_ann_lsh", "s03_ann_ivf",
-    "s11_ann_filtered") // labels repeat across copies -> hot-key direction
+    "s11_ann_filtered", // labels repeat across copies -> hot-key direction
+    // the streaming front doors: ingest-time LSH dedup and the
+    // micro-batched IVF index MERGE — per-batch cost must stay
+    // O(index + delta), never re-scan the accumulated corpus
+    "st11_stream_ingest_dedup", "s06_stream_index_update")
 
   /** Copy k keeps ids disjoint by a fixed stride. */
   private val IdStride = 10000000L

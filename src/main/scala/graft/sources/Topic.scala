@@ -25,16 +25,19 @@ object Topic {
   /** Serialize a DataFrame into the topic as JSON-lines files: each row
     * becomes `value = to_json(struct(*))`; `tsMicros` supplies the
     * message timestamp (epoch micros); `nFiles` controls micro-batch
-    * granularity for `maxFilesPerTrigger`-driven streams. */
+    * granularity for `maxFilesPerTrigger`-driven streams.
+    * `append = true` adds new files to a live topic (a producer
+    * publishing while consumers run) instead of replacing it. */
   def publish(df: DataFrame, topicDir: String, tsMicros: org.apache.spark.sql.Column,
-      keyCol: Option[String] = None, nFiles: Int = 4): Unit = {
+      keyCol: Option[String] = None, nFiles: Int = 4,
+      append: Boolean = false): Unit = {
     val key = keyCol.map(col(_).cast("string")).getOrElse(lit(null).cast("string"))
     df.select(
         key.as("key"),
         to_json(struct(df.columns.map(col): _*)).as("value"),
         tsMicros.as("timestamp"))
       .repartition(nFiles)
-      .write.mode("overwrite").json(topicDir)
+      .write.mode(if (append) "append" else "overwrite").json(topicDir)
   }
 
   /** Tail the topic as a stream (S1). */
@@ -68,9 +71,11 @@ object Topic {
     StructField("props", StringType)))
 
   /** Publish the events table (ts encoded as epoch micros). */
-  def publishEvents(events: DataFrame, topicDir: String, nFiles: Int = 4): Unit =
+  def publishEvents(events: DataFrame, topicDir: String, nFiles: Int = 4,
+      append: Boolean = false): Unit =
     publish(events.withColumn("ts", unix_micros(col("ts"))), topicDir,
-      tsMicros = col("ts"), keyCol = Some("user_id"), nFiles = nFiles)
+      tsMicros = col("ts"), keyCol = Some("user_id"), nFiles = nFiles,
+      append = append)
 
   /** Decode an events topic back to the events-table shape. */
   def decodeEvents(topic: DataFrame): DataFrame =

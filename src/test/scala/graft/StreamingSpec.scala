@@ -42,6 +42,49 @@ class StreamingSpec extends SparkSpec {
       .count() shouldBe 0
   }
 
+  test("ProcessingTime trigger consumes files arriving while the stream runs (ST2)") {
+    // the live cadence the reference's continuous notebooks run on —
+    // everything else in this suite replays with AvailableNow, so this
+    // is the one test pinning the wall-clock trigger contract: data
+    // published AFTER the stream starts lands in LATER micro-batches,
+    // within the trigger cadence, exactly once
+    val dir = tmp("live")
+    val events = Tables.events(spark, SfDir).limit(300).cache()
+    val slices = (0 to 2).map(i => events.filter($"event_id" % 3 === i).cache())
+    slices.foreach(_.count()) // materialize before the clock starts
+    Topic.publishEvents(slices(0), s"$dir/topic", nFiles = 1)
+    val src = Topic.decodeEvents(
+      Topic.readStream(spark, s"$dir/topic", maxFilesPerTrigger = 4))
+    val q = src.writeStream.format("memory").queryName("live_out")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+    def awaitRows(n: Long): Unit = {
+      val t0 = System.currentTimeMillis()
+      while (spark.table("live_out").count() < n) {
+        if (System.currentTimeMillis() - t0 > 30000)
+          fail(s"timed out waiting for $n rows at the live trigger cadence")
+        Thread.sleep(100)
+      }
+    }
+    try {
+      awaitRows(slices(0).count())
+      // produce WHILE the consumer runs; each publish must be consumed
+      // without a restart, in a batch of its own (we drain in between)
+      Topic.publishEvents(slices(1), s"$dir/topic", nFiles = 1, append = true)
+      awaitRows(slices(0).count() + slices(1).count())
+      Topic.publishEvents(slices(2), s"$dir/topic", nFiles = 1, append = true)
+      awaitRows(events.count())
+      q.stop()
+      q.awaitTermination()
+      val out = spark.table("live_out")
+      out.count() shouldBe events.count() // exactly once, no dup/loss
+      out.select("event_id").distinct().count() shouldBe events.count()
+      // the three publishes were seen by three DISTINCT micro-batches
+      q.recentProgress.count(_.numInputRows > 0) should be >= 3
+    } finally if (q.isActive) q.stop()
+  }
+
   test("watermark dedup drops duplicate keys fed across micro-batches") {
     val dir = tmp("dedup")
     val events = Tables.events(spark, SfDir).limit(200).cache()
