@@ -173,3 +173,90 @@ object ScaleProbe {
     spark.stop()
   }
 }
+
+/** Content-skew probe for the gram/shingle dedup shuffles (VERDICT r6
+  * task 4): every document gets the SAME dominant token run prepended,
+  * so one shingle appears in every doc and the d12 gram table repeats
+  * a handful of k-gram hashes at every position of every doc — the
+  * pathological key-concentration direction for `groupBy(sh)` /
+  * `groupBy(h)` and the h-keyed hits join.
+  *
+  * The design claims under test: (a) d02/d09's rare filter (df <=
+  * maxDF) REMOVES the dominant shingle before any pair join, and the
+  * df count itself is a map-side partial agg (one row per doc per
+  * shingle, combined per task); (b) d12's cross-doc filter is a
+  * min/max partial agg with O(1) state per key, and the hits join's
+  * small side (distinct cross-doc hashes) broadcasts under AQE, so hot
+  * gram positions are never shuffled BY the hot key — the only wide op
+  * keyed on content is absorbed before it fans out.
+  *
+  * Run: `SPARK_GRAFT_SCALE_COPIES=10 sbt "runMain graft.SkewProbe"`;
+  * compare the per-query times against ScaleProbe's near-dup corpus at
+  * the same row counts (BASELINE.md §4).
+  */
+object SkewProbe {
+
+  private val Subset =
+    Seq("d02_ngram_jaccard", "d09_containment", "d12_substring_spans")
+
+  /** ~66 tokens / ~400 chars of one repeated token: longer than d12's
+    * k=20 grams and d02's 3-word shingles by a wide margin. */
+  private val DominantRun = Array.fill(66)("alpha").mkString(" ")
+
+  private def synthesize(spark: SparkSession, src: String, dir: String,
+      copies: Int): Unit = {
+    if (new java.io.File(s"$dir/_READY").exists()) return
+    val docs = sources.Tables.documents(spark, src)
+    (0 until copies).map { k =>
+      val base = if (k == 0) docs else docs.select(
+        (col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+        concat(col("text"), lit(s" variant $k")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      base.select(col("doc_id"),
+        concat(lit(DominantRun + " "), col("text")).as("text"),
+        col("lang"), col("source"),
+        (col("n_chars") + lit(DominantRun.length + 1L)).as("n_chars"))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    new java.io.File(s"$dir/_READY").createNewFile()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.register(spark)
+
+    val dir1 = s"/tmp/graft-skew1"
+    val dirN = s"/tmp/graft-skew$copies"
+    synthesize(spark, src, dir1, 1)
+    synthesize(spark, src, dirN, copies)
+
+    val wdocs = sources.Tables.documents(spark, src)
+    wdocs.join(wdocs.select("doc_id"), "doc_id").agg(count(lit(1))).collect()
+
+    def runSet(d: String): Seq[(String, Double, Long)] = Subset.map { n =>
+      val t0 = System.nanoTime()
+      val rows = SparkEntry.queries(n)(spark, d).count()
+      (n, (System.nanoTime() - t0) / 1e9, rows)
+    }
+    val skew1 = runSet(dir1)
+    val skewN = runSet(dirN)
+
+    def js(rs: Seq[(String, Double, Long)]): String =
+      rs.map { case (n, t, r) =>
+        f"""\"$n\":{\"sec\":$t%.3f,\"rows\":$r}"""
+      }.mkString("{", ",", "}")
+    println(s"""{"metric":"skew_probe","copies":$copies,""" +
+      s""""skew1":${js(skew1)},"skew$copies":${js(skewN)},"sf":"$src"}""")
+    spark.stop()
+  }
+}

@@ -135,7 +135,15 @@ object Medallion {
     * ([A5]:85). Output values are doubles derived from exact decimal
     * sums (sumValue) so results are reproducible regardless of
     * partitioning / aggregation order. */
-  def rollup(gold: DataFrame, bucket: Column => Column): DataFrame = {
+  def rollup(gold: DataFrame, bucket: Column => Column): DataFrame =
+    finalizeRollup(rollupPartials(gold, bucket))
+
+  /** Mergeable partial-aggregate state for one rollup grain: exact
+    * DECIMAL sum, count, DECIMAL min/max per (bucket_ts, dims). Sums
+    * and counts add, min/max fold — the same reaggregation law the
+    * sketch family (q47/q48) relies on — so any coarser grain derives
+    * from these partials without touching gold again. */
+  def rollupPartials(gold: DataFrame, bucket: Column => Column): DataFrame = {
     val bucketTs = bucket(timestamp_seconds(col("unix_timestamp")))
     gold
       .filter(col("agg_type").isin("SUM", "AVG") && col("value_double") =!= 0)
@@ -146,17 +154,39 @@ object Medallion {
       .agg(
         sum("value_double").as("dec_sum"),
         count(lit(1)).as("n"),
-        min("value_double").cast("double").as("min_value"),
-        max("value_double").cast("double").as("max_value"))
-      .select(
-        Fns.servingId(col("remote_id"), col("bucket_ts"), col("metric_id"),
-          col("provider_id"), col("category_id")).as("id"),
-        col("bucket_ts"), col("remote_id"), col("metric_id"),
-        col("provider_id"), col("category_id"),
-        col("dec_sum").cast("double").as("sum_value"),
-        (col("dec_sum").cast("double") / col("n")).as("avg_value"),
-        col("min_value"), col("max_value"), col("n"))
+        min("value_double").as("dec_min"),
+        max("value_double").as("dec_max"))
   }
+
+  /** Merge partials down to a coarser grain (hour partials -> day,
+    * day -> month): input and output share the partials schema, so
+    * cascades compose. Cost is O(finer-grain groups), not O(gold). */
+  def reaggPartials(partials: DataFrame,
+      bucket: Column => Column): DataFrame =
+    partials
+      .groupBy(
+        bucket(timestamp_seconds(col("bucket_ts"))).cast("long")
+          .as("bucket_ts"),
+        col("remote_id"), col("metric_id"), col("provider_id"),
+        col("category_id"))
+      .agg(
+        sum("dec_sum").as("dec_sum"),
+        sum("n").as("n"),
+        min("dec_min").as("dec_min"),
+        max("dec_max").as("dec_max"))
+
+  /** Partials -> the serving rollup shape (id, doubles at the edge). */
+  def finalizeRollup(partials: DataFrame): DataFrame =
+    partials.select(
+      Fns.servingId(col("remote_id"), col("bucket_ts"), col("metric_id"),
+        col("provider_id"), col("category_id")).as("id"),
+      col("bucket_ts"), col("remote_id"), col("metric_id"),
+      col("provider_id"), col("category_id"),
+      col("dec_sum").cast("double").as("sum_value"),
+      (col("dec_sum").cast("double") / col("n")).as("avg_value"),
+      col("dec_min").cast("double").as("min_value"),
+      col("dec_max").cast("double").as("max_value"),
+      col("n"))
 
   def hourRollup(gold: DataFrame): DataFrame =
     rollup(gold, ts => unix_timestamp(date_trunc("hour", ts)))
@@ -164,6 +194,28 @@ object Medallion {
     rollup(gold, ts => unix_timestamp(date_trunc("day", ts)))
   def monthRollup(gold: DataFrame): DataFrame =
     rollup(gold, ts => unix_timestamp(date_trunc("month", ts)))
+
+  /** Fused hour→day→month cascade ([A5]:127-225 runs three INDEPENDENT
+    * full scans — one per grain — against the same gold table): gold is
+    * aggregated ONCE into hour partials, day re-aggregates the hour
+    * partials, month the day partials; the three finalized grains stack
+    * under a `grain` column. The hour partials are persisted so the
+    * union's three branches share one computation — at 100 TB they are
+    * the table you'd write to storage, after which every coarser rollup
+    * is O(hour groups) and the raw-event scan happens exactly once. */
+  def rollupCascade(gold: DataFrame): DataFrame = {
+    val hour = rollupPartials(gold,
+      ts => unix_timestamp(date_trunc("hour", ts))).persist()
+    val day = reaggPartials(hour,
+      ts => unix_timestamp(date_trunc("day", ts)))
+    val month = reaggPartials(day,
+      ts => unix_timestamp(date_trunc("month", ts)))
+    def graded(grain: String, p: DataFrame) =
+      finalizeRollup(p).select(lit(grain).as("grain"), col("*"))
+    graded("hour", hour)
+      .unionByName(graded("day", day))
+      .unionByName(graded("month", month))
+  }
 
   /** Custom SUM metrics ([G4]:182-242): gold rows whose metric id is a
     * custom-metric source are re-aggregated per (timestamp, remote,

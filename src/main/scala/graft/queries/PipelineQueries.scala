@@ -64,26 +64,32 @@ object PipelineQueries {
       |    AND (removed_on IS NULL OR CAST(unix_ts AS BIGINT) < removed_on))
       |""".stripMargin
 
+  /** One grain's rollup SELECT (no ORDER BY); `tagGrain` prepends a
+    * literal grain column for the cascade's stacked output. */
+  private def rollupSelect(grain: String, tagGrain: Boolean): String = {
+    val tag = if (tagGrain) s"'$grain' AS grain, " else ""
+    s"""SELECT ${tag}remote_id || '|' || CAST(bucket_ts AS VARCHAR) || '|' ||
+       |       CAST(metric_id AS VARCHAR) || '|' || CAST(provider_id AS VARCHAR)
+       |       || '|' || CAST(category_id AS VARCHAR) AS id,
+       |       bucket_ts, remote_id, metric_id, provider_id, category_id,
+       |       CAST(sum_dec AS DOUBLE) AS sum_value,
+       |       CAST(sum_dec AS DOUBLE) / n AS avg_value,
+       |       min_value, max_value, n
+       |FROM (
+       |  SELECT CAST(floor(epoch(date_trunc('$grain', to_timestamp(unix_timestamp)))) AS BIGINT) AS bucket_ts,
+       |         remote_id, metric_id, provider_id, category_id,
+       |         sum(value_double) AS sum_dec, count(*) AS n,
+       |         CAST(min(value_double) AS DOUBLE) AS min_value,
+       |         CAST(max(value_double) AS DOUBLE) AS max_value
+       |  FROM gold
+       |  WHERE agg_type IN ('SUM','AVG') AND value_double != 0
+       |  GROUP BY 1,2,3,4,5)""".stripMargin
+  }
+
   /** Rollup oracle at a given date_trunc granularity. */
   private[queries] def rollupSql(grain: String): String =
-    ctes +
-      s"""SELECT remote_id || '|' || CAST(bucket_ts AS VARCHAR) || '|' ||
-         |       CAST(metric_id AS VARCHAR) || '|' || CAST(provider_id AS VARCHAR)
-         |       || '|' || CAST(category_id AS VARCHAR) AS id,
-         |       bucket_ts, remote_id, metric_id, provider_id, category_id,
-         |       CAST(sum_dec AS DOUBLE) AS sum_value,
-         |       CAST(sum_dec AS DOUBLE) / n AS avg_value,
-         |       min_value, max_value, n
-         |FROM (
-         |  SELECT CAST(floor(epoch(date_trunc('$grain', to_timestamp(unix_timestamp)))) AS BIGINT) AS bucket_ts,
-         |         remote_id, metric_id, provider_id, category_id,
-         |         sum(value_double) AS sum_dec, count(*) AS n,
-         |         CAST(min(value_double) AS DOUBLE) AS min_value,
-         |         CAST(max(value_double) AS DOUBLE) AS max_value
-         |  FROM gold
-         |  WHERE agg_type IN ('SUM','AVG') AND value_double != 0
-         |  GROUP BY 1,2,3,4,5)
-         |ORDER BY id, bucket_ts""".stripMargin
+    ctes + rollupSelect(grain, tagGrain = false) +
+      "\nORDER BY id, bucket_ts"
 
   private def sfGold(s: org.apache.spark.sql.SparkSession, d: String) =
     Medallion.gold(Medallion.silver(Tables.events(s, d)),
@@ -124,6 +130,20 @@ object PipelineQueries {
     },
     "p05_rollup_month" -> Q(rollupSql("month")) { (s, d) =>
       Medallion.monthRollup(sfGold(s, d)).orderBy("id", "bucket_ts")
+    },
+
+    // Fused multi-granularity cascade: ONE gold scan -> hour partials,
+    // day/month re-aggregated from partials (sum/count add, min/max
+    // fold — [A5]:127-225 scans gold once per grain instead). The
+    // oracle computes every grain independently from gold, so the
+    // partial-merge law itself is what the hash compare certifies.
+    "p19_rollup_cascade" -> Q(
+      ctes + Seq("hour", "day", "month")
+        .map(rollupSelect(_, tagGrain = true))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY grain, id, bucket_ts")) {
+      (s, d) =>
+        Medallion.rollupCascade(sfGold(s, d))
+          .orderBy("grain", "id", "bucket_ts")
     },
 
     // W1 latest snapshot per 4-part key ([C6C]:57-64, id form [C6A]:126).

@@ -296,6 +296,51 @@ object SinkQueries {
         .orderBy("event_type")
     },
 
+    // DESCRIBE HISTORY parity over the KeyedUpsert version log
+    // ([Q1]:702): a MERGE/MERGE/DELETE/OPTIMIZE sequence, then the
+    // commit-metadata readback — operation names straight from the
+    // manifest headers, live row count per pinned version. The oracle
+    // recomputes each version's expected cardinality from events, so
+    // the gate verifies the log's CONTENT, not just its shape.
+    "k11_history" -> Q(
+      """WITH k1 AS (SELECT DISTINCT user_id, event_type FROM events
+        |            WHERE floor(epoch(ts)) < 1705708800),
+        |k2 AS (SELECT DISTINCT user_id, event_type FROM events),
+        |k3 AS (SELECT DISTINCT user_id, event_type FROM events
+        |       WHERE event_type != 'error')
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS version, 'MERGE' AS operation,
+        |         (SELECT count(*) FROM k1) AS n_live
+        |  UNION ALL SELECT 2, 'MERGE', (SELECT count(*) FROM k2)
+        |  UNION ALL SELECT 3, 'DELETE', (SELECT count(*) FROM k3)
+        |  UNION ALL SELECT 4, 'OPTIMIZE', (SELECT count(*) FROM k3))
+        |ORDER BY version""".stripMargin) { (s, d) =>
+      val dir = freshDir(s"k11-${d.replaceAll("[^0-9a-zA-Z.]", "_")}")
+      val out = s"$dir/tbl"
+      val t0 = 1705708800L // same split as k05/k08
+      val keys = Seq("user_id", "event_type")
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("value"), unix_timestamp(col("ts")).as("uts"))
+      def put(batch: org.apache.spark.sql.DataFrame): Unit =
+        KeyedUpsert.upsert(s, out, batch.drop("uts"), keys,
+          numBuckets = 8, tieBreak = Some("event_id"), keepMaxOnMerge = true)
+      put(ev.filter(col("uts") < t0))
+      put(ev.filter(col("uts") >= t0))
+      KeyedUpsert.delete(s, out,
+        KeyedUpsert.read(s, out).filter(col("event_type") === "error")
+          .select(keys.map(col): _*), keys, numBuckets = 8)
+      KeyedUpsert.compact(s, out, sortCols = keys)
+      // per-version counts are manifest-pruned reads — bounded by the
+      // (4-entry) version log, not the table
+      import s.implicits._
+      KeyedUpsert.history(s, out)
+        .map(c => (c.version, c.operation,
+          KeyedUpsert.read(s, out, Some(c.version)).count()))
+        .toDF("version", "operation", "n_live")
+        .orderBy("version")
+    },
+
     // bucketed co-located join: both sides written as 8-bucket
     // datasource tables on their join key, so the sort-merge join AND
     // the downstream per-customer aggregate run with ZERO shuffle — the

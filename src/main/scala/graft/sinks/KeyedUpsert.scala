@@ -67,40 +67,81 @@ object KeyedUpsert {
       .flatMap(s => versionOf(s.getPath.getName)).sorted
   }
 
-  /** DESCRIBE HISTORY analog: (version, commitTimestampMillis), ascending. */
-  def history(spark: SparkSession, targetDir: String): Seq[(Long, Long)] = {
-    val dir = new Path(new Path(targetDir), ManifestDir)
+  /** One DESCRIBE HISTORY row: the commit metadata recorded in the
+    * manifest header at commit time (`Query the Metric tables/Query the
+    * delta tables.scala:702`). `touchedBuckets` is the number of bucket
+    * directories the commit rewrote — the unit of work the layout
+    * promises stays O(batch), not O(table). */
+  case class Commit(version: Long, operation: String, commitMs: Long,
+      touchedBuckets: Long)
+
+  /** DESCRIBE HISTORY analog, ascending by version. Manifests written
+    * before headers existed surface as operation "unknown" with the
+    * file modification time. */
+  def history(spark: SparkSession, targetDir: String): Seq[Commit] = {
+    val target = new Path(targetDir)
+    val dir = new Path(target, ManifestDir)
     val fs = fsOf(spark, dir)
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).toSeq
-      .flatMap(s => versionOf(s.getPath.getName).map(_ -> s.getModificationTime))
-      .sortBy(_._1)
+      .flatMap { s =>
+        versionOf(s.getPath.getName).map { v =>
+          val h = readHeader(fs, target, v)
+          Commit(v, h.getOrElse("operation", "unknown"),
+            h.get("commitMs").flatMap(_.toLongOption)
+              .getOrElse(s.getModificationTime),
+            h.get("touchedBuckets").flatMap(_.toLongOption).getOrElse(-1L))
+        }
+      }
+      .sortBy(_.version)
   }
 
-  /** bucket -> table-relative live directory at `version`. */
-  private def loadManifest(fs: FileSystem, target: Path,
-      version: Long): Map[Long, String] = {
-    val in = fs.open(manifestFile(target, version))
-    val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
-      finally in.close()
-    text.linesIterator.filter(_.nonEmpty).map { line =>
-      val Array(bk, rel) = line.split('\t')
-      bk.toLong -> rel
-    }.toMap
+  private def manifestText(fs: FileSystem, target: Path, v: Long): String = {
+    val in = fs.open(manifestFile(target, v))
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    finally in.close()
   }
+
+  /** `#key=value` header lines of the version's manifest. */
+  private def readHeader(fs: FileSystem, target: Path,
+      version: Long): Map[String, String] =
+    manifestText(fs, target, version).linesIterator
+      .filter(_.startsWith("#"))
+      .flatMap { line =>
+        line.stripPrefix("#").split("=", 2) match {
+          case Array(k, v) => Some(k -> v)
+          case _ => None
+        }
+      }.toMap
+
+  /** bucket -> table-relative live directory at `version`. Header
+    * (`#`-prefixed) lines carry commit metadata, not mappings. */
+  private def loadManifest(fs: FileSystem, target: Path,
+      version: Long): Map[Long, String] =
+    manifestText(fs, target, version).linesIterator
+      .filter(l => l.nonEmpty && !l.startsWith("#")).map { line =>
+        val Array(bk, rel) = line.split('\t')
+        bk.toLong -> rel
+      }.toMap
 
   /** Publish `mapping` as version `v`: write a temp file, then rename —
     * the rename IS the commit; it fails (loudly) if the version was
-    * concurrently taken. */
+    * concurrently taken. The header records the DESCRIBE HISTORY
+    * metadata: operation name, wall-clock commit time, and how many
+    * bucket directories this commit (re)wrote. */
   private def commitManifest(fs: FileSystem, target: Path, v: Long,
-      mapping: Map[Long, String]): Unit = {
+      mapping: Map[Long, String], operation: String,
+      touchedBuckets: Long): Unit = {
     val dir = new Path(target, ManifestDir)
     fs.mkdirs(dir)
     val tmp = new Path(dir, s".tmp-$v-${System.nanoTime()}")
     val out = fs.create(tmp, false)
-    try out.write(mapping.toSeq.sortBy(_._1)
+    val header = s"#operation=$operation\n" +
+      s"#commitMs=${System.currentTimeMillis()}\n" +
+      s"#touchedBuckets=$touchedBuckets\n"
+    try out.write((header + mapping.toSeq.sortBy(_._1)
       .map { case (bk, rel) => s"$bk\t$rel" }
-      .mkString("\n").getBytes(StandardCharsets.UTF_8))
+      .mkString("\n")).getBytes(StandardCharsets.UTF_8))
     finally out.close()
     val dst = manifestFile(target, v)
     if (fs.exists(dst) || !fs.rename(tmp, dst)) {
@@ -192,7 +233,8 @@ object KeyedUpsert {
         .map(_.getPath.getName).filter(_.startsWith(s"$BucketCol="))
         .map(_.stripPrefix(s"$BucketCol=").toLong)
       commitManifest(fs, target, newVersion,
-        mapping ++ written.map(bk => bk -> s"$commitRel/$BucketCol=$bk"))
+        mapping ++ written.map(bk => bk -> s"$commitRel/$BucketCol=$bk"),
+        "MERGE", written.size.toLong)
       vacuum(fs, target, newVersion, retainVersions)
     } finally b.unpersist()
   }
@@ -234,7 +276,8 @@ object KeyedUpsert {
       // touched buckets with no surviving rows leave the manifest
       commitManifest(fs, target, newVersion,
         (mapping -- (touched.toSet -- written.toSet)) ++
-          written.map(bk => bk -> s"$commitRel/$BucketCol=$bk"))
+          written.map(bk => bk -> s"$commitRel/$BucketCol=$bk"),
+        "DELETE", touched.length.toLong)
       vacuum(fs, target, newVersion, retainVersions)
     } finally k.unpersist()
   }
@@ -269,7 +312,8 @@ object KeyedUpsert {
       .map(_.getPath.getName).filter(_.startsWith(s"$BucketCol="))
       .map(_.stripPrefix(s"$BucketCol=").toLong)
     commitManifest(fs, target, newVersion,
-      written.map(bk => bk -> s"$commitRel/$BucketCol=$bk").toMap)
+      written.map(bk => bk -> s"$commitRel/$BucketCol=$bk").toMap,
+      "OPTIMIZE", written.size.toLong)
     vacuum(fs, target, newVersion, retainVersions)
   }
 

@@ -133,7 +133,30 @@ class KeyedUpsertSpec extends SparkSpec {
     val changed = KeyedUpsert.changesSince(spark, dir, 1L)
       .as[(String, Int)].collect().toMap
     changed.keySet should contain allOf ("b", "c")
-    KeyedUpsert.history(spark, dir).map(_._1) shouldBe Seq(1L, 2L, 3L)
+    KeyedUpsert.history(spark, dir).map(_.version) shouldBe Seq(1L, 2L, 3L)
+  }
+
+  test("history records operation, commit time and touched buckets") {
+    val dir = tmp()
+    KeyedUpsert.upsert(spark, dir,
+      Seq(("a", 1), ("b", 2), ("c", 3)).toDF("k", "v"), Seq("k"),
+      numBuckets = 4)
+    KeyedUpsert.delete(spark, dir, Seq("b").toDF("k"), Seq("k"),
+      numBuckets = 4)
+    KeyedUpsert.compact(spark, dir, sortCols = Seq("k"))
+    val h = KeyedUpsert.history(spark, dir)
+    h.map(_.version) shouldBe Seq(1L, 2L, 3L)
+    h.map(_.operation) shouldBe Seq("MERGE", "DELETE", "OPTIMIZE")
+    // the delete rewrote only the bucket(s) "b" hashes into; the
+    // compact rewrote every live bucket
+    h(1).touchedBuckets should be <= h(0).touchedBuckets
+    h(2).touchedBuckets shouldBe
+      KeyedUpsert.snapshot(spark, dir).size.toLong
+    all(h.map(_.commitMs)) should be > 0L
+    h.map(_.commitMs) shouldBe sorted
+    // the metadata header must not disturb the mapping readback
+    KeyedUpsert.read(spark, dir).as[(String, Int)].collect().toMap shouldBe
+      Map("a" -> 1, "c" -> 3)
   }
 
   test("delete removes matched keys, drops emptied buckets, keeps history") {

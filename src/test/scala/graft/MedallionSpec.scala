@@ -69,6 +69,24 @@ class MedallionSpec extends SparkSpec {
     d shouldBe m
   }
 
+  test("cascade grains equal the independent per-grain rollups") {
+    val cascade = Medallion.rollupCascade(gold).cache()
+    try {
+      val independents = Seq(
+        "hour" -> Medallion.hourRollup(gold),
+        "day" -> Medallion.dayRollup(gold),
+        "month" -> Medallion.monthRollup(gold))
+      for ((grain, direct) <- independents) {
+        val fromCascade = cascade.filter(col("grain") === grain).drop("grain")
+        fromCascade.count() shouldBe direct.count()
+        // reaggregated-from-partials must be EXACTLY the direct scan
+        // (decimal partials make merge order irrelevant)
+        fromCascade.exceptAll(direct).count() shouldBe 0L
+        direct.exceptAll(fromCascade).count() shouldBe 0L
+      }
+    } finally cascade.unpersist()
+  }
+
   test("latest picks max timestamp per 4-key") {
     val latest = Medallion.latest(gold)
     val maxTs = gold.groupBy("remote_id", "metric_id", "provider_id",
