@@ -203,9 +203,15 @@ object Medallion {
     * union's three branches share one computation — at 100 TB they are
     * the table you'd write to storage, after which every coarser rollup
     * is O(hour groups) and the raw-event scan happens exactly once. */
-  def rollupCascade(gold: DataFrame): DataFrame = {
-    val hour = rollupPartials(gold,
-      ts => unix_timestamp(date_trunc("hour", ts))).persist()
+  def rollupCascade(gold: DataFrame): DataFrame =
+    cascadeFromHourPartials(rollupPartials(gold,
+      ts => unix_timestamp(date_trunc("hour", ts))).persist())
+
+  /** The cascade's reaggregation half, starting from (stored or
+    * freshly computed) hour partials — the entry point a persisted
+    * partials table (batch parquet or the streaming MERGE table)
+    * shares with [[rollupCascade]]. */
+  def cascadeFromHourPartials(hour: DataFrame): DataFrame = {
     val day = reaggPartials(hour,
       ts => unix_timestamp(date_trunc("day", ts)))
     val month = reaggPartials(day,

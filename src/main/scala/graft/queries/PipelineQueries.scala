@@ -91,6 +91,15 @@ object PipelineQueries {
     ctes + rollupSelect(grain, tagGrain = false) +
       "\nORDER BY id, bucket_ts"
 
+  /** Oracle for the grain-stacked hour/day/month cascade (p19, st12):
+    * every grain computed INDEPENDENTLY from gold — the engine's
+    * partial-reaggregation (batch or streaming-MERGE) must reproduce
+    * all three exactly. */
+  private[queries] def cascadeSql: String =
+    ctes + Seq("hour", "day", "month")
+      .map(rollupSelect(_, tagGrain = true))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY grain, id, bucket_ts")
+
   private def sfGold(s: org.apache.spark.sql.SparkSession, d: String) =
     Medallion.gold(Medallion.silver(Tables.events(s, d)),
       Dims.metricMappings(s), Dims.deviceHistory(s))
@@ -137,13 +146,9 @@ object PipelineQueries {
     // fold — [A5]:127-225 scans gold once per grain instead). The
     // oracle computes every grain independently from gold, so the
     // partial-merge law itself is what the hash compare certifies.
-    "p19_rollup_cascade" -> Q(
-      ctes + Seq("hour", "day", "month")
-        .map(rollupSelect(_, tagGrain = true))
-        .mkString("", "\nUNION ALL\n", "\nORDER BY grain, id, bucket_ts")) {
-      (s, d) =>
-        Medallion.rollupCascade(sfGold(s, d))
-          .orderBy("grain", "id", "bucket_ts")
+    "p19_rollup_cascade" -> Q(cascadeSql) { (s, d) =>
+      Medallion.rollupCascade(sfGold(s, d))
+        .orderBy("grain", "id", "bucket_ts")
     },
 
     // W1 latest snapshot per 4-part key ([C6C]:57-64, id form [C6A]:126).

@@ -297,11 +297,13 @@ object SinkQueries {
     },
 
     // DESCRIBE HISTORY parity over the KeyedUpsert version log
-    // ([Q1]:702): a MERGE/MERGE/DELETE/OPTIMIZE sequence, then the
-    // commit-metadata readback — operation names straight from the
-    // manifest headers, live row count per pinned version. The oracle
-    // recomputes each version's expected cardinality from events, so
-    // the gate verifies the log's CONTENT, not just its shape.
+    // ([Q1]:702): a MERGE/MERGE/DELETE/OPTIMIZE/RESTORE sequence, then
+    // the commit-metadata readback — operation names straight from the
+    // manifest headers, live row count per pinned version (the RESTORE
+    // row proves rollback re-surfaces version 2's cardinality, deleted
+    // error keys included). The oracle recomputes each version's
+    // expected cardinality from events, so the gate verifies the log's
+    // CONTENT, not just its shape.
     "k11_history" -> Q(
       """WITH k1 AS (SELECT DISTINCT user_id, event_type FROM events
         |            WHERE floor(epoch(ts)) < 1705708800),
@@ -313,7 +315,8 @@ object SinkQueries {
         |         (SELECT count(*) FROM k1) AS n_live
         |  UNION ALL SELECT 2, 'MERGE', (SELECT count(*) FROM k2)
         |  UNION ALL SELECT 3, 'DELETE', (SELECT count(*) FROM k3)
-        |  UNION ALL SELECT 4, 'OPTIMIZE', (SELECT count(*) FROM k3))
+        |  UNION ALL SELECT 4, 'OPTIMIZE', (SELECT count(*) FROM k3)
+        |  UNION ALL SELECT 5, 'RESTORE', (SELECT count(*) FROM k2))
         |ORDER BY version""".stripMargin) { (s, d) =>
       val dir = freshDir(s"k11-${d.replaceAll("[^0-9a-zA-Z.]", "_")}")
       val out = s"$dir/tbl"
@@ -331,6 +334,7 @@ object SinkQueries {
         KeyedUpsert.read(s, out).filter(col("event_type") === "error")
           .select(keys.map(col): _*), keys, numBuckets = 8)
       KeyedUpsert.compact(s, out, sortCols = keys)
+      KeyedUpsert.restore(s, out, 2L)
       // per-version counts are manifest-pruned reads — bounded by the
       // (4-entry) version log, not the table
       import s.implicits._

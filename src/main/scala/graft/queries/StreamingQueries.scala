@@ -471,6 +471,25 @@ object StreamingQueries {
             nFiles = 4, maxFilesPerTrigger = 1)
           .orderBy("a", "b")
       }
+    },
+
+    // streaming rollup-cascade front door: the stream maintains ONLY
+    // the hour-grain decimal PARTIALS (update-mode agg + keyed MERGE);
+    // day and month derive from the stored partials table by
+    // reaggregation — raw events are scanned once, by the stream. The
+    // oracle computes all three grains independently from gold, so the
+    // gate certifies streamed-partials == batch-exact at every grain.
+    "st12_stream_rollup_cascade" -> Q(PipelineQueries.cascadeSql) { (s, d) =>
+      val root = freshDir(s"st12-${d.replaceAll("[^0-9a-zA-Z.]", "_")}")
+      Topic.publishEvents(Tables.events(s, d), s"$root/topic", nFiles = 4)
+      withShufflePartitions(s, 8) {
+        StreamingMedallion.runHourPartials(s, s"$root/topic",
+          s"$root/partials", s"$root/ckpt", maxFilesPerTrigger = 2,
+          numBuckets = 8, dedupRetention = "3650 days")
+      }
+      graft.pipeline.Medallion.cascadeFromHourPartials(
+          KeyedUpsert.read(s, s"$root/partials").drop("id"))
+        .orderBy("grain", "id", "bucket_ts")
     }
   )
 }

@@ -317,6 +317,25 @@ object KeyedUpsert {
     vacuum(fs, target, newVersion, retainVersions)
   }
 
+  /** RESTORE analog (Delta's `RESTORE TABLE ... TO VERSION AS OF v`):
+    * re-publish the bucket mapping of `version` as a NEW commit — a
+    * rollback that itself appears in history, so the rolled-over
+    * versions stay pinnable until vacuum reclaims them. No data moves:
+    * commit directories are immutable, the restored manifest simply
+    * references the old ones again (and vacuum keeps any directory a
+    * retained manifest references). O(manifest), independent of table
+    * size. */
+  def restore(spark: SparkSession, targetDir: String, version: Long,
+      retainVersions: Int = 8): Unit = {
+    val target = new Path(targetDir)
+    val fs = fsOf(spark, target)
+    val v = resolveVersion(spark, targetDir, Some(version))
+    val latest = resolveVersion(spark, targetDir, None)
+    val mapping = loadManifest(fs, target, v)
+    commitManifest(fs, target, latest + 1, mapping, "RESTORE", 0L)
+    vacuum(fs, target, latest + 1, retainVersions)
+  }
+
   /** Drop manifests older than the newest `retain` and any commit dir
     * no retained manifest references. Only dirs whose version is <= the
     * just-committed one are candidates, so an in-flight writer's

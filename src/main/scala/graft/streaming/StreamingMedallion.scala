@@ -63,6 +63,39 @@ object StreamingMedallion {
     batches
   }
 
+  /** Continuously maintain the HOUR-grain rollup PARTIALS (exact
+    * decimal sum / count / min / max per serving id — the mergeable
+    * state of [[Medallion.rollupPartials]]) as a keyed table: the
+    * streaming aggregate holds the running partials, update mode emits
+    * each micro-batch's changed keys whole, and the keyed MERGE
+    * replaces them. Day/month rollups then derive from this table via
+    * [[Medallion.cascadeFromHourPartials]] WITHOUT ever re-scanning
+    * events — the streaming front door of the rollup cascade: at
+    * 100 TB the raw stream is touched once, and every coarser grain is
+    * O(hour groups) reaggregation at read (or publish) time. */
+  def runHourPartials(spark: SparkSession, topicDir: String, outDir: String,
+      checkpointDir: String, maxFilesPerTrigger: Int = 1,
+      numBuckets: Int = 8, dedupRetention: String = "48 hours"): Unit = {
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool", "graft-rollup")
+    val gold = goldStream(spark,
+      silverStream(spark, topicDir, maxFilesPerTrigger, dedupRetention))
+    val partials = Medallion.rollupPartials(gold,
+        ts => unix_timestamp(date_trunc("hour", ts)))
+      .withColumn("id", graft.functions.Fns.servingId(col("remote_id"),
+        col("bucket_ts"), col("metric_id"), col("provider_id"),
+        col("category_id")))
+    val q = partials.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        KeyedUpsert.upsert(batch.sparkSession, outDir, batch,
+          keyCols = Seq("id"), numBuckets = numBuckets)
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Streaming latest-value table ([O5D]:97-152 semantics): update-mode
     * max-per-4-key aggregate, upserted with a conditional MERGE so
     * out-of-order micro-batches can never regress a key to an older

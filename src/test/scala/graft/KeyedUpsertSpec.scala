@@ -159,6 +159,28 @@ class KeyedUpsertSpec extends SparkSpec {
       Map("a" -> 1, "c" -> 3)
   }
 
+  test("restore re-publishes an old snapshot as a new pinnable commit") {
+    val dir = tmp()
+    KeyedUpsert.upsert(spark, dir,
+      Seq(("a", 1), ("b", 2)).toDF("k", "v"), Seq("k"), numBuckets = 4)
+    KeyedUpsert.upsert(spark, dir,
+      Seq(("b", 20), ("c", 3)).toDF("k", "v"), Seq("k"), numBuckets = 4)
+    KeyedUpsert.delete(spark, dir, Seq("a").toDF("k"), Seq("k"),
+      numBuckets = 4)
+    KeyedUpsert.restore(spark, dir, 1L)
+    // latest reads version 1's rows again
+    KeyedUpsert.read(spark, dir).as[(String, Int)].collect().toMap shouldBe
+      Map("a" -> 1, "b" -> 2)
+    // ...via a NEW commit, with the rolled-over snapshots still pinnable
+    KeyedUpsert.versions(spark, dir) shouldBe Seq(1L, 2L, 3L, 4L)
+    KeyedUpsert.read(spark, dir, version = Some(3L))
+      .as[(String, Int)].collect().toMap shouldBe Map("b" -> 20, "c" -> 3)
+    KeyedUpsert.history(spark, dir).last.operation shouldBe "RESTORE"
+    // the restored manifest shares version 1's directories — no rewrite
+    KeyedUpsert.snapshot(spark, dir) shouldBe
+      KeyedUpsert.snapshot(spark, dir, Some(1L))
+  }
+
   test("delete removes matched keys, drops emptied buckets, keeps history") {
     val dir = tmp()
     KeyedUpsert.upsert(spark, dir,
