@@ -649,6 +649,53 @@ object AnalyticsQueries {
         .agg(sum(when(isOut, 1).otherwise(0)).as("n_out"),
           max(when(isOut, col("c"))).as("max_out_cents"))
         .orderBy("event_type")
+    },
+
+    // OLAP CUBE: every grouping-set combination (type x day, per-type,
+    // per-day, grand total) in ONE pass — Spark expands the sets inside
+    // a single Expand + hash aggregate, where the reference's report
+    // notebooks run one query per subtotal level. grouping_id()
+    // disambiguates a rolled-up NULL from a data NULL cross-engine.
+    "q58_cube" -> Q(
+      """SELECT coalesce(event_type,'ALL') AS event_type,
+        |       coalesce(datestamp,'ALL') AS datestamp,
+        |       CAST(GROUPING_ID(event_type, datestamp) AS BIGINT) AS gid,
+        |       count(*) AS n, round(sum(value),2) AS total
+        |FROM (SELECT event_type, strftime(ts,'%Y-%m-%d') AS datestamp, value
+        |      FROM events)
+        |GROUP BY CUBE(event_type, datestamp)
+        |ORDER BY gid, event_type, datestamp""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("datestamp", graft.functions.Fns.datestamp(col("ts")))
+        .cube("event_type", "datestamp")
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          round(sum("value"), 2).as("total"))
+        .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          coalesce(col("datestamp"), lit("ALL")).as("datestamp"),
+          col("gid"), col("n"), col("total"))
+        .orderBy("gid", "event_type", "datestamp")
+    },
+
+    // PIVOT — the inverse of J3's Name/Value unpivot: one wide row per
+    // user with a column per event type. The value list is EXPLICIT
+    // (no driver-side distinct-collect job to discover it), so the
+    // whole pivot is a single map-side conditional projection + hash
+    // aggregate — shuffle bounded by |users|, not |events|.
+    "q59_pivot" -> Q(
+      """SELECT user_id,
+        |  round(sum(CASE WHEN event_type='click' THEN value END),2) AS click,
+        |  round(sum(CASE WHEN event_type='error' THEN value END),2) AS error,
+        |  round(sum(CASE WHEN event_type='purchase' THEN value END),2) AS purchase,
+        |  round(sum(CASE WHEN event_type='signup' THEN value END),2) AS signup,
+        |  round(sum(CASE WHEN event_type='view' THEN value END),2) AS "view"
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) {
+      (s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type",
+          Seq("click", "error", "purchase", "signup", "view"))
+        .agg(round(sum("value"), 2))
+        .orderBy("user_id")
     }
   )
 }
