@@ -74,10 +74,15 @@ object PageRank {
         .join(wsum, "src")
         .withColumn("c", expr(s"(((r * $dampNum) div $dampDen) * w) div wsum"))
         .groupBy(col("dst").as("node")).agg(sum("c").as("inflow"))
+      // truncate lineage each round (as ConnectedComponents does): the
+      // rank table is |nodes| rows — materializing it is cheap, while
+      // the untruncated alternative re-plans and re-executes a plan
+      // whose depth grows with the round count
       r = nodes.crossJoin(broadcast(n))
         .join(contrib, Seq("node"), "left")
         .select(col("node"),
           (base + coalesce(col("inflow"), lit(0L))).as("r"))
+        .localCheckpoint(true)
     }
     r
   }
