@@ -696,6 +696,32 @@ object AnalyticsQueries {
           Seq("click", "error", "purchase", "signup", "view"))
         .agg(round(sum("value"), 2))
         .orderBy("user_id")
+    },
+
+    // cohort retention: users keyed by their FIRST active day, distinct
+    // active users per (cohort, day offset) — the canonical retention
+    // triangle. Both aggregates and the join key on user_id, so after
+    // the first shuffle everything is co-partitioned (no second wide
+    // exchange for the join); the cohort dim never needs a driver pass.
+    "q60_cohort_retention" -> Q(
+      """WITH f AS (SELECT user_id, min(strftime(ts,'%Y-%m-%d')) AS cohort
+        |           FROM events GROUP BY 1)
+        |SELECT cohort,
+        |       CAST(date_diff('day', CAST(cohort AS DATE), CAST(d AS DATE))
+        |            AS BIGINT) AS day_offset,
+        |       count(DISTINCT e.user_id) AS active
+        |FROM (SELECT user_id, strftime(ts,'%Y-%m-%d') AS d FROM events) e
+        |JOIN f USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).select(col("user_id"),
+        graft.functions.Fns.datestamp(col("ts")).as("d"))
+      val firstDay = ev.groupBy("user_id").agg(min("d").as("cohort"))
+      ev.join(firstDay, "user_id")
+        .groupBy(col("cohort"),
+          datediff(to_date(col("d")), to_date(col("cohort")))
+            .cast("long").as("day_offset"))
+        .agg(countDistinct("user_id").as("active"))
+        .orderBy("cohort", "day_offset")
     }
   )
 }

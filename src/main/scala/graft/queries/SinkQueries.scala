@@ -345,6 +345,31 @@ object SinkQueries {
         .orderBy("version")
     },
 
+    // Z-ORDER layout roundtrip: events rewritten with the
+    // multi-column Z-layout (user_id x value), then a 2-dimensional
+    // range scan re-aggregated — the oracle derives the same result
+    // straight from the original parquet, proving the layout step
+    // moves bytes, never rows. The per-file min/max tightening on both
+    // dimensions (what the layout exists for) is asserted
+    // footer-by-footer in TableSinksSpec.
+    "k12_zorder" -> Q(
+      """SELECT user_id, count(*) AS n, round(sum(value), 2) AS total
+        |FROM events
+        |WHERE user_id BETWEEN 20 AND 59 AND value BETWEEN 100 AND 600
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val dir = freshDir(s"k12-${d.replaceAll("[^0-9a-zA-Z.]", "_")}")
+      val table = s"$dir/events_z"
+      TableSinks.writeZOrdered(
+        Tables.events(s, d).select("user_id", "event_id", "value"),
+        table, Seq("user_id", "value"), numFiles = 8)
+      s.read.parquet(table)
+        .filter(col("user_id").between(20, 59) &&
+          col("value").between(100, 600))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .orderBy("user_id")
+    },
+
     // bucketed co-located join: both sides written as 8-bucket
     // datasource tables on their join key, so the sort-merge join AND
     // the downstream per-customer aggregate run with ZERO shuffle — the

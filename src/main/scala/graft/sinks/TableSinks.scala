@@ -189,6 +189,54 @@ object TableSinks {
       .write.mode(mode).parquet(dir)
   }
 
+  /** Multi-column Z-ORDER layout (Delta's `OPTIMIZE ... ZORDER BY`
+    * analog, on plain Parquet): rows are range-partitioned and sorted
+    * by the bit-interleaved rank-bucket of EVERY cluster column, so
+    * per-file parquet min/max stats stay tight on all of them at once.
+    * [[writeClustered]] on one key leaves every other column's
+    * per-file range at ~full width — a scan filtering the second
+    * dimension prunes nothing; the Z-layout bounds both, so
+    * multi-dimensional range scans skip files whichever dimension they
+    * filter (the property TableSinksSpec asserts footer-by-footer).
+    *
+    * Mechanics: per column, `2^bitsPerCol` rank buckets from
+    * approxQuantile boundaries (driver-bounded: 2^bits-1 doubles per
+    * column); bucket assignment is a codegen'd comparison sum; the
+    * z-value interleaves the bucket bits round-robin. The z expression
+    * is passed straight to repartitionByRange/sortWithinPartitions —
+    * no helper column travels or lands in the files. One range
+    * exchange + local sort, same cost shape as writeClustered.
+    */
+  def writeZOrdered(df: DataFrame, dir: String, zCols: Seq[String],
+      numFiles: Int, bitsPerCol: Int = 4, mode: String = "overwrite")
+      : Unit = {
+    require(zCols.size >= 2,
+      "writeZOrdered needs >= 2 cluster columns; use writeClustered for 1")
+    require(numFiles > 0, s"numFiles must be positive, got $numFiles")
+    require(bitsPerCol >= 1 && bitsPerCol <= 8,
+      s"bitsPerCol must be in [1, 8], got $bitsPerCol")
+    import org.apache.spark.sql.functions.{lit, shiftleft, shiftright, when}
+    val nBuckets = 1 << bitsPerCol
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val ncols = zCols.size
+    val z = zCols.zipWithIndex.map { case (c, ci) =>
+      val bounds = df.stat.approxQuantile(c, probs, 0.001)
+      // bucket = number of boundaries below the value (a flat sum of
+      // comparisons — codegen-friendly, no when-chain depth)
+      val bucket = bounds.distinct.map(b =>
+        when(col(c).cast("double") > lit(b), 1L).otherwise(0L))
+        .reduce(_ + _)
+      // spread this column's bucket bits to positions ci, ci+ncols, ...
+      (0 until bitsPerCol).map(i =>
+        shiftleft(shiftright(bucket, i).bitwiseAND(lit(1L)),
+          i * ncols + ci))
+        .reduce((a, b) => a.bitwiseOR(b))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    df.repartitionByRange(numFiles, z)
+      .sortWithinPartitions(z)
+      .write.mode(mode).parquet(dir)
+  }
+
   /** Per-file (min, max) of a long column read from the parquet
     * footers — the stats a clustered layout exists to tighten; used by
     * specs and layout audits, one footer read per file, no data scan. */

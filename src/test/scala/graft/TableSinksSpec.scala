@@ -163,6 +163,35 @@ class TableSinksSpec extends SparkSpec {
     hit.count() shouldBe df.filter($"k" === 500L).count()
   }
 
+  test("z-order bounds per-file ranges on BOTH cluster columns") {
+    val dir = tmp() + "/zorder"
+    val dirC = tmp() + "/zorder-contrast"
+    // modular scrambling: k2 is a scattered function of k1, so at
+    // bucket granularity the two behave as independent dimensions
+    val df = spark.range(0, 20000).select(
+      (col("id") * 37 % 1000).as("k1"),
+      (col("id") * 91 % 1000).as("k2"),
+      col("id").as("payload"))
+    TableSinks.writeZOrdered(df, dir, Seq("k1", "k2"), numFiles = 16)
+    TableSinks.writeClustered(df, dirC, "k1", numFiles = 16)
+    def avgWidth(d: String, c: String): Double = {
+      val rs = TableSinks.fileRangesOf(spark, d, c)
+      rs.map { case (_, lo, hi) => (hi - lo).toDouble }.sum / rs.size
+    }
+    // global range is [0, 999]: the z-layout must bound BOTH columns'
+    // per-file width, where single-key clustering bounds only its own
+    // key and leaves the other at ~full width (nothing to prune on)
+    avgWidth(dir, "k1") should be < 600.0
+    avgWidth(dir, "k2") should be < 600.0
+    avgWidth(dirC, "k1") should be < 200.0
+    avgWidth(dirC, "k2") should be > 900.0
+    // the layout changes bytes on disk, never rows
+    spark.read.parquet(dir).count() shouldBe 20000L
+    val pred = ($"k1".between(100L, 199L) && $"k2".between(400L, 499L))
+    spark.read.parquet(dir).filter(pred).count() shouldBe
+      df.filter(pred).count()
+  }
+
   test("fileRangesOf names the column and file on a bad column") {
     val dir = tmp() + "/ranges_guard"
     val df = spark.range(0, 100).select(col("id").as("k"),
