@@ -490,6 +490,80 @@ object StreamingQueries {
       graft.pipeline.Medallion.cascadeFromHourPartials(
           KeyedUpsert.read(s, s"$root/partials").drop("id"))
         .orderBy("grain", "id", "bucket_ts")
+    },
+
+    // stream-stream LEFT OUTER join (the semantics st07's inner join
+    // cannot express): views with no purchase inside the 12 h window
+    // must null-pad — which in a stream happens only when the GLOBAL
+    // watermark (min across both inputs) passes view_ts + 12 h + delay.
+    // Two far-future sentinel events (one per side, non-joining ids)
+    // advance both input watermarks past every real view's expiry
+    // bound, and the default no-data final micro-batch flushes the
+    // expired state before the bounded run terminates. The 90-day
+    // delay exceeds the data span, so the shuffled out-of-order topic
+    // replay can never late-drop a real row; the sentinels sit 120
+    // days out — beyond the delay, inside no real join window. The
+    // oracle is the plain batch LEFT JOIN.
+    "st13_stream_left_outer" -> Q(
+      """SELECT a.user_id, a.event_id AS view_id, b.event_id AS purchase_id,
+        |       CAST(floor(epoch(a.ts)) AS BIGINT) AS view_ts_s,
+        |       CAST(floor(epoch(b.ts)) AS BIGINT) AS purchase_ts_s,
+        |       b.value AS purchase_value
+        |FROM (SELECT * FROM events WHERE event_type = 'view') a
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+        |  ON a.user_id = b.user_id
+        | AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 12 HOUR
+        |ORDER BY view_id, purchase_id""".stripMargin) { (s, d) =>
+      val root = freshDir(s"st13-${d.replaceAll("[^0-9a-zA-Z.]", "_")}")
+      val ev = Tables.events(s, d)
+      Topic.publishEvents(ev, s"$root/topic", nFiles = 4)
+      val maxTs = ev.agg(max("ts")).head.getTimestamp(0)
+      val sentinels = s.range(1).select(
+          lit(-1L).as("event_id"),
+          (lit(maxTs) + expr("INTERVAL 120 DAYS")).as("ts"),
+          lit(-1L).as("user_id"), lit("view").as("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props"))
+        .unionByName(s.range(1).select(
+          lit(-2L).as("event_id"),
+          (lit(maxTs) + expr("INTERVAL 120 DAYS")).as("ts"),
+          lit(-2L).as("user_id"), lit("purchase").as("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props")))
+      // appended after the corpus: later modification time puts the
+      // sentinel file in the LAST micro-batch
+      Topic.publishEvents(sentinels, s"$root/topic", nFiles = 1,
+        append = true)
+      withShufflePartitions(s, 8) {
+        val src = Topic.decodeEvents(
+          Topic.readStream(s, s"$root/topic", maxFilesPerTrigger = 4))
+        val views = src.filter(col("event_type") === "view")
+          .select(col("event_id").as("view_id"), col("user_id"),
+            col("ts").as("view_ts"))
+          .withWatermark("view_ts", "90 days")
+        val purchases = src.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"),
+            col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+            col("value").as("purchase_value"))
+          .withWatermark("purchase_ts", "90 days")
+        val joined = views.join(purchases,
+          col("user_id") === col("p_user") &&
+            col("purchase_ts") >= col("view_ts") &&
+            col("purchase_ts") <= col("view_ts") + expr("INTERVAL 12 HOURS"),
+          "leftOuter")
+        val q = joined
+          .select(col("user_id"), col("view_id"), col("purchase_id"),
+            unix_timestamp(col("view_ts")).as("view_ts_s"),
+            unix_timestamp(col("purchase_ts")).as("purchase_ts_s"),
+            col("purchase_value"))
+          .writeStream.format("parquet")
+          .option("path", s"$root/out")
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.read.parquet(s"$root/out")
+        .filter(col("user_id") >= 0) // the sentinels are not data
+        .orderBy("view_id", "purchase_id")
     }
   )
 }
