@@ -162,6 +162,45 @@ object MonitoringQueries {
           expr("(sad * 1000000) div (2 * n1 * n2)").as("tvd_ppm"),
           col("top_bucket"))
         .orderBy("event_type")
+    },
+
+    // declarative data-quality expectations (the managed-pipeline
+    // expectations idiom the reference hand-rolls one detection
+    // notebook at a time): named row predicates evaluated in ONE
+    // map-side pass, per-rule pass/fail metrics from a single
+    // partial-agg rollup — n_fail > 0 rows prove the rules actually
+    // discriminate. The clean/quarantine split over the same flags is
+    // spec-verified (OperatorsSpec).
+    "q61_expectations" -> Q(
+      """SELECT rule, n_rows, n_pass, n_rows - n_pass AS n_fail FROM (
+        |  SELECT 'not_error' AS rule, count(*) AS n_rows,
+        |         CAST(sum(CASE WHEN event_type != 'error' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_pass
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'props_has_k', count(*),
+        |         CAST(sum(CASE WHEN json_extract_string(props, '$.k')
+        |                       IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'value_small', count(*),
+        |         CAST(sum(CASE WHEN value < 900 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM events
+        |  UNION ALL
+        |  SELECT '_all', count(*),
+        |         CAST(sum(CASE WHEN event_type != 'error'
+        |                       AND json_extract_string(props, '$.k') IS NOT NULL
+        |                       AND value < 900 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM events)
+        |ORDER BY rule""".stripMargin) { (s, d) =>
+      import graft.operators.Expectations
+      import graft.operators.Expectations.Rule
+      Expectations.summary(Tables.events(s, d), Seq(
+          Rule("not_error", col("event_type") =!= "error"),
+          Rule("props_has_k",
+            get_json_object(col("props"), "$.k").isNotNull),
+          Rule("value_small", col("value") < 900)))
+        .orderBy("rule")
     }
   )
 }

@@ -269,4 +269,38 @@ class OperatorsSpec extends SparkSpec {
     an[IllegalArgumentException] should be thrownBy
       RangeJoin.pointInInterval(pts, iv, "pt", "lo", "hi", 0L)
   }
+
+  test("expectations: split partitions rows, quarantine names the rules") {
+    import graft.operators.Expectations
+    import graft.operators.Expectations.Rule
+    val df = Seq(
+      (1L, "ok", Some(10.0)), (2L, "ok", Some(-5.0)),
+      (3L, "bad", Some(10.0)), (4L, "bad", Some(-1.0)),
+      (5L, "ok", None))
+      .toDF("id", "status", "v")
+    val rules = Seq(
+      Rule("status_ok", col("status") === "ok"),
+      Rule("v_nonneg", col("v") >= 0))
+    val (clean, quarantine) = Expectations.split(df, rules)
+    // null rule result counts as FAILED (unknown is not clean)
+    clean.select("id").as[Long].collect().sorted shouldBe Seq(1L)
+    val q = quarantine.select(col("id"), col("failed_rules"))
+      .as[(Long, Seq[String])].collect().toMap
+    q shouldBe Map(
+      2L -> Seq("v_nonneg"), 3L -> Seq("status_ok"),
+      4L -> Seq("status_ok", "v_nonneg"), 5L -> Seq("v_nonneg"))
+    // split is a partition of the input
+    clean.count() + quarantine.count() shouldBe df.count()
+    // clean/quarantine carry no flag helper columns
+    clean.columns should contain theSameElementsAs df.columns
+    quarantine.columns should contain theSameElementsAs
+      (df.columns :+ "failed_rules")
+    // summary agrees with the split
+    val s = Expectations.summary(df, rules)
+      .select("rule", "n_fail").as[(String, Long)].collect().toMap
+    s shouldBe Map("status_ok" -> 2L, "v_nonneg" -> 3L, "_all" -> 4L)
+    // the whole check is one map-side pass: no Exchange in the plan
+    Expectations.check(df, rules)
+      .queryExecution.executedPlan.toString should not include "Exchange"
+  }
 }
