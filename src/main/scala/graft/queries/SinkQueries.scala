@@ -6,7 +6,7 @@ import java.util.Comparator
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.Fns
-import graft.sinks.{KeyedUpsert, TableSinks}
+import graft.sinks.{FileBloomIndex, KeyedUpsert, TableSinks}
 import graft.sources.{FileSources, Tables}
 
 /** Source/sink round-trips surfaced through the correctness gate: each
@@ -368,6 +368,33 @@ object SinkQueries {
         .groupBy("user_id")
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
         .orderBy("user_id")
+    },
+
+    // per-file Bloom index: events scattered over 16 files by ingest
+    // order (every file's event_id [min,max] covers every id — footer
+    // stats prune NOTHING), then a point lookup routed through the
+    // index side table scans only the file(s) whose filter might
+    // contain the key. The oracle answers the same lookup from the
+    // raw table; the actual file-skipping factor is asserted in
+    // TableSinksSpec.
+    "k13_bloom_index" -> Q(
+      """SELECT event_id, user_id, event_type, round(value, 2) AS value
+        |FROM events WHERE event_id IN (1000, 2024, 4999)
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val dir = freshDir(s"k13-${d.replaceAll("[^0-9a-zA-Z.]", "_")}")
+      val table = s"$dir/events_flat"
+      val idx = s"$dir/events_flat_idx"
+      Tables.events(s, d)
+        .select("event_id", "user_id", "event_type", "value")
+        .repartition(16)
+        .write.mode("overwrite").parquet(table)
+      FileBloomIndex.build(s, table, "event_id", idx)
+      Seq(1000L, 2024L, 4999L)
+        .map(id => FileBloomIndex.lookup(s, table, idx, "event_id", id))
+        .reduce(_ unionByName _)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          round(col("value"), 2).as("value"))
+        .orderBy("event_id")
     },
 
     // bucketed co-located join: both sides written as 8-bucket

@@ -192,6 +192,31 @@ class TableSinksSpec extends SparkSpec {
       df.filter(pred).count()
   }
 
+  test("bloom index prunes files for point lookups min/max cannot help") {
+    import graft.sinks.FileBloomIndex
+    val dir = tmp() + "/bloomidx"
+    val idx = tmp() + "/bloomidx-side"
+    // ids scattered over 16 files: every file's [min, max] covers
+    // every id, so footer stats would scan all 16
+    spark.range(0, 40000).select(col("id"), (col("id") % 97).as("payload"))
+      .repartition(16)
+      .write.parquet(dir)
+    FileBloomIndex.build(spark, dir, "id", idx)
+    val probes = Seq(7L, 1234L, 39999L)
+    for (v <- probes) {
+      val cand = FileBloomIndex.candidateFiles(spark, idx, v)
+      // a unique key lives in exactly one file; k=3 over 2^16 bits at
+      // this fill keeps false positives to a couple of files at most
+      cand.size should be >= 1
+      cand.size should be <= 4
+      // and the lookup through the candidates finds exactly the row
+      FileBloomIndex.lookup(spark, dir, idx, "id", v)
+        .select("id").as[Long].collect() shouldBe Seq(v)
+    }
+    // absent key: no false negative is possible, absent rows stay absent
+    FileBloomIndex.lookup(spark, dir, idx, "id", 555555L).count() shouldBe 0L
+  }
+
   test("fileRangesOf names the column and file on a bad column") {
     val dir = tmp() + "/ranges_guard"
     val df = spark.range(0, 100).select(col("id").as("k"),
