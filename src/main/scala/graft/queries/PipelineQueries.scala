@@ -151,6 +151,46 @@ object PipelineQueries {
         .orderBy("grain", "id", "bucket_ts")
     },
 
+    // SCD2 dimension maintenance from a change log (the MERGE behind
+    // the device-history validity intervals, [SU]): the dim is built
+    // in TWO batches split at t0 — seed from the pre-split log, then
+    // applyChanges MERGEs the rest — while the oracle derives the
+    // whole history in ONE pass. The hash compare therefore certifies
+    // the incremental-equals-batch property, not just the final shape.
+    "p20_scd2_dim" -> Q(
+      """WITH c AS (
+        |  SELECT user_id, event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS t, event_id
+        |  FROM events),
+        |o AS (
+        |  SELECT user_id, event_type, t, event_id,
+        |         lag(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY t, event_id) AS prev
+        |  FROM c),
+        |ch AS (
+        |  SELECT user_id, event_type, t, event_id FROM o
+        |  WHERE prev IS NULL OR prev != event_type),
+        |iv AS (
+        |  SELECT user_id, event_type, t AS valid_from,
+        |         lead(t) OVER (PARTITION BY user_id
+        |                       ORDER BY t, event_id) AS valid_to
+        |  FROM ch)
+        |SELECT user_id, event_type, valid_from, valid_to FROM iv
+        |WHERE valid_to IS NULL OR valid_to > valid_from
+        |ORDER BY user_id, valid_from, event_type""".stripMargin) { (s, d) =>
+      import graft.operators.Scd2
+      val keys = Seq("user_id")
+      val attrs = Seq("event_type")
+      val c = Tables.events(s, d).select(col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("t"), col("event_id").as("seq"))
+      val t0 = 1705708800L // same split as k05/st03
+      val dim0 = Scd2.applyChanges(Scd2.emptyDim(c, keys, attrs, "t"),
+        c.filter(col("t") < t0), keys, attrs, "t", "seq")
+      Scd2.applyChanges(dim0, c.filter(col("t") >= t0),
+          keys, attrs, "t", "seq")
+        .orderBy("user_id", "valid_from", "event_type")
+    },
+
     // W1 latest snapshot per 4-part key ([C6C]:57-64, id form [C6A]:126).
     "p06_latest" -> Q(
       ctes +

@@ -270,6 +270,43 @@ class OperatorsSpec extends SparkSpec {
       RangeJoin.pointInInterval(pts, iv, "pt", "lo", "hi", 0L)
   }
 
+  test("scd2: incremental batches equal the one-shot fold, intervals tile") {
+    import graft.operators.Scd2
+    // deterministic pseudo-random change log: 8 keys, 60 changes
+    val changes = spark.range(0, 60).select(
+      (col("id") * 37 % 8).as("k"),
+      concat(lit("v"), col("id") * 53 % 4).as("attr"),
+      (col("id") * 17 % 40).as("t"),
+      col("id").as("seq"))
+    val keys = Seq("k"); val attrs = Seq("attr")
+    val oneShot = Scd2.applyChanges(
+      Scd2.emptyDim(changes, keys, attrs, "t"),
+      changes, keys, attrs, "t", "seq").cache()
+    // time-ordered 3-way split must converge to the same dimension
+    val d1 = Scd2.applyChanges(Scd2.emptyDim(changes, keys, attrs, "t"),
+      changes.filter(col("t") < 15), keys, attrs, "t", "seq")
+    val d2 = Scd2.applyChanges(d1, changes.filter(col("t").between(15, 29)),
+      keys, attrs, "t", "seq")
+    val d3 = Scd2.applyChanges(d2, changes.filter(col("t") >= 30),
+      keys, attrs, "t", "seq")
+    d3.exceptAll(oneShot).count() shouldBe 0L
+    oneShot.exceptAll(d3).count() shouldBe 0L
+    // exactly one open row per key present in the log
+    oneShot.filter(col("valid_to").isNull).count() shouldBe
+      changes.select("k").distinct().count()
+    // intervals tile: each key's valid_to equals the next valid_from
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("k").orderBy("valid_from")
+    oneShot.withColumn("nxt", lead(col("valid_from"), 1).over(w))
+      .filter(col("nxt").isNotNull && col("valid_to") =!= col("nxt"))
+      .count() shouldBe 0L
+    // consecutive intervals always change the attribute
+    oneShot.withColumn("nxta", lead(col("attr"), 1).over(w))
+      .filter(col("nxta").isNotNull && col("nxta") === col("attr"))
+      .count() shouldBe 0L
+    oneShot.unpersist()
+  }
+
   test("expectations: split partitions rows, quarantine names the rules") {
     import graft.operators.Expectations
     import graft.operators.Expectations.Rule
