@@ -564,6 +564,71 @@ object StreamingQueries {
       s.read.parquet(s"$root/out")
         .filter(col("user_id") >= 0) // the sentinels are not data
         .orderBy("view_id", "purchase_id")
+    },
+
+    // streaming data-quality gate (the managed-pipeline expectations
+    // idiom at the ingest front door): every micro-batch splits into a
+    // clean sink and a quarantine sink carrying failed-rule
+    // attribution — ST8-style multi-writer fan-out, idempotent via
+    // batchId-keyed overwrite dirs (crash-retry rewrites, never
+    // duplicates). The oracle recomputes both sides from the raw
+    // table, so the gate proves the stream loses, duplicates and
+    // misroutes nothing.
+    "st14_stream_expectations" -> Q(
+      """WITH flags AS (
+        |  SELECT event_type, value,
+        |         (event_type != 'error') AS r1,
+        |         (json_extract_string(props, '$.k') IS NOT NULL) AS r2,
+        |         (value < 900) AS r3
+        |  FROM events)
+        |SELECT phase, grp, n, total FROM (
+        |  SELECT 'clean' AS phase, event_type AS grp, count(*) AS n,
+        |         round(sum(value), 2) AS total
+        |  FROM flags WHERE r1 AND r2 AND r3 GROUP BY 2
+        |  UNION ALL
+        |  SELECT 'quarantine',
+        |         concat_ws(',', CASE WHEN NOT r1 THEN 'not_error' END,
+        |                        CASE WHEN NOT r2 THEN 'props_has_k' END,
+        |                        CASE WHEN NOT r3 THEN 'value_small' END),
+        |         count(*), CAST(NULL AS DOUBLE)
+        |  FROM flags WHERE NOT (r1 AND r2 AND r3) GROUP BY 2)
+        |ORDER BY phase, grp""".stripMargin) { (s, d) =>
+      import graft.operators.Expectations
+      import graft.operators.Expectations.Rule
+      val root = freshDir(s"st14-${d.replaceAll("[^0-9a-zA-Z.]", "_")}")
+      Topic.publishEvents(Tables.events(s, d), s"$root/topic", nFiles = 4)
+      val rules = Seq(
+        Rule("not_error", col("event_type") =!= "error"),
+        Rule("props_has_k", get_json_object(col("props"), "$.k").isNotNull),
+        Rule("value_small", col("value") < 900))
+      withShufflePartitions(s, 8) {
+        val src = Topic.decodeEvents(
+          Topic.readStream(s, s"$root/topic", maxFilesPerTrigger = 2))
+        val q = src.writeStream
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+            val (clean, quar) = Expectations.split(batch, rules)
+            clean.write.mode("overwrite")
+              .parquet(s"$root/clean/batch=$id")
+            quar.withColumn("failed", array_join(col("failed_rules"), ","))
+              .drop("failed_rules")
+              .write.mode("overwrite")
+              .parquet(s"$root/quarantine/batch=$id")
+          }
+          .start()
+        q.awaitTermination()
+      }
+      val clean = s.read.parquet(s"$root/clean")
+        .groupBy(col("event_type").as("grp"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .select(lit("clean").as("phase"), col("grp"), col("n"), col("total"))
+      val quar = s.read.parquet(s"$root/quarantine")
+        .groupBy(col("failed").as("grp"))
+        .agg(count(lit(1)).as("n"))
+        .select(lit("quarantine").as("phase"), col("grp"), col("n"),
+          lit(null).cast("double").as("total"))
+      clean.unionByName(quar).orderBy("phase", "grp")
     }
   )
 }
