@@ -202,6 +202,20 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("p19 cascade reuses the cached hour partials for coarser grains") {
+    val plan = formattedPlan("p19_rollup_cascade")
+    // the day and month branches must read the hour partials from
+    // cache, not re-derive them from gold: >= 2 cache scans, and only
+    // ONE events parquet scan inside the cached subtree
+    "InMemoryTableScan".r.findAllIn(plan).size should be >= 2
+  }
+
+  test("q58 cube expands grouping sets once, no join anywhere") {
+    val plan = formattedPlan("q58_cube")
+    "(?m)^\\(\\d+\\) Expand".r.findAllIn(plan).size shouldBe 1
+    plan should not include "Join"
+  }
+
   test("flagship entry returns rows") {
     SparkEntry.entry(spark).count() should be > 0L
   }
