@@ -174,6 +174,83 @@ object ScaleProbe {
   }
 }
 
+/** 10x scale probe for the EVENTS (medallion/analytics) family — the
+  * dedup/ANN probe's sibling for the telemetry side of the engine.
+  * Copies keep the SAME user population (ids offset only on event_id,
+  * timestamps shifted by `copy` seconds), so per-key density grows
+  * with the corpus: every per-user window (SCD2 change folding,
+  * cohort distinct counts, funnel step joins) and every rollup group
+  * sees 10x the rows — the adversarial direction for the window and
+  * aggregation plans.
+  *
+  * Run: `SPARK_GRAFT_SCALE_COPIES=10 sbt "runMain graft.EventScaleProbe"`;
+  * record in BASELINE.md §4.
+  */
+object EventScaleProbe {
+
+  private val Subset = Seq(
+    "p19_rollup_cascade", // one-scan cascade: groups grow, scan 10x
+    "p20_scd2_dim",       // per-user change-fold window at 10x density
+    "q52_funnel",         // step aggregates + key joins
+    "q58_cube",           // grouping-set expansion
+    "q60_cohort_retention", // distinct actives per (cohort, offset)
+    "p06_latest")         // argmax latest-per-key
+
+  private val IdStride = 100000000L
+
+  private def synthesize(spark: SparkSession, src: String, dir: String,
+      copies: Int): Unit = {
+    if (new java.io.File(s"$dir/_READY").exists()) return
+    val ev = sources.Tables.events(spark, src)
+    (0 until copies).map { k =>
+      if (k == 0) ev
+      else ev.select(
+        (col("event_id") + lit(k * IdStride)).as("event_id"),
+        (col("ts") + expr(s"INTERVAL $k SECONDS")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    new java.io.File(s"$dir/_READY").createNewFile()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.register(spark)
+
+    val dir = s"/tmp/graft-evscale$copies"
+    synthesize(spark, src, dir, copies)
+
+    val wev = sources.Tables.events(spark, src)
+    wev.join(wev.select("event_id"), "event_id").agg(count(lit(1))).collect()
+
+    def runSet(d: String): Seq[(String, Double, Long)] = Subset.map { n =>
+      val t0 = System.nanoTime()
+      val rows = SparkEntry.queries(n)(spark, d).count()
+      (n, (System.nanoTime() - t0) / 1e9, rows)
+    }
+    val base = runSet(src)
+    val scaled = runSet(dir)
+
+    def js(rs: Seq[(String, Double, Long)]): String =
+      rs.map { case (n, t, r) =>
+        f"""\"$n\":{\"sec\":$t%.3f,\"rows\":$r}"""
+      }.mkString("{", ",", "}")
+    println(s"""{"metric":"event_scale_probe","copies":$copies,""" +
+      s""""base":${js(base)},"scaled":${js(scaled)},"sf":"$src"}""")
+    spark.stop()
+  }
+}
+
 /** Content-skew probe for the gram/shingle dedup shuffles (VERDICT r6
   * task 4): every document gets the SAME dominant token run prepended,
   * so one shingle appears in every doc and the d12 gram table repeats
