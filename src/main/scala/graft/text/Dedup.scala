@@ -250,12 +250,17 @@ object Dedup {
       s"signature length k=$k must divide into bands=$bands evenly")
     val rows = k / bands
     val newSigs = minhashSignatures(newDocs, idCol, textCol, k, n).persist()
+    // the index side feeds three consumers (bucket explode + both
+    // sides of the verify join): persist it, or a caller passing a
+    // COMPUTED frame (rather than a stored table scan) pays the
+    // signature aggregation three times over
+    val idx = indexSigs.persist()
     // cap on index+delta occupancy TOGETHER (one window shuffle on
     // bucket — the same exchange the index-side cap already paid), so
     // the within-batch self-join is bounded by the same policy as the
     // batch pipeline and the cap engages at accumulated corpus size
     val allBuckets = graft.functions.Buckets.cap(
-      indexSigs.select(col("id"),
+      idx.select(col("id"),
           explode(lshBuckets(col("sig"), bands, rows)).as("bucket"))
         .withColumn("side", lit("i"))
         .unionByName(newSigs.select(col("id"),
@@ -275,7 +280,7 @@ object Dedup {
       .filter(col("a") < col("b"))
       .select("a", "b")
     val cand = cross.unionByName(within).distinct()
-    val sigs = indexSigs.unionByName(newSigs)
+    val sigs = idx.unionByName(newSigs)
     cand
       .join(sigs.select(col("id").as("a"), col("sig").as("siga")), "a")
       .join(sigs.select(col("id").as("b"), col("sig").as("sigb")), "b")
