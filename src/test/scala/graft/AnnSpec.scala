@@ -247,4 +247,24 @@ class AnnSpec extends SparkSpec {
     df.collect().sortBy(r => (r.getLong(0), r.getInt(1))) shouldBe
       viaWindow.collect().sortBy(r => (r.getLong(0), r.getInt(1)))
   }
+
+  test("every ANN search path plans heap ranking, zero Window operators") {
+    val queries = emb.filter($"vec_id" % 25 === 0)
+    val paths = Seq(
+      "lsh" -> Ann.lshTopK(queries, emb, k = 3),
+      "ivf" -> Ann.ivfTopK(queries, emb, k = 3),
+      "ivfpq" -> Ann.ivfPqTopK(queries, emb, k = 3))
+    for ((name, df) <- paths) {
+      val plan = df.queryExecution.executedPlan.toString
+      withClue(s"$name: ") {
+        // probe selection AND final ranking are both bounded heaps —
+        // no per-query SORTED ranking window anywhere in the plan
+        // (lsh keeps Buckets.cap's sortless count-over-bucket window,
+        // which ships no per-query candidate sets)
+        plan should not include "row_number"
+        plan should include ("partial_topk")
+      }
+      df.count() should be > 0L
+    }
+  }
 }
