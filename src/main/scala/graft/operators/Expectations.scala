@@ -33,6 +33,11 @@ object Expectations {
     require(rules.nonEmpty, "Expectations.check: no rules given")
     require(rules.map(_.name).distinct.size == rules.size,
       "Expectations.check: duplicate rule names")
+    // "ok" would collide with the conjunction flag column and "_all"
+    // with summary's synthetic conjunction row — a rule named either
+    // silently corrupts the split/summary outputs
+    require(rules.forall(r => r.name != "ok" && r.name != "_all"),
+      "Expectations.check: rule names 'ok' and '_all' are reserved")
     val flagged = rules.foldLeft(df) { (acc, r) =>
       acc.withColumn(s"$FlagPrefix${r.name}",
         coalesce(r.pass.cast("boolean"), lit(false)))

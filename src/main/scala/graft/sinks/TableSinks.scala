@@ -223,9 +223,12 @@ object TableSinks {
       val bounds = df.stat.approxQuantile(c, probs, 0.001)
       // bucket = number of boundaries below the value (a flat sum of
       // comparisons — codegen-friendly, no when-chain depth)
+      // fold from a lit(0L) seed: an empty or all-null column yields
+      // zero approxQuantile boundaries, and the bucket must degrade to
+      // a constant 0, not crash an empty reduce
       val bucket = bounds.distinct.map(b =>
         when(col(c).cast("double") > lit(b), 1L).otherwise(0L))
-        .reduce(_ + _)
+        .foldLeft(lit(0L))(_ + _)
       // spread this column's bucket bits to positions ci, ci+ncols, ...
       (0 until bitsPerCol).map(i =>
         shiftleft(shiftright(bucket, i).bitwiseAND(lit(1L)),

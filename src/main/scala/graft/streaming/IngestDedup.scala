@@ -87,9 +87,12 @@ object IngestDedup {
         sp.read.parquet(s"$root/index")
           .filter(col("batch") < batchId).select("id", "sig")
       else sp.createDataFrame(new java.util.ArrayList[Row](), sigSchema)
-    Dedup.incrementalLshPairs(index, batch,
-        k = k, bands = bands, minEst = minEst)
-      .write.mode("overwrite").parquet(s"$root/pairs/batch=$batchId")
+    // managed variant: one call per micro-batch would otherwise
+    // accumulate three persisted frames per batch until LRU eviction
+    val (pairs, release) = Dedup.incrementalLshPairsManaged(index, batch,
+      k = k, bands = bands, minEst = minEst)
+    try pairs.write.mode("overwrite").parquet(s"$root/pairs/batch=$batchId")
+    finally release()
     Dedup.minhashSignatures(batch, "doc_id", "text", k, 3)
       .write.mode("overwrite").parquet(s"$root/index/batch=$batchId")
   }

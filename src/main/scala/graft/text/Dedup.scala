@@ -237,6 +237,15 @@ object Dedup {
     * equal exactly when every bucket stays under the cap for the whole
     * run (the sub-cap regime the batching-invariance tests pin).
     *
+    * CACHING SIDE EFFECT: the index signatures (including the
+    * caller-passed `indexSigs`), the delta signatures and the capped
+    * bucket table are `persist()`ed — each feeds 2–3 consumers of the
+    * returned plan. The caches live until session LRU eviction; a
+    * caller invoking this repeatedly (one call per micro-batch, say)
+    * should use [[incrementalLshPairsManaged]] and release after
+    * materializing the result, as [[graft.streaming.IngestDedup]]
+    * does.
+    *
     * @param indexSigs stored signature table `(id, sig array<string>)`
     *                  as produced by [[minhashSignatures]]
     * @return (a, b, est_jaccard) with a < b, at least one side new
@@ -245,7 +254,19 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text", k: Int = 12,
       bands: Int = 4, minEst: Double = 0.5, n: Int = 3,
       maxBucketSize: Int = graft.functions.Buckets.DefaultMaxBucketSize)
-      : DataFrame = {
+      : DataFrame =
+    incrementalLshPairsManaged(indexSigs, newDocs, idCol, textCol, k,
+      bands, minEst, n, maxBucketSize)._1
+
+  /** [[incrementalLshPairs]] plus a release handle that unpersists the
+    * three intermediate caches. Call it strictly AFTER materializing
+    * the returned frame (releasing first would recompute the shared
+    * subtrees once per consumer); safe to call more than once. */
+  def incrementalLshPairsManaged(indexSigs: DataFrame, newDocs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text", k: Int = 12,
+      bands: Int = 4, minEst: Double = 0.5, n: Int = 3,
+      maxBucketSize: Int = graft.functions.Buckets.DefaultMaxBucketSize)
+      : (DataFrame, () => Unit) = {
     require(k % bands == 0,
       s"signature length k=$k must divide into bands=$bands evenly")
     val rows = k / bands
@@ -281,13 +302,20 @@ object Dedup {
       .select("a", "b")
     val cand = cross.unionByName(within).distinct()
     val sigs = idx.unionByName(newSigs)
-    cand
+    val result = cand
       .join(sigs.select(col("id").as("a"), col("sig").as("siga")), "a")
       .join(sigs.select(col("id").as("b"), col("sig").as("sigb")), "b")
       .select(col("a"), col("b"),
         round(size(filter(zip_with(col("siga"), col("sigb"),
           (x, y) => x === y), p => p)) / lit(k.toDouble), 4).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEst)
+    val release = () => {
+      newSigs.unpersist()
+      idx.unpersist()
+      allBuckets.unpersist()
+      ()
+    }
+    (result, release)
   }
 
   // ----------------------------------------------- substring span dedup
