@@ -247,20 +247,24 @@ object TextQueries {
 
     // deterministic corpus shuffle: global order by md5(doc_id) —
     // reproducible across runs/engines/partitionings, which a training
-    // data-loader needs for resumable epochs. Spark executes the rank
-    // as a range-partitioned global sort (sampled bounds, no single
-    // reducer), so the shuffle order scales horizontally.
+    // data-loader needs for resumable epochs. The rank is
+    // graft.operators.RangeRank, NOT a no-partition row_number window:
+    // that window plans `Exchange SinglePartition` (WindowExec demands
+    // AllTuples) and an epoch shuffle runs over the ENTIRE corpus by
+    // definition — every row through one task. RangeRank ranks on the
+    // plan a global sort actually uses: range-partitioned exchange +
+    // partition-local sort + cumulative partition offsets
+    // (RangeRankSpec pins both the equivalence and the plan shape).
     "t08_corpus_shuffle" -> Q(
       """SELECT doc_id,
         |       row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)),
         |                          doc_id) AS shuffle_pos
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      Tables.documents(s, d)
-        .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
-        .withColumn("shuffle_pos",
-          row_number().over(Window.orderBy(col("h"), col("doc_id"))))
-        .select("doc_id", "shuffle_pos")
+      graft.operators.RangeRank.withGlobalRank(
+          Tables.documents(s, d)
+            .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h")),
+          Seq(col("h"), col("doc_id")), "shuffle_pos")
+        .select(col("doc_id"), col("shuffle_pos").cast("int").as("shuffle_pos"))
         .orderBy("doc_id")
     },
 
@@ -598,14 +602,12 @@ object TextQueries {
 
     // BM25 ranked retrieval (k1=1.2, b=0.75) — real Robertson IDF
     // scoring where t09 is the integer-only surrogate: top-5 docs per
-    // query from the Searches set. Cross-engine determinism: each
-    // (doc, term) contribution is one fixed dag of IEEE ops (identical
-    // parse both sides), rounded to 6 dp and summed as DECIMAL(18,6) —
-    // exact and order-independent, so float addition order can never
-    // flip a rank between engines; ranks then tie-break on doc_id.
-    // Shape: dl/tf are corpus-scan hash aggs; qt/df/stats stay
-    // broadcast-sized (term-count rows), so the whole plan is one scan
-    // + bounded-dimension joins at any corpus size.
+    // query from the Searches set, via graft.text.Bm25 — hash-agg
+    // scoring, broadcast-sized dimensions, and the per-query rank as a
+    // TopKAgg bounded heap instead of a row_number window (a hot query
+    // term makes the candidate set corpus-sized; the heap ships <= k
+    // rows per query per task — PlanSpec asserts no ranking window,
+    // SkewProbe measures the hot-term corpus).
     "t23_bm25" -> Q(
       s"""WITH qt AS (SELECT * FROM (VALUES ${Searches.flatMap {
             case (q, ts) => ts.map(t => s"('$q','$t')")
@@ -640,37 +642,7 @@ object TextQueries {
          |SELECT query, rank, doc_id, round(CAST(s AS DOUBLE), 4) AS bm25
          |FROM r WHERE rank <= 5
          |ORDER BY query, rank""".stripMargin) { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val dl = docs.select(col("doc_id"),
-        TextFns.tokenCount(col("text")).as("dl"))
-      val stats = dl.agg(count(lit(1)).as("n"),
-        (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
-      val qt = s.createDataFrame(Searches.flatMap {
-        case (q, ts) => ts.map(t => (q, t))
-      }).toDF("query", "term")
-      val allTerms = Searches.flatMap(_._2).distinct
-      val tf = docs
-        .select(col("doc_id"), explode(TextFns.words(col("text"))).as("term"))
-        .filter(col("term").isin(allTerms: _*))
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      val contrib = tf
-        .join(broadcast(qt), "term")
-        .join(broadcast(dfreq), "term")
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(stats))
-        .withColumn("contrib", round(
-          log(lit(1) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-            * (col("tf") * lit(2.2))
-            / (col("tf") + lit(1.2) *
-              (lit(1) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl"))),
-          6).cast("decimal(18,6)"))
-      val agg = contrib.groupBy("query", "doc_id").agg(sum("contrib").as("s"))
-      val w = Window.partitionBy("query").orderBy(col("s").desc, col("doc_id"))
-      agg.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 5)
-        .select(col("query"), col("rank"), col("doc_id"),
-          round(col("s").cast("double"), 4).as("bm25"))
+      graft.text.Bm25.topDocs(Tables.documents(s, d), Searches, k = 5)
         .orderBy("query", "rank")
     },
 

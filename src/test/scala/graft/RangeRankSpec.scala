@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.RangeRank
+
+/** RangeRank: the distributed replacement for a no-partition
+  * `row_number` window. Pins (a) exact equivalence with the window it
+  * replaces, (b) the plan shape — range-partitioned exchange, never
+  * `Exchange SinglePartition` — for the operator and for the
+  * t08_corpus_shuffle query built on it.
+  */
+class RangeRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$SfDir/documents.parquet")
+
+  test("global rank equals the row_number window it replaces") {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = docs.select($"doc_id", md5($"doc_id".cast("string")).as("h"))
+    val viaWindow = keyed
+      .withColumn("r", row_number().over(Window.orderBy($"h", $"doc_id"))
+        .cast("long"))
+      .select("doc_id", "r")
+    val viaRank = RangeRank.withGlobalRank(
+        keyed, Seq($"h", $"doc_id"), "r")
+      .select("doc_id", "r")
+    viaRank.collect().sortBy(_.getLong(0)) shouldBe
+      viaWindow.collect().sortBy(_.getLong(0))
+  }
+
+  test("ranks are a contiguous 1..N permutation across partition bounds") {
+    val n = docs.count()
+    val ranks = RangeRank.withGlobalRank(docs, Seq($"doc_id"), "r",
+        numPartitions = 7) // deliberately != shuffle.partitions
+      .select("r").as[Long].collect().sorted
+    ranks shouldBe (1L to n).toArray
+  }
+
+  test("the sorted substrate plans a range exchange, never SinglePartition") {
+    val plan = RangeRank.rangeSorted(docs, Seq($"doc_id"), 8)
+      .queryExecution.executedPlan.toString
+    plan.toLowerCase should include ("rangepartitioning")
+    plan should not include "SinglePartition"
+  }
+
+  test("t08_corpus_shuffle plans no window and no single-partition exchange") {
+    val df = SparkEntry.queries("t08_corpus_shuffle")(spark, SfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    plan should not include "Window"
+    plan should not include "SinglePartition"
+    df.count() shouldBe docs.count()
+  }
+}
