@@ -8,7 +8,8 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Ascending, BoundReference,
-  Expression, InterpretedOrdering, SortOrder, UnsafeProjection, UnsafeRow}
+  Descending, Expression, InterpretedOrdering, SortOrder, UnsafeProjection,
+  UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftshim.Shim
@@ -18,7 +19,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType,
 /** Bounded top-k aggregate: keeps the k LARGEST input structs (by the
   * struct's natural field-by-field ascending ordering — encode a
   * descending field by negating it at the call site) and evaluates to
-  * an array of them, sorted descending.
+  * an array of them, sorted descending. Equivalently: the first k rows
+  * under `ORDER BY f1 DESC, f2 DESC, ...`. A non-negatable tiebreak
+  * field (a string term, a date) that must rank ASCENDING is flipped
+  * with `asc` instead: `asc(i) = true` makes the output order for
+  * field i `ASC` — `topK(struct(score, term), 5, asc = Seq(false,
+  * true))` is `ORDER BY score DESC, term ASC LIMIT 5` per group.
   *
   * This is the scale-path replacement for top-k-per-key via
   * `row_number` windows: a window must shuffle and sort EVERY row of
@@ -33,7 +39,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType,
   */
 case class TopKAgg(child: Expression, kExpr: Expression,
     override val mutableAggBufferOffset: Int = 0,
-    override val inputAggBufferOffset: Int = 0)
+    override val inputAggBufferOffset: Int = 0,
+    asc: Seq[Boolean] = Nil)
   extends TypedImperativeAggregate[mutable.PriorityQueue[UnsafeRow]] {
 
   private lazy val structType = child.dataType.asInstanceOf[StructType]
@@ -41,8 +48,11 @@ case class TopKAgg(child: Expression, kExpr: Expression,
   // Reject misuse at analysis time: a non-struct input (or non-literal
   // k) would otherwise surface as a ClassCastException mid-execution.
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case _: StructType =>
-      kExpr.dataType match {
+    case st: StructType =>
+      if (asc.nonEmpty && asc.size != st.size)
+        TypeCheckResult.TypeCheckFailure(
+          s"topk asc flags (${asc.size}) must match struct arity (${st.size})")
+      else kExpr.dataType match {
         case IntegerType | LongType if kExpr.foldable =>
           TypeCheckResult.TypeCheckSuccess
         case _ => TypeCheckResult.TypeCheckFailure(
@@ -61,11 +71,14 @@ case class TopKAgg(child: Expression, kExpr: Expression,
     v
   }
 
-  /** Natural ascending struct ordering, null-safe, field by field. */
+  /** Field-by-field struct ordering, null-safe. An `asc(i)` field is
+    * compared DESCENDING here, so "kept = largest, output = reverse"
+    * ranks it ascending in the result — the direction flip lives in
+    * one place. */
   private lazy val rowOrdering: Ordering[UnsafeRow] = {
     val base = new InterpretedOrdering(structType.fields.zipWithIndex.map {
       case (f, i) => SortOrder(BoundReference(i, f.dataType, f.nullable),
-        Ascending)
+        if (asc.nonEmpty && asc(i)) Descending else Ascending)
     }.toSeq)
     (a: UnsafeRow, b: UnsafeRow) => base.compare(a, b)
   }
@@ -153,5 +166,13 @@ object TopKAgg {
   def topK(packed: Column, k: Int): Column =
     Shim.column(TopKAgg(Shim.expression(packed),
       org.apache.spark.sql.catalyst.expressions.Literal(k))
+      .toAggregateExpression())
+
+  /** topK with per-field output direction: `asc(i) = true` ranks field
+    * i ascending — for tiebreak fields that cannot be negated (strings,
+    * dates). `ORDER BY f1 [asc(0)], f2 [asc(1)], ... LIMIT k`. */
+  def topK(packed: Column, k: Int, asc: Seq[Boolean]): Column =
+    Shim.column(TopKAgg(Shim.expression(packed),
+      org.apache.spark.sql.catalyst.expressions.Literal(k), asc = asc)
       .toAggregateExpression())
 }

@@ -572,8 +572,15 @@ object AnnQueries {
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       // MoreLikeThis term selection: the query doc's top-5 terms by
-      // tf x idf, decimal-rounded so both engines pick the same set
-      val tw = Window.partitionBy("q").orderBy(col("tscore").desc, col("term"))
+      // tf x idf, decimal-rounded so both engines pick the same set.
+      // Ranking here and below is the bounded-heap TopKAgg, never a
+      // row_number window: the candidate set of a query is the posting
+      // -list union of its terms — one hot term makes it corpus-sized,
+      // and a window would sort ALL of it in one partition per query;
+      // the heap ships <= k rows per query per map task (PlanSpec
+      // asserts the only remaining window is the labeled brute-force
+      // exact baseline on the dense leg).
+      import graft.functions.TopKAgg
       val qt = qt0
         .join(tf.select(col("doc_id").as("q"), col("term"),
           col("tf").as("qtf")), Seq("q", "term"))
@@ -582,9 +589,11 @@ object AnnQueries {
         .withColumn("tscore", round(
           col("qtf") * log((col("nd") + lit(1.0)) / col("df")),
           6).cast("decimal(18,6)"))
-        .withColumn("tr", row_number().over(tw))
-        .filter(col("tr") <= 5)
-        .select("q", "term")
+        .groupBy("q")
+        .agg(TopKAgg.topK(struct(col("tscore"), col("term")), 5,
+          asc = Seq(false, true)).as("top"))
+        .select(col("q"), explode(col("top")).as("t"))
+        .select(col("q"), col("t.term").as("term"))
       val contrib = tf
         .join(broadcast(qt), "term")
         .filter(col("doc_id") =!= col("q"))
@@ -599,17 +608,22 @@ object AnnQueries {
           6).cast("decimal(18,6)"))
       val lagg = contrib.groupBy(col("q"), col("doc_id").as("cand"))
         .agg(sum("contrib").as("sc"))
-      val lw = Window.partitionBy("q").orderBy(col("sc").desc, col("cand"))
-      val ltop = lagg.withColumn("lr", row_number().over(lw))
-        .filter(col("lr") <= 10).select("q", "cand", "lr")
+      val ltop = lagg.groupBy("q")
+        .agg(TopKAgg.topK(struct(col("sc"), col("cand")), 10,
+          asc = Seq(false, true)).as("top"))
+        .select(col("q"), posexplode(col("top")))
+        .select(col("q"), col("col.cand").as("cand"),
+          (col("pos") + 1).cast("int").as("lr"))
       val fused = dense.join(ltop, Seq("q", "cand"), "full")
         .withColumn("rrf",
           coalesce(lit(1.0) / (lit(60) + col("dr")), lit(0.0)) +
             coalesce(lit(1.0) / (lit(60) + col("lr")), lit(0.0)))
-      val rw = Window.partitionBy("q").orderBy(col("rrf").desc, col("cand"))
-      fused.withColumn("rank", row_number().over(rw))
-        .filter(col("rank") <= 5)
-        .select(col("q"), col("rank"), col("cand"), round(col("rrf"), 6).as("rrf"))
+      fused.groupBy("q")
+        .agg(TopKAgg.topK(struct(col("rrf"), col("cand")), 5,
+          asc = Seq(false, true)).as("top"))
+        .select(col("q"), posexplode(col("top")))
+        .select(col("q"), (col("pos") + 1).cast("int").as("rank"),
+          col("col.cand").as("cand"), round(col("col.rrf"), 6).as("rrf"))
         .orderBy("q", "rank")
     },
 

@@ -216,6 +216,28 @@ class PlanSpec extends SparkSpec {
     plan should not include "Join"
   }
 
+  test("t23 BM25 ranks via bounded heaps — zero windows in the plan") {
+    val df = SparkEntry.queries("t23_bm25")(spark, SfDir)
+    df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    } shouldBe empty
+    val plan = formattedPlan("t23_bm25")
+    plan should include ("partial_topk")
+  }
+
+  test("s10 hybrid RRF: the only window left is the labeled dense exact baseline") {
+    // term selection, the lexical top-10 and the fused top-5 are all
+    // TopKAgg heaps; the one remaining window is bruteForceTopK on the
+    // dense leg — the intentionally-quadratic exact baseline (its
+    // labeled status is pinned in Ann.scala; do not convert it)
+    val df = SparkEntry.queries("s10_hybrid_rrf")(spark, SfDir)
+    df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }.size shouldBe 1
+    val plan = formattedPlan("s10_hybrid_rrf")
+    plan should include ("partial_topk")
+  }
+
   test("flagship entry returns rows") {
     SparkEntry.entry(spark).count() should be > 0L
   }

@@ -72,4 +72,51 @@ class TopKAggSpec extends SparkSpec {
     an[org.apache.spark.sql.AnalysisException] should be thrownBy
       flat.groupBy("key").agg(TopKAgg.topK(col("v"), 2)).collect()
   }
+
+  test("asc flags rank a string tiebreak ascending, matching the window") {
+    import org.apache.spark.sql.expressions.Window
+    // ties on the score force the string tiebreak to decide —
+    // `ORDER BY v DESC, term ASC`, which negation cannot encode
+    val terms = Seq(
+      ("a", 2.0, "zeta"), ("a", 2.0, "alpha"), ("a", 2.0, "mid"),
+      ("a", 1.0, "beta"), ("b", 3.0, "bb"), ("b", 3.0, "aa"))
+      .toDF("key", "v", "term")
+    val w = Window.partitionBy("key").orderBy(col("v").desc, col("term"))
+    val expected = terms
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 2)
+      .select("key", "rk", "v", "term")
+      .as[(String, Int, Double, String)].collect().toSet
+    val got = terms.groupBy("key")
+      .agg(TopKAgg.topK(struct(col("v"), col("term")), 2,
+        asc = Seq(false, true)).as("top"))
+      .select(col("key"), posexplode(col("top")))
+      .select(col("key"), (col("pos") + 1).cast("int").as("rk"),
+        col("col.v").as("v"), col("col.term").as("term"))
+      .as[(String, Int, Double, String)].collect().toSet
+    got shouldBe expected
+  }
+
+  test("asc-flag heaps merge correctly across partials under ties") {
+    // many tied scores spread over many input partitions: the
+    // partial/final merge must keep the lexicographically SMALLEST
+    // terms, not whichever partial arrived first
+    val n = 500
+    val df = (1 to n).map(i => ("k", 1.0, f"t$i%04d")).toDF("key", "v", "term")
+      .repartition(13)
+    val got = df.groupBy("key")
+      .agg(TopKAgg.topK(struct(col("v"), col("term")), 3,
+        asc = Seq(false, true)).as("top"))
+      .select(explode(col("top")).as("e"))
+      .select(col("e.term")).as[String].collect().toSeq
+    got shouldBe Seq("t0001", "t0002", "t0003")
+  }
+
+  test("mismatched asc arity is rejected at analysis time") {
+    val df = Seq(("a", 1.0, 2L)).toDF("key", "v", "id")
+    an[org.apache.spark.sql.AnalysisException] should be thrownBy
+      df.groupBy("key")
+        .agg(TopKAgg.topK(struct(col("v"), col("id")), 2,
+          asc = Seq(true)).as("top"))
+        .collect()
+  }
 }
