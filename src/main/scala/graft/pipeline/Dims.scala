@@ -73,6 +73,27 @@ object Dims {
     a.union(b)
   }
 
+  /** The change log whose SCD2 fold reproduces [[deviceHistory]]
+    * exactly: each serial changes remote at IntervalStart (-> R<u>a)
+    * and again at IntervalSplit (-> R<u>b). p21 feeds this through
+    * [[graft.operators.Scd2.applyChanges]] in two time-ordered batches
+    * and resolves gold against the RESULT — the maintain-then-join
+    * topology the reference runs as two separate notebooks. */
+  def deviceHistoryChanges(spark: SparkSession): DataFrame = {
+    val u = spark.range(0, MappedUsers).select(col("id"))
+    val a = u.select(
+      concat(lit("SN"), col("id").cast("string")).as("serial"),
+      concat(lit("R"), col("id").cast("string"), lit("a")).as("remote_id"),
+      lit(IntervalStart).as("t"),
+      col("id").as("seq"))
+    val b = u.select(
+      concat(lit("SN"), col("id").cast("string")).as("serial"),
+      concat(lit("R"), col("id").cast("string"), lit("b")).as("remote_id"),
+      lit(IntervalSplit).as("t"),
+      col("id").as("seq"))
+    a.union(b)
+  }
+
   /** [[deviceHistory]] with deterministic duplicate ACTIVE rows
     * injected — every 10th serial repeats its open-interval row. The
     * corrupted input the dim-repair flow exists to fix (the reference

@@ -147,6 +147,41 @@ object PipelineQueries2 {
         .orderBy("element", "metric")
     },
 
+    // SCD2 -> as-of COMPOSITION (the reference's actual topology: the
+    // dim-maintenance notebook [SU]:77-96 feeds the gold resolution
+    // join [G4]:65 — p20 showed the maintain half, p02/p17 the join
+    // half against a STATIC dim; this chains them): the device-history
+    // dim is BUILT by Scd2.applyChanges from a change log, in two
+    // time-ordered batches, and gold resolves against the RESULT via
+    // the as-of carry-forward join. Must reproduce p02's interval-join
+    // gold bit-for-bit — same oracle, which therefore certifies the
+    // whole maintain-then-join chain end to end.
+    "p21_scd2_asof_gold" -> Q(
+      PipelineQueries.ctes +
+        """SELECT element, unix_timestamp, datestamp, metric,
+          |       CAST(value_double AS DOUBLE) AS value_double,
+          |       value_string, metric_id, provider_id, category_id,
+          |       remote_id, agg_type
+          |FROM gold ORDER BY element, metric""".stripMargin) { (s, d) =>
+      import graft.operators.Scd2
+      val keys = Seq("serial")
+      val attrs = Seq("remote_id")
+      val changes = Dims.deviceHistoryChanges(s)
+      val dim0 = Scd2.applyChanges(
+        Scd2.emptyDim(changes, keys, attrs, "t"),
+        changes.filter(col("t") < Dims.IntervalSplit),
+        keys, attrs, "t", "seq")
+      val dim = Scd2.applyChanges(dim0,
+        changes.filter(col("t") >= Dims.IntervalSplit),
+        keys, attrs, "t", "seq")
+      val history = dim.select(col("serial"), col("remote_id"),
+        col("valid_from").as("added_on"), col("valid_to").as("removed_on"))
+      Medallion.goldAsOf(Medallion.silver(Tables.events(s, d)),
+          Dims.metricMappings(s), history)
+        .withColumn("value_double", col("value_double").cast("double"))
+        .orderBy("element", "metric")
+    },
+
     // Dim-refresh repair flow (reference Set Up Delta Tables/...Slowly
     // changing Data.scala:84-96): detect duplicate ACTIVE device-history
     // groups, drop the affected serials via anti join (the reference's

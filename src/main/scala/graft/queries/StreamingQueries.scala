@@ -28,6 +28,38 @@ object StreamingQueries {
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** Publish `ev` to `topicDir` as `nSlices` ascending-TIME slices,
+    * one file each, mtimes forced strictly increasing — so the file
+    * source replays the topic as time-ordered micro-batches. The SCD2
+    * fold needs this: [[graft.operators.Scd2.applyChanges]] is
+    * incremental-equals-batch only for time-ordered splits of the
+    * change log (a Kafka topic partitioned by key gives the same
+    * per-key order for real). */
+  private def publishEventsTimeOrdered(
+      s: org.apache.spark.sql.SparkSession,
+      ev: org.apache.spark.sql.DataFrame, topicDir: String,
+      nSlices: Int): Unit = {
+    val span = ev.agg(
+      min(unix_timestamp(col("ts"))).as("lo"),
+      max(unix_timestamp(col("ts"))).as("hi")).head
+    val loS = span.getLong(0)
+    val step = math.max(1L, (span.getLong(1) - loS) / nSlices + 1)
+    val dir = new java.io.File(topicDir)
+    var mtime = System.currentTimeMillis()
+    for (k <- 0 until nSlices) {
+      val from = loS + k * step
+      val slice = ev.filter(unix_timestamp(col("ts")) >= from &&
+        unix_timestamp(col("ts")) < (from + step))
+      val before =
+        Option(dir.listFiles()).map(_.map(_.getName).toSet)
+          .getOrElse(Set.empty[String])
+      Topic.publishEvents(slice, topicDir, nFiles = 1, append = k > 0)
+      mtime += 60000L
+      dir.listFiles().filter(f => !before.contains(f.getName))
+        .foreach(_.setLastModified(mtime))
+    }
+  }
+
   private def freshDir(name: String): Path = {
     val p = Paths.get(s"/tmp/graft-stream/$name")
     if (Files.exists(p)) {
@@ -528,10 +560,21 @@ object StreamingQueries {
           (lit(maxTs) + expr("INTERVAL 120 DAYS")).as("ts"),
           lit(-2L).as("user_id"), lit("purchase").as("event_type"),
           lit(0.0).as("value"), lit("{}").as("props")))
-      // appended after the corpus: later modification time puts the
-      // sentinel file in the LAST micro-batch
+      // appended after the corpus, with the sentinel files' mtimes
+      // forced strictly past every corpus file: the file source orders
+      // micro-batches by modification time, and on a coarse-mtime
+      // filesystem a tie could land a real-data file in the
+      // post-sentinel batch, ~30 days below the advanced watermark —
+      // a nondeterministic late-drop. An explicit +1 min bump makes
+      // "sentinels last" a property, not a race.
+      val topicDir = new java.io.File(s"$root/topic")
+      val corpusFiles = topicDir.listFiles().map(_.getName).toSet
+      val corpusMaxMtime = topicDir.listFiles().map(_.lastModified).max
       Topic.publishEvents(sentinels, s"$root/topic", nFiles = 1,
         append = true)
+      topicDir.listFiles()
+        .filter(f => !corpusFiles.contains(f.getName))
+        .foreach(_.setLastModified(corpusMaxMtime + 60000L))
       withShufflePartitions(s, 8) {
         val src = Topic.decodeEvents(
           Topic.readStream(s, s"$root/topic", maxFilesPerTrigger = 4))
@@ -629,6 +672,28 @@ object StreamingQueries {
         .select(lit("quarantine").as("phase"), col("grp"), col("n"),
           lit(null).cast("double").as("total"))
       clean.unionByName(quar).orderBy("phase", "grp")
+    },
+
+    // STREAMING SCD2 dimension maintenance: the change log arrives as
+    // time-ordered micro-batches and each batch folds into a
+    // KeyedUpsert-versioned dim MERGEd on (user_id, valid_from) —
+    // O(delta) per batch (only the batch keys' OPEN rows join the
+    // fold; closed history is never rescanned), idempotent under
+    // batch replay (StreamingSpec pins it). The oracle is p20's
+    // one-shot whole-log derivation, so the gate certifies
+    // streamed-incremental == batch at four-way granularity — the
+    // streaming generalization of the reference's repeated
+    // dim-maintenance notebook runs ([SU]:77-96).
+    "st15_stream_scd2" -> Q(
+      PipelineQueries.all("p20_scd2_dim").oracle.get) { (s, d) =>
+      val root = freshDir(s"st15-${d.replaceAll("[^0-9a-zA-Z.]", "_")}")
+      publishEventsTimeOrdered(s, Tables.events(s, d), s"$root/topic",
+        nSlices = 4)
+      withShufflePartitions(s, 8) {
+        graft.streaming.StreamingScd2.runEventsDim(s, s"$root/topic",
+            s"$root/dim", s"$root/ckpt", maxFilesPerTrigger = 1)
+          .orderBy("user_id", "valid_from", "event_type")
+      }
     }
   )
 }

@@ -164,4 +164,37 @@ class StreamingSpec extends SparkSpec {
     spark.table("ss_out").select("id", "l", "r").as[(Long, String, String)]
       .collect().toSeq shouldBe Seq((1L, "a", "x"))
   }
+
+  test("streaming SCD2 fold is idempotent under batch replay") {
+    import graft.streaming.StreamingScd2
+    val dir = Files.createTempDirectory("scd2fold").toString
+    val keys = Seq("user_id"); val attrs = Seq("event_type")
+    def fold(rows: Seq[(Long, String, Long, Long)]): Unit =
+      StreamingScd2.foldBatch(
+        rows.toDF("user_id", "event_type", "t", "seq"),
+        dir, keys, attrs, "t", "seq")
+    def dim(): Seq[(Long, String, Long, Option[Long])] =
+      KeyedUpsert.read(spark, dir)
+        .select("user_id", "event_type", "valid_from", "valid_to")
+        .as[(Long, String, Long, Option[Long])]
+        .collect().toSeq.sortBy(r => (r._1, r._3))
+
+    val batch1 = Seq((1L, "a", 10L, 1L), (1L, "b", 20L, 2L),
+      (2L, "x", 15L, 3L))
+    fold(batch1)
+    val after1 = dim()
+    after1 shouldBe Seq((1L, "a", 10L, Some(20L)), (1L, "b", 20L, None),
+      (2L, "x", 15L, None))
+    // crash-retry replay of an already-committed batch: byte-identical
+    fold(batch1)
+    dim() shouldBe after1
+    // a later batch still folds (closes 1's open row, 2 untouched)
+    fold(Seq((1L, "c", 30L, 4L)))
+    val after2 = dim()
+    after2 shouldBe Seq((1L, "a", 10L, Some(20L)), (1L, "b", 20L, Some(30L)),
+      (1L, "c", 30L, None), (2L, "x", 15L, None))
+    // and replaying THAT batch is also a no-op
+    fold(Seq((1L, "c", 30L, 4L)))
+    dim() shouldBe after2
+  }
 }
