@@ -160,16 +160,16 @@ object ScaleProbe {
       (n, (System.nanoTime() - t0) / 1e9, rows)
     }
 
-    def js(rs: Seq[(String, Double, Long)]): String =
-      rs.map { case (n, t, r) =>
-        f"""\"$n\":{\"sec\":$t%.3f,\"rows\":$r}"""
-      }.mkString("{", ",", "}")
+    import ProbeLog.js
     val dropJs = drops.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"scale_probe","copies":$copies,""" +
+    val line = s"""{"metric":"scale_probe","copies":$copies,""" +
       s""""base":${js(base)},"scaled":${js(scaled)},""" +
+      s""""ratios":${ProbeLog.ratios(base, scaled)},""" +
       s""""scaled_sized":${js(sized)},"planes_sized":$planes,""" +
-      s""""scaled_drops":$dropJs,"sf":"$src"}""")
+      s""""scaled_drops":$dropJs,"sf":"$src"}"""
+    println(line)
+    ProbeLog.record("scale_probe", line)
     spark.stop()
   }
 }
@@ -198,7 +198,9 @@ object EventScaleProbe {
 
   private val IdStride = 100000000L
 
-  private def synthesize(spark: SparkSession, src: String, dir: String,
+  /** Shared with [[StreamScaleProbe]]: same 10x per-key-density events
+    * corpus, so batch and streaming verdicts are comparable. */
+  private[graft] def synthesize(spark: SparkSession, src: String, dir: String,
       copies: Int): Unit = {
     if (new java.io.File(s"$dir/_READY").exists()) return
     val ev = sources.Tables.events(spark, src)
@@ -241,12 +243,12 @@ object EventScaleProbe {
     val base = runSet(src)
     val scaled = runSet(dir)
 
-    def js(rs: Seq[(String, Double, Long)]): String =
-      rs.map { case (n, t, r) =>
-        f"""\"$n\":{\"sec\":$t%.3f,\"rows\":$r}"""
-      }.mkString("{", ",", "}")
-    println(s"""{"metric":"event_scale_probe","copies":$copies,""" +
-      s""""base":${js(base)},"scaled":${js(scaled)},"sf":"$src"}""")
+    import ProbeLog.js
+    val line = s"""{"metric":"event_scale_probe","copies":$copies,""" +
+      s""""base":${js(base)},"scaled":${js(scaled)},""" +
+      s""""ratios":${ProbeLog.ratios(base, scaled)},"sf":"$src"}"""
+    println(line)
+    ProbeLog.record("event_scale_probe", line)
     spark.stop()
   }
 }
@@ -325,15 +327,111 @@ object SkewProbe {
       val rows = SparkEntry.queries(n)(spark, d).count()
       (n, (System.nanoTime() - t0) / 1e9, rows)
     }
+    // BM25 with a HOT query term: "alpha" is in every document, so the
+    // hot query's candidate set is the whole corpus. The heap path
+    // (t23's production plan) ships <= 5 rows per query per task; the
+    // window contrast sorts every candidate of the hot query in ONE
+    // partition — the measured price of the pattern t23 abandoned.
+    val hotSearches = Seq(
+      "hot_term" -> Seq("alpha", "table", "merge"),
+      "query_shape" -> Seq("join", "filter", "window"))
+    def bm25Heap(d: String): Long =
+      text.Bm25.topDocs(sources.Tables.documents(spark, d),
+        hotSearches, k = 5).count()
+    def bm25Window(d: String): Long = {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("query")
+        .orderBy(col("s").desc, col("doc_id"))
+      text.Bm25.scores(sources.Tables.documents(spark, d), hotSearches)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+        .count()
+    }
+    val hot = Seq(
+      "t23_hot_heap_1" -> (() => bm25Heap(dir1)),
+      s"t23_hot_heap_$copies" -> (() => bm25Heap(dirN)),
+      s"t23_hot_window_contrast_$copies" -> (() => bm25Window(dirN))
+    ).map { case (n, f) =>
+      val t0 = System.nanoTime()
+      val rows = f()
+      (n, (System.nanoTime() - t0) / 1e9, rows)
+    }
+
     val skew1 = runSet(dir1)
     val skewN = runSet(dirN)
 
-    def js(rs: Seq[(String, Double, Long)]): String =
-      rs.map { case (n, t, r) =>
-        f"""\"$n\":{\"sec\":$t%.3f,\"rows\":$r}"""
-      }.mkString("{", ",", "}")
-    println(s"""{"metric":"skew_probe","copies":$copies,""" +
-      s""""skew1":${js(skew1)},"skew$copies":${js(skewN)},"sf":"$src"}""")
+    import ProbeLog.js
+    val line = s"""{"metric":"skew_probe","copies":$copies,""" +
+      s""""skew1":${js(skew1)},"skew$copies":${js(skewN)},""" +
+      s""""ratios":${ProbeLog.ratios(skew1, skewN)},""" +
+      s""""bm25_hot":${js(hot)},"sf":"$src"}"""
+    println(line)
+    ProbeLog.record("skew_probe", line)
+    spark.stop()
+  }
+}
+
+/** 10x scale probe for the STREAMING front doors that had plan-reading
+  * verdicts but no measurement: st12 (update-mode hour partials +
+  * keyed MERGE, coarser grains from the stored partials), st13
+  * (stream-stream LEFT OUTER with watermark null-padding) and st14
+  * (per-batch expectations split into clean/quarantine sinks). Runs
+  * each end-to-end — topic publish, micro-batch cycles, sink reads —
+  * on the 1x corpus and on [[EventScaleProbe]]'s 10x per-key-density
+  * corpus (same user population, so join fan-out and agg group density
+  * grow with the copies — the adversarial direction for join state and
+  * partial-agg width).
+  *
+  * Reading the verdicts: st12/st14 carry per-row work only — flat-ish
+  * time_ratio well under copies is the pass. st13's TRUE output grows
+  * ~copies^2 per user (every view matches every in-window purchase on
+  * both sides' copies), so its rows_ratio ~100 at 10x is join
+  * SEMANTICS, not a plan defect; the pass criterion is time tracking
+  * OUTPUT rows, not input rows.
+  *
+  * Run: `SPARK_GRAFT_SCALE_COPIES=10 sbt "runMain graft.StreamScaleProbe"`;
+  * verdict rows land in PROBES.json + BASELINE.md §4.
+  */
+object StreamScaleProbe {
+
+  private val Subset = Seq(
+    "st12_stream_rollup_cascade",
+    "st13_stream_left_outer",
+    "st14_stream_expectations")
+
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.register(spark)
+
+    val dir = s"/tmp/graft-evscale$copies"
+    EventScaleProbe.synthesize(spark, src, dir, copies)
+
+    val wev = sources.Tables.events(spark, src)
+    wev.join(wev.select("event_id"), "event_id").agg(count(lit(1))).collect()
+
+    def runSet(d: String): Seq[(String, Double, Long)] = Subset.map { n =>
+      val t0 = System.nanoTime()
+      val rows = SparkEntry.queries(n)(spark, d).count()
+      (n, (System.nanoTime() - t0) / 1e9, rows)
+    }
+    val base = runSet(src)
+    val scaled = runSet(dir)
+
+    import ProbeLog.js
+    val line = s"""{"metric":"stream_scale_probe","copies":$copies,""" +
+      s""""base":${js(base)},"scaled":${js(scaled)},""" +
+      s""""ratios":${ProbeLog.ratios(base, scaled)},"sf":"$src"}"""
+    println(line)
+    ProbeLog.record("stream_scale_probe", line)
     spark.stop()
   }
 }
