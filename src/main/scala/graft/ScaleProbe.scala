@@ -350,6 +350,7 @@ object SkewProbe {
     val hot = Seq(
       "t23_hot_heap_1" -> (() => bm25Heap(dir1)),
       s"t23_hot_heap_$copies" -> (() => bm25Heap(dirN)),
+      "t23_hot_window_contrast_1" -> (() => bm25Window(dir1)),
       s"t23_hot_window_contrast_$copies" -> (() => bm25Window(dirN))
     ).map { case (n, f) =>
       val t0 = System.nanoTime()
@@ -397,7 +398,10 @@ object StreamScaleProbe {
   private val Subset = Seq(
     "st12_stream_rollup_cascade",
     "st13_stream_left_outer",
-    "st14_stream_expectations")
+    "st14_stream_expectations",
+    // round-8 addition: streaming SCD2 — per-user change density grows
+    // 10x, the adversarial direction for the per-batch O(delta) fold
+    "st15_stream_scd2")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

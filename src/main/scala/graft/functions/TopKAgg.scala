@@ -74,12 +74,20 @@ case class TopKAgg(child: Expression, kExpr: Expression,
   /** Field-by-field struct ordering, null-safe. An `asc(i)` field is
     * compared DESCENDING here, so "kept = largest, output = reverse"
     * ranks it ascending in the result — the direction flip lives in
-    * one place. */
+    * one place. The comparator is CODEGEN'd (GenerateOrdering, with
+    * the interpreted ordering as the standard fallback): every heap
+    * insert on the scan side runs one compare, so an interpreted
+    * per-field loop was the measured bulk of the heap's per-row
+    * overhead in the round-8 hot-term probe. */
   private lazy val rowOrdering: Ordering[UnsafeRow] = {
-    val base = new InterpretedOrdering(structType.fields.zipWithIndex.map {
+    val orders = structType.fields.zipWithIndex.map {
       case (f, i) => SortOrder(BoundReference(i, f.dataType, f.nullable),
         if (asc.nonEmpty && asc(i)) Descending else Ascending)
-    }.toSeq)
+    }.toSeq
+    val base =
+      try org.apache.spark.sql.catalyst.expressions.codegen
+        .GenerateOrdering.generate(orders)
+      catch { case _: Throwable => new InterpretedOrdering(orders) }
     (a: UnsafeRow, b: UnsafeRow) => base.compare(a, b)
   }
 

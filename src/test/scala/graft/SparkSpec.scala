@@ -23,6 +23,9 @@ object SparkSpec {
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
+      // FAIR scheduling so the ST6 pool-isolation test exercises real
+      // concurrent pools (pool assignment is a no-op under FIFO)
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -165,6 +165,119 @@ class StreamingSpec extends SparkSpec {
       .collect().toSeq shouldBe Seq((1L, "a", "x"))
   }
 
+  test("two LIVE streams in separate fair-scheduler pools progress concurrently (ST6)") {
+    // the reference names/pools every continuous stream ([P1]:66) so
+    // one slow query cannot starve the others; the pools were set on
+    // every run path but never exercised with two simultaneously-live
+    // queries until now. FAIR mode is on in this suite's session.
+    val dir = tmp("pools")
+    val events = Tables.events(spark, SfDir).limit(200).cache()
+    events.count()
+    val poolsSeen = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val p = js.properties.getProperty("spark.scheduler.pool")
+        if (p != null && p.startsWith("graft-pool-")) poolsSeen.add(p)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def startLeg(name: String): org.apache.spark.sql.streaming.StreamingQuery = {
+      Topic.publishEvents(events, s"$dir/$name/topic", nFiles = 2)
+      // the stream's micro-batch thread inherits the starter thread's
+      // local properties — the ST6 isolation idiom under test
+      spark.sparkContext.setLocalProperty(
+        "spark.scheduler.pool", s"graft-pool-$name")
+      val q = Topic.decodeEvents(
+          Topic.readStream(spark, s"$dir/$name/topic", maxFilesPerTrigger = 1))
+        .writeStream.format("parquet")
+        .option("path", s"$dir/$name/out")
+        .option("checkpointLocation", s"$dir/$name/ckpt")
+        .trigger(Trigger.ProcessingTime("100 milliseconds"))
+        .start()
+      spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+      q
+    }
+    val qa = startLeg("a")
+    val qb = startLeg("b") // second query starts while the first is live
+    def outRows(name: String): Long =
+      try spark.read.parquet(s"$dir/$name/out").count()
+      catch { case _: Throwable => 0L }
+    try {
+      val t0 = System.currentTimeMillis()
+      while ((outRows("a") < events.count() || outRows("b") < events.count())
+          && System.currentTimeMillis() - t0 < 60000)
+        Thread.sleep(200)
+      qa.stop(); qb.stop()
+      qa.awaitTermination(); qb.awaitTermination()
+      outRows("a") shouldBe events.count()
+      outRows("b") shouldBe events.count()
+      // both pools actually ran jobs — isolation was real, not a no-op
+      import scala.jdk.CollectionConverters._
+      poolsSeen.asScala.toSet should contain allOf
+        ("graft-pool-a", "graft-pool-b")
+    } finally {
+      if (qa.isActive) qa.stop()
+      if (qb.isActive) qb.stop()
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+
+  test("partition purge during a checkpointed stream: retention and resume coexist (K10 x ST10)") {
+    // the reference purges datestamp partitions of LIVE tables on a
+    // schedule ([PURGE]:6-26) while the streaming writers keep
+    // appending; the sink layout must make that safe. The foreachBatch
+    // partitioned append writes plain datestamp=... dirs with NO
+    // _spark_metadata file-list (a format("parquet") STREAMING sink
+    // would pin deleted files in its log and break every later read) —
+    // so purge is directory removal the readers never notice, and the
+    // checkpoint resume neither re-writes purged data nor loses new.
+    val dir = tmp("purge")
+    val events = Tables.events(spark, SfDir).limit(300).cache()
+    // time-split slices: purge drops OLD datestamps, later arrivals
+    // carry strictly NEWER ones (the production shape — a purged
+    // partition does not come back)
+    val withDs = events.withColumn("datestamp",
+      date_format($"ts", "yyyy-MM-dd")).cache()
+    val dsSorted = withDs.select("datestamp").distinct()
+      .as[String].collect().sorted
+    dsSorted.length should be >= 3
+    val mid = dsSorted(dsSorted.length / 2)
+    val slices = Seq(
+      withDs.filter($"datestamp" <= mid).drop("datestamp").cache(),
+      withDs.filter($"datestamp" > mid).drop("datestamp").cache())
+    slices.foreach(_.count())
+    def runBounded(): Unit = {
+      val q = Topic.decodeEvents(
+          Topic.readStream(spark, s"$dir/topic", maxFilesPerTrigger = 2))
+        .withColumn("datestamp", date_format($"ts", "yyyy-MM-dd"))
+        .writeStream
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.write.mode("append").partitionBy("datestamp")
+            .parquet(s"$dir/table")
+        }
+        .start()
+      q.awaitTermination()
+    }
+    Topic.publishEvents(slices(0), s"$dir/topic", nFiles = 2)
+    runBounded()
+    val cutoff = dsSorted(1) // purge the oldest datestamp partition
+    val dropped = graft.sinks.TableSinks.purgePartitionsBelow(
+      spark, s"$dir/table", "datestamp", cutoff)
+    dropped shouldBe Seq(dsSorted(0))
+    // stream keeps going from its checkpoint: only the NEW files play
+    Topic.publishEvents(slices(1), s"$dir/topic", nFiles = 2, append = true)
+    runBounded()
+    val after = spark.read.parquet(s"$dir/table")
+    // reads survive the purge (no stale file-list anywhere) and the
+    // retained + resumed rows are exactly the unpurged events
+    after.select("event_id").as[Long].collect().sorted shouldBe
+      withDs.filter($"datestamp" >= cutoff)
+        .select("event_id").as[Long].collect().sorted
+  }
+
   test("streaming SCD2 fold is idempotent under batch replay") {
     import graft.streaming.StreamingScd2
     val dir = Files.createTempDirectory("scd2fold").toString
