@@ -268,6 +268,41 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // epoch-shard manifest: the export step after t08's shuffle — docs
+    // land in fixed-size shards BY SHUFFLE POSITION (shard = pos div
+    // 64), and the manifest a data-loader resumes from records each
+    // shard's doc count, token budget and position range. Composes
+    // RangeRank (second consumer) with the BPE token proxy; the
+    // aggregation is a hash-agg over the rank output — no second sort,
+    // no window. A writer would partitionBy(shard) on exactly this
+    // frame.
+    "t27_epoch_shards" -> Q(
+      s"""WITH r AS (
+         |  SELECT doc_id,
+         |         row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)),
+         |                            doc_id) AS pos,
+         |         len(regexp_extract_all($norm, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))
+         |           AS n_tok
+         |  FROM documents)
+         |SELECT CAST(floor((pos - 1) / 64.0) AS BIGINT) AS shard,
+         |       count(*) AS n_docs,
+         |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |       CAST(min(pos) AS BIGINT) AS pos_lo,
+         |       CAST(max(pos) AS BIGINT) AS pos_hi
+         |FROM r GROUP BY 1 ORDER BY shard""".stripMargin) { (s, d) =>
+      graft.operators.RangeRank.withGlobalRank(
+          Tables.documents(s, d)
+            .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"),
+              TextFns.bpeTokenCount(col("text")).as("n_tok")),
+          Seq(col("h"), col("doc_id")), "pos")
+        .groupBy(floor((col("pos") - 1) / 64.0).cast("long").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").cast("long").as("n_tokens"),
+          min("pos").as("pos_lo"),
+          max("pos").as("pos_hi"))
+        .orderBy("shard")
+    },
+
     // salient-term extraction: top-3 terms per doc ranked by term
     // frequency, rarity (document frequency asc) breaking ties, then
     // the term itself — an integer-only TF-IDF surrogate that is exact
