@@ -108,7 +108,17 @@ object ScaleProbe {
     val wdocs = sources.Tables.documents(spark, src)
     wdocs.join(wdocs.select("doc_id"), "doc_id").agg(count(lit(1))).collect()
 
-    def runSet(d: String): Seq[(String, Double, Long)] = Subset.map { n =>
+    // Beyond 10x the two LABELED quadratic/degenerate contrast rows
+    // (d05 all-pairs, d06 fixed-3-plane) are excluded: they exist to
+    // price the anti-pattern, and at 100x the price is the point —
+    // every remaining row is claimed scale-safe and must prove it.
+    val subset =
+      if (copies <= 10) Subset
+      else Subset.filterNot(
+        Set("d05_cosine_neardup", "d06_cosine_neardup_lsh"))
+
+    def runSet(d: String): Seq[(String, Double, Long)] = subset.map { n =>
+      System.err.println(s"[probe] $n @ $d")
       val t0 = System.nanoTime()
       val rows = SparkEntry.queries(n)(spark, d).count()
       (n, (System.nanoTime() - t0) / 1e9, rows)
@@ -147,29 +157,47 @@ object ScaleProbe {
         .filter(col("rank") <= 3)
         .count()
     }
+    // Occupancy-scaled hot-bucket cap to match the sized plane count:
+    // the fixed 10k default let ~5000-member buckets (50x expected
+    // occupancy on the duplicate-saturated 100x corpus) through, and
+    // their candidate self-join spilled past the disk — the 100x run
+    // that FOUND Buckets.capFor. At 10x the scaled cap equals the old
+    // behavior (all buckets well under it), so the standing rows are
+    // comparable.
+    val sizedCap = functions.Buckets.capFor(emb.count(), planes)
     val sized = Seq(
       "d06_sized" -> (() => text.Dedup.cosineNearDupPairsLsh(
-        emb, planesPerTable = planes).count()),
+        emb, planesPerTable = planes, maxBucketSize = sizedCap).count()),
       "s02_sized" -> (() => vector.Ann.lshTopK(
         emb.filter(col("vec_id") % 25 === 0), emb, k = 3,
-        planesPerTable = planes).count()),
+        planesPerTable = planes, maxBucketSize = sizedCap).count()),
       "s11_window_contrast" -> (() => s11ViaWindow(dir))
     ).map { case (n, f) =>
+      System.err.println(s"[probe] $n (sized/contrast)")
       val t0 = System.nanoTime()
-      val rows = f()
+      // a contrast row that CANNOT complete at this scale is itself
+      // the verdict (sec records the time to failure, rows = -1) — it
+      // must never erase the subset results that did complete
+      val rows = try f() catch { case e: Throwable =>
+        System.err.println(s"[probe] $n FAILED: ${e.getClass.getName}")
+        -1L
+      }
       (n, (System.nanoTime() - t0) / 1e9, rows)
     }
 
     import ProbeLog.js
     val dropJs = drops.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-    val line = s"""{"metric":"scale_probe","copies":$copies,""" +
+    val metricName =
+      if (copies == 10) "scale_probe" else s"scale_probe_${copies}x"
+    val line = s"""{"metric":"$metricName","copies":$copies,""" +
       s""""base":${js(base)},"scaled":${js(scaled)},""" +
       s""""ratios":${ProbeLog.ratios(base, scaled)},""" +
       s""""scaled_sized":${js(sized)},"planes_sized":$planes,""" +
+      s""""sized_cap":$sizedCap,""" +
       s""""scaled_drops":$dropJs,"sf":"$src"}"""
     println(line)
-    ProbeLog.record("scale_probe", line)
+    ProbeLog.record(metricName, line)
     spark.stop()
   }
 }
@@ -244,11 +272,13 @@ object EventScaleProbe {
     val scaled = runSet(dir)
 
     import ProbeLog.js
-    val line = s"""{"metric":"event_scale_probe","copies":$copies,""" +
+    val metricName =
+      if (copies == 10) "event_scale_probe" else s"event_scale_probe_${copies}x"
+    val line = s"""{"metric":"$metricName","copies":$copies,""" +
       s""""base":${js(base)},"scaled":${js(scaled)},""" +
       s""""ratios":${ProbeLog.ratios(base, scaled)},"sf":"$src"}"""
     println(line)
-    ProbeLog.record("event_scale_probe", line)
+    ProbeLog.record(metricName, line)
     spark.stop()
   }
 }
@@ -362,12 +392,14 @@ object SkewProbe {
     val skewN = runSet(dirN)
 
     import ProbeLog.js
-    val line = s"""{"metric":"skew_probe","copies":$copies,""" +
+    val metricName =
+      if (copies == 10) "skew_probe" else s"skew_probe_${copies}x"
+    val line = s"""{"metric":"$metricName","copies":$copies,""" +
       s""""skew1":${js(skew1)},"skew$copies":${js(skewN)},""" +
       s""""ratios":${ProbeLog.ratios(skew1, skewN)},""" +
       s""""bm25_hot":${js(hot)},"sf":"$src"}"""
     println(line)
-    ProbeLog.record("skew_probe", line)
+    ProbeLog.record(metricName, line)
     spark.stop()
   }
 }
@@ -431,11 +463,13 @@ object StreamScaleProbe {
     val scaled = runSet(dir)
 
     import ProbeLog.js
-    val line = s"""{"metric":"stream_scale_probe","copies":$copies,""" +
+    val metricName =
+      if (copies == 10) "stream_scale_probe" else s"stream_scale_probe_${copies}x"
+    val line = s"""{"metric":"$metricName","copies":$copies,""" +
       s""""base":${js(base)},"scaled":${js(scaled)},""" +
       s""""ratios":${ProbeLog.ratios(base, scaled)},"sf":"$src"}"""
     println(line)
-    ProbeLog.record("stream_scale_probe", line)
+    ProbeLog.record(metricName, line)
     spark.stop()
   }
 }

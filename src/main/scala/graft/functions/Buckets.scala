@@ -17,8 +17,29 @@ object Buckets {
 
   /** Default bucket-size cap. Generous enough that legitimate buckets
     * at test scale are never touched; production callers should size it
-    * so cap² pairs fit one task comfortably. */
+    * so cap² pairs fit one task comfortably — or derive it from the
+    * corpus with [[capFor]]. */
   val DefaultMaxBucketSize = 10000
+
+  /** Occupancy-scaled cap: `slack` × the EXPECTED bucket size
+    * (corpus / 2^planes), floored at 1000. The fixed default above is
+    * corpus-size-agnostic, and the round-8 100x probe showed why that
+    * matters: on a duplicate-saturated corpus the hyperplane buckets
+    * grew to ~5 000 members — 50x expected, yet still under the 10 000
+    * constant — and the candidate self-join inflated to ~10^9 pairs
+    * whose distinct() spilled past the disk. A cap pegged to expected
+    * occupancy drops exactly those statistically-impossible buckets
+    * (and the drop counter surfaces it); buckets within slack of the
+    * expectation are untouched, so normal corpora see no recall
+    * change. The [[graft.vector.Ann.planesFor]] companion: planesFor
+    * sizes the bucket COUNT to the corpus, capFor sizes the tolerated
+    * bucket POPULATION to the same geometry. */
+  def capFor(corpusSize: Long, planesPerTable: Int, slack: Int = 16): Int = {
+    require(planesPerTable >= 1 && planesPerTable < 63,
+      s"planesPerTable out of range: $planesPerTable")
+    val expected = corpusSize / (1L << planesPerTable)
+    math.max(1000L, slack * expected).min(Int.MaxValue).toInt
+  }
 
   /** Drop all rows of buckets larger than `maxBucketSize`.
     *

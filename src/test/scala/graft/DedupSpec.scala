@@ -212,6 +212,18 @@ class DedupSpec extends SparkSpec {
       maxBucketSize = 39).count() shouldBe 0L
   }
 
+  test("capFor scales the bucket cap with expected occupancy") {
+    import graft.functions.Buckets
+    // 50k corpus, 11 planes -> expected bucket ~24, 16x slack under
+    // the 1000 floor
+    Buckets.capFor(50000L, 11) shouldBe 1000
+    // 1B corpus, 11 planes -> expected ~524k, cap = 16x expected
+    Buckets.capFor(1L << 30, 11) shouldBe (16L * ((1L << 30) / 2048)).toInt
+    // tiny corpus never drops below the floor
+    Buckets.capFor(100L, 5) shouldBe 1000
+    an[IllegalArgumentException] should be thrownBy Buckets.capFor(10L, 0)
+  }
+
   test("minhash estimate tracks true jaccard on the real corpus") {
     val docs = Tables.documents(spark, SfDir)
     val truth = Dedup.ngramJaccardPairs(docs, minJaccard = 0.8)

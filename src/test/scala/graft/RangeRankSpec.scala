@@ -51,4 +51,21 @@ class RangeRankSpec extends SparkSpec {
     plan should not include "SinglePartition"
     df.count() shouldBe docs.count()
   }
+
+  test("t27 epoch-shard manifest: contiguous shards, no window, budgets add up") {
+    val df = SparkEntry.queries("t27_epoch_shards")(spark, SfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    plan should not include "Window"
+    plan should not include "SinglePartition"
+    val rows = df.collect()
+    val n = docs.count()
+    // shards are contiguous position ranges of exactly 64 docs (last
+    // shard takes the remainder) and cover every doc exactly once
+    rows.map(_.getLong(0)).toSeq shouldBe (0L until (n + 63) / 64)
+    rows.map(_.getLong(1)).sum shouldBe n
+    rows.foreach { r =>
+      r.getLong(3) shouldBe r.getLong(0) * 64 + 1 // pos_lo
+      r.getLong(4) - r.getLong(3) + 1 shouldBe r.getLong(1) // span = n_docs
+    }
+  }
 }
