@@ -183,7 +183,13 @@ object Dedup {
 
   /** MinHash+LSH near-dup candidate pairs with estimated Jaccard
     * (signature agreement rate). Band buckets above `maxBucketSize` are
-    * dropped and surfaced via the "graft.lsh.minhash" observation. */
+    * dropped and surfaced via the "graft.lsh.minhash" observation.
+    * Scale callers: size the cap to expected band-bucket occupancy
+    * with [[graft.functions.Buckets.capFor]] rather than trusting the
+    * fixed default — on a duplicate-saturated corpus, buckets 50x
+    * expected occupancy can still sit under the constant and square
+    * into the candidate join (the round-8 100x probe's finding on the
+    * hyperplane path applies to every bucketed scheme here). */
   def minhashLshPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 12, bands: Int = 4,
       minEst: Double = 0.5, n: Int = 3,
