@@ -32,6 +32,13 @@ import graft.sinks.KeyedUpsert
   * change that matches the now-open row, and the MERGE key
   * (key, valid_from) lands every rewrite on its original row
   * (StreamingSpec pins this).
+  *
+  * The ordering contract is ENFORCED, not assumed: a change predating
+  * its key's open interval is checked against the stored interval
+  * covering its timestamp — attrs equal means a replay (pass); no
+  * cover or different attrs means genuinely out-of-order new
+  * information, and the batch fails loudly instead of silently
+  * emitting an interval that overlaps closed history.
   */
 object StreamingScd2 {
 
@@ -48,6 +55,40 @@ object StreamingScd2 {
       else Scd2.emptyDim(changes, keys, attrs, tsCol)
     val openAffected = stored.filter(col("valid_to").isNull)
       .join(changes.select(keys.map(col): _*).distinct(), keys, "left_semi")
+    // Loud guard for the ordering contract: a change that predates its
+    // key's OPEN interval is either (a) a REPLAY — it rebuilds closed
+    // history it already created, so the stored interval COVERING its
+    // ts carries the same attrs — or (b) genuinely out-of-order NEW
+    // information, which the open-era fold would silently turn into an
+    // interval overlapping a closed row. (a) is the normal crash-retry
+    // path and must pass; (b) must fail the batch (retryable once the
+    // producer is fixed) rather than corrupt the dimension. The check
+    // is O(late x per-key intervals) and only runs when late changes
+    // exist at all.
+    val lateChanges = changes
+      .join(openAffected.select(keys.map(col) :+
+        col("valid_from").as("__open_from"): _*), keys)
+      .filter(col(tsCol) < col("__open_from"))
+      .drop("__open_from")
+    if (!lateChanges.isEmpty) {
+      val c = lateChanges.select(
+        lateChanges.columns.map(n => col(n).as(s"c_$n")): _*)
+      val s = stored
+        .join(changes.select(keys.map(col): _*).distinct(), keys, "left_semi")
+        .select(stored.columns.map(n => col(n).as(s"s_$n")): _*)
+      val covering =
+        keys.map(k => col(s"c_$k") === col(s"s_$k")).reduce(_ && _) &&
+          col("s_valid_from") <= col(s"c_$tsCol") &&
+          (col("s_valid_to").isNull || col(s"c_$tsCol") < col("s_valid_to"))
+      val conflicts = c.join(s, covering, "left_outer")
+        .filter(col("s_valid_from").isNull || // nothing covers it
+          attrs.map(a => !(col(s"c_$a") <=> col(s"s_$a"))).reduce(_ || _))
+        .count()
+      require(conflicts == 0,
+        s"StreamingScd2: $conflicts out-of-order change(s) conflict " +
+          "with stored history (not replays) — batches must partition " +
+          "the change log in per-key time order (see the class doc)")
+    }
     val updated = Scd2.applyChanges(openAffected, changes, keys, attrs,
       tsCol, seqCol)
     KeyedUpsert.upsert(spark, dimDir, updated,

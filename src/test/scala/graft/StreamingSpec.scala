@@ -309,5 +309,24 @@ class StreamingSpec extends SparkSpec {
     // and replaying THAT batch is also a no-op
     fold(Seq((1L, "c", 30L, 4L)))
     dim() shouldBe after2
+    // a CONFLICTING out-of-order change (covering stored interval has
+    // different attrs) must fail LOUDLY, not silently emit an interval
+    // overlapping closed history — the ordering contract is enforced
+    val ex = intercept[IllegalArgumentException] {
+      fold(Seq((1L, "z", 25L, 9L))) // [20,30) holds "b", not "z"
+    }
+    ex.getMessage should include ("time order")
+    dim() shouldBe after2 // the failed batch wrote nothing
+    // ...as must one predating the key's whole history (nothing covers it)
+    val ex2 = intercept[IllegalArgumentException] {
+      fold(Seq((2L, "y", 5L, 10L))) // key 2's history starts at 15
+    }
+    ex2.getMessage should include ("time order")
+    dim() shouldBe after2
+    // but a late REPLAY (covering interval carries the same attrs)
+    // passes the guard and stays a no-op — crash-retry is the normal
+    // path and must never be rejected
+    fold(Seq((1L, "a", 10L, 1L), (1L, "b", 20L, 2L)))
+    dim() shouldBe after2
   }
 }
