@@ -216,6 +216,16 @@ class PlanSpec extends SparkSpec {
     plan should not include "Join"
   }
 
+  test("p21 maintain-then-join keeps p17's as-of shape: history is never broadcast") {
+    // the dim is BUILT by the SCD2 fold inside the query, then gold
+    // resolves against it — the composition must not regress to a
+    // broadcast of the (at scale, unbounded) history or a nested loop
+    val plan = formattedPlan("p21_scd2_asof_gold")
+    "\\(\\d+\\) BroadcastHashJoin".r.findAllIn(plan).size shouldBe 1
+    plan should not include "BroadcastNestedLoopJoin"
+    plan should include("Window") // the shuffled as-of carry + SCD2 fold
+  }
+
   test("t23 BM25 ranks via bounded heaps — zero windows in the plan") {
     val df = SparkEntry.queries("t23_bm25")(spark, SfDir)
     df.queryExecution.optimizedPlan.collect {
