@@ -73,8 +73,12 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
-    val dir =
-      sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", s"/tmp/graft-scale$copies")
+    // the synthesized-corpus dir encodes the SOURCE sf too: a stale
+    // _READY dir from a different base would silently probe mixed
+    // corpora (found when a 100x sf0.01 run reused the 10x sf0.1 dir)
+    val srcTag = new java.io.File(src).getName
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
+      s"/tmp/graft-scale-$srcTag-$copies")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -257,7 +261,7 @@ object EventScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.register(spark)
 
-    val dir = s"/tmp/graft-evscale$copies"
+    val dir = s"/tmp/graft-evscale-${new java.io.File(src).getName}-$copies"
     synthesize(spark, src, dir, copies)
 
     val wev = sources.Tables.events(spark, src)
@@ -344,8 +348,9 @@ object SkewProbe {
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.register(spark)
 
-    val dir1 = s"/tmp/graft-skew1"
-    val dirN = s"/tmp/graft-skew$copies"
+    val srcTag = new java.io.File(src).getName
+    val dir1 = s"/tmp/graft-skew-$srcTag-1"
+    val dirN = s"/tmp/graft-skew-$srcTag-$copies"
     synthesize(spark, src, dir1, 1)
     synthesize(spark, src, dirN, copies)
 
@@ -448,7 +453,7 @@ object StreamScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.register(spark)
 
-    val dir = s"/tmp/graft-evscale$copies"
+    val dir = s"/tmp/graft-evscale-${new java.io.File(src).getName}-$copies"
     EventScaleProbe.synthesize(spark, src, dir, copies)
 
     val wev = sources.Tables.events(spark, src)
