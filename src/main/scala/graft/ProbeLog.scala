@@ -1,9 +1,9 @@
 package graft
 
+import java.nio.ByteBuffer
+import java.nio.channels.FileChannel
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths, StandardOpenOption}
-
-import scala.jdk.CollectionConverters._
+import java.nio.file.{Paths, StandardOpenOption}
 
 /** Machine-readable scale-probe verdicts: every probe main appends its
   * JSON line to `PROBES.json` in the working directory (the repo root
@@ -16,18 +16,35 @@ object ProbeLog {
 
   private val File = "PROBES.json"
 
+  /** The `"metric"` field of a probe line, parsed (not substring
+    * containment, which a value embedding another metric's name would
+    * fool). */
+  def metricOf(line: String): Option[String] =
+    """"metric"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(line).map(_.group(1))
+
   /** Replace-or-append `line` (a one-line JSON object containing
-    * `"metric":"<metric>"`) in PROBES.json. */
+    * `"metric":"<metric>"`) in PROBES.json. Probe mains run as separate
+    * `sbt runMain` JVMs, so the read-filter-truncate-write cycle holds
+    * an OS-level [[FileChannel]] lock — JVM-local `synchronized` alone
+    * would let two concurrent probes silently drop each other's rows. */
   def record(metric: String, line: String): Unit = synchronized {
-    val path = Paths.get(File)
-    val existing =
-      if (Files.exists(path))
-        Files.readAllLines(path, StandardCharsets.UTF_8).asScala.toSeq
-      else Seq.empty
-    val kept = existing.filterNot(_.contains(s""""metric":"$metric""""))
-    Files.write(path, (kept :+ line).mkString("", "\n", "\n")
-      .getBytes(StandardCharsets.UTF_8),
-      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    val ch = FileChannel.open(Paths.get(File), StandardOpenOption.CREATE,
+      StandardOpenOption.READ, StandardOpenOption.WRITE)
+    try {
+      val lock = ch.lock()
+      try {
+        val buf = ByteBuffer.allocate(ch.size().toInt)
+        ch.read(buf, 0L)
+        val existing = new String(buf.array(), 0, buf.position(),
+            StandardCharsets.UTF_8)
+          .split("\n").toSeq.filter(_.trim.nonEmpty)
+        val kept = existing.filterNot(l => metricOf(l).contains(metric))
+        val out = (kept :+ line).mkString("", "\n", "\n")
+          .getBytes(StandardCharsets.UTF_8)
+        ch.truncate(0L)
+        ch.write(ByteBuffer.wrap(out), 0L)
+      } finally lock.release()
+    } finally ch.close()
   }
 
   /** Per-query JSON fragment for a (name, seconds, rows) result set. */

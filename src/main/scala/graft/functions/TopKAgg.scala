@@ -84,10 +84,14 @@ case class TopKAgg(child: Expression, kExpr: Expression,
       case (f, i) => SortOrder(BoundReference(i, f.dataType, f.nullable),
         if (asc.nonEmpty && asc(i)) Descending else Ascending)
     }.toSeq
+    // NonFatal only: an OutOfMemoryError/LinkageError must propagate,
+    // not silently downgrade every compare to the interpreted path
     val base =
       try org.apache.spark.sql.catalyst.expressions.codegen
         .GenerateOrdering.generate(orders)
-      catch { case _: Throwable => new InterpretedOrdering(orders) }
+      catch {
+        case scala.util.control.NonFatal(_) => new InterpretedOrdering(orders)
+      }
     (a: UnsafeRow, b: UnsafeRow) => base.compare(a, b)
   }
 

@@ -260,11 +260,14 @@ object TextQueries {
         |       row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)),
         |                          doc_id) AS shuffle_pos
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // shuffle_pos stays the rank's native BIGINT (DuckDB row_number
+      // is BIGINT too): a cast to int would silently wrap past 2^31
+      // rows — exactly the corpus scale RangeRank exists for
       graft.operators.RangeRank.withGlobalRank(
           Tables.documents(s, d)
             .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h")),
           Seq(col("h"), col("doc_id")), "shuffle_pos")
-        .select(col("doc_id"), col("shuffle_pos").cast("int").as("shuffle_pos"))
+        .select(col("doc_id"), col("shuffle_pos"))
         .orderBy("doc_id")
     },
 

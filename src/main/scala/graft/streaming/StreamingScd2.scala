@@ -38,7 +38,12 @@ import graft.sinks.KeyedUpsert
   * covering its timestamp — attrs equal means a replay (pass); no
   * cover or different attrs means genuinely out-of-order new
   * information, and the batch fails loudly instead of silently
-  * emitting an interval that overlaps closed history.
+  * emitting an interval that overlaps closed history. Verified
+  * replays are then EXCLUDED from the fold (they are history the
+  * dimension already holds): only each key's changes at-or-after its
+  * open valid_from fold, so a partial or mixed replay can never
+  * rebuild the open era from incomplete history and overwrite a
+  * closed row.
   */
 object StreamingScd2 {
 
@@ -89,7 +94,24 @@ object StreamingScd2 {
           "with stored history (not replays) — batches must partition " +
           "the change log in per-key time order (see the class doc)")
     }
-    val updated = Scd2.applyChanges(openAffected, changes, keys, attrs,
+    // Verified-replay late changes must NOT re-enter the fold: they are
+    // history the dimension already holds, and folding them with the
+    // open row rebuilds the open-era timeline from INCOMPLETE history —
+    // a partial replay (stored [10,20)a [20,30)b [30,∞)c, batch {a@10})
+    // would emit [10,30)a and MERGE it over the closed [20,30)b. Only
+    // changes at-or-after their key's open valid_from (or for keys with
+    // no open row) fold; a whole-batch replay thus reduces to the open
+    // row's own re-derivation — a clean no-op — and a mixed batch folds
+    // exactly its genuinely-new suffix.
+    val ordered = changes
+      .join(openAffected.select(keys.map(col) :+
+        col("valid_from").as("__open_from"): _*), keys, "left_outer")
+      .filter(col("__open_from").isNull || col(tsCol) >= col("__open_from"))
+      .drop("__open_from")
+    if (ordered.isEmpty) return // pure replay of closed history
+    val foldOpen = openAffected
+      .join(ordered.select(keys.map(col): _*).distinct(), keys, "left_semi")
+    val updated = Scd2.applyChanges(foldOpen, ordered, keys, attrs,
       tsCol, seqCol)
     KeyedUpsert.upsert(spark, dimDir, updated,
       keys :+ "valid_from", numBuckets = numBuckets)

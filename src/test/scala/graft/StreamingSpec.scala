@@ -328,5 +328,17 @@ class StreamingSpec extends SparkSpec {
     // path and must never be rejected
     fold(Seq((1L, "a", 10L, 1L), (1L, "b", 20L, 2L)))
     dim() shouldBe after2
+    // a PARTIAL replay (a strict subset of an old batch) must also be
+    // a no-op: folding {a@10} alone with the open row would rebuild
+    // the open era as [10,30)a — silently overlapping the closed
+    // [20,30)b. Verified replays are excluded from the fold entirely.
+    fold(Seq((1L, "a", 10L, 1L)))
+    dim() shouldBe after2
+    // a MIXED batch (one replayed change + one genuinely new change)
+    // folds exactly the new suffix: the replay is dropped, the new
+    // change closes the open row — closed history untouched
+    fold(Seq((1L, "b", 20L, 2L), (1L, "d", 40L, 11L)))
+    dim() shouldBe Seq((1L, "a", 10L, Some(20L)), (1L, "b", 20L, Some(30L)),
+      (1L, "c", 30L, Some(40L)), (1L, "d", 40L, None), (2L, "x", 15L, None))
   }
 }
