@@ -30,7 +30,9 @@ object ScaleProbe {
     "d12_substring_spans", // gram table is linear; hits track dup content
     "t19_bloom_decontam",
     "t24_lm_perplexity", // bigram join: big/pre count tables grow with corpus
-    "s02_ann_lsh", "s03_ann_ivf",
+    "s02_ann_lsh", // sized planes + cap derive in-operator — the production row
+    "s12_ann_lsh_fixed3", // labeled fixed-plane contrast (excluded above 10x)
+    "s03_ann_ivf",
     "s11_ann_filtered", // labels repeat across copies -> hot-key direction
     // the streaming front doors: ingest-time LSH dedup and the
     // micro-batched IVF index MERGE — per-batch cost must stay
@@ -112,14 +114,18 @@ object ScaleProbe {
     val wdocs = sources.Tables.documents(spark, src)
     wdocs.join(wdocs.select("doc_id"), "doc_id").agg(count(lit(1))).collect()
 
-    // Beyond 10x the two LABELED quadratic/degenerate contrast rows
-    // (d05 all-pairs, d06 fixed-3-plane) are excluded: they exist to
-    // price the anti-pattern, and at 100x the price is the point —
-    // every remaining row is claimed scale-safe and must prove it.
+    // Beyond 10x the LABELED quadratic/degenerate contrast rows
+    // (d05 all-pairs, d06 fixed-3-plane, s12 fixed-3-plane ANN) are
+    // excluded: they exist to price the anti-pattern, and at 100x the
+    // price is the point — every remaining row is claimed scale-safe
+    // and must prove it. (s02_ann_lsh itself is now the SIZED
+    // registration — planesFor + capFor derive inside lshTopK — so its
+    // standing row IS the production config's verdict.)
     val subset =
       if (copies <= 10) Subset
       else Subset.filterNot(
-        Set("d05_cosine_neardup", "d06_cosine_neardup_lsh"))
+        Set("d05_cosine_neardup", "d06_cosine_neardup_lsh",
+          "s12_ann_lsh_fixed3"))
 
     def runSet(d: String): Seq[(String, Double, Long)] = subset.map { n =>
       System.err.println(s"[probe] $n @ $d")
@@ -170,11 +176,13 @@ object ScaleProbe {
     // comparable.
     val sizedCap = functions.Buckets.capFor(emb.count(), planes)
     val sized = Seq(
+      // planesFor/capFor are the in-operator DEFAULTS since round 9, so
+      // the standing s02_ann_lsh subset row already measures the sized
+      // ANN config; this row keeps the sized PAIRS path (d11's shape at
+      // the probe's default target) measured alongside it
       "d06_sized" -> (() => text.Dedup.cosineNearDupPairsLsh(
-        emb, planesPerTable = planes, maxBucketSize = sizedCap).count()),
-      "s02_sized" -> (() => vector.Ann.lshTopK(
-        emb.filter(col("vec_id") % 25 === 0), emb, k = 3,
-        planesPerTable = planes, maxBucketSize = sizedCap).count()),
+        emb, planesPerTable = Some(planes),
+        maxBucketSize = Some(sizedCap)).count()),
       "s11_window_contrast" -> (() => s11ViaWindow(dir))
     ).map { case (n, f) =>
       System.err.println(s"[probe] $n (sized/contrast)")

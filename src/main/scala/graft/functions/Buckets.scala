@@ -15,11 +15,21 @@ import org.apache.spark.sql.functions._
   */
 object Buckets {
 
-  /** Default bucket-size cap. Generous enough that legitimate buckets
-    * at test scale are never touched; production callers should size it
-    * so cap² pairs fit one task comfortably — or derive it from the
-    * corpus with [[capFor]]. */
+  /** Fixed legacy cap, kept ONLY for explicitly-labeled contrast
+    * registrations (d06-default, s12) that price the unsized
+    * anti-pattern. Every production entry point now derives its cap
+    * from the corpus via [[capFor]] when the caller passes None — the
+    * round-8 100x probe proved this constant is a disk-spill hazard:
+    * corpus-size-agnostic, it let ~5 000-member buckets (50x expected
+    * occupancy) through and their candidate self-join spilled ~80 GB. */
   val DefaultMaxBucketSize = 10000
+
+  /** Effective band bits for the hash-band LSH schemes when deriving a
+    * default cap: SimHash bands are exactly 16 bits; MinHash md5 bands
+    * are far sparser (effectively unbounded value space), so treating
+    * them as 16-bit is a conservative over-estimate of expected
+    * occupancy — the derived cap errs generous, never drop-happy. */
+  val BandBits = 16
 
   /** Occupancy-scaled cap: `slack` × the EXPECTED bucket size
     * (corpus / 2^planes), floored at 1000. The fixed default above is

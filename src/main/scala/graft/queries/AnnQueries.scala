@@ -143,10 +143,56 @@ object AnnQueries {
         .orderBy("q", "rank")
     },
 
-    // multi-table LSH top-3: 8 tables x 3 hyperplane sign bits,
-    // candidates share any table bucket, exact ranking within the
-    // candidate set (the OR-construction for high recall).
+    // multi-table LSH top-3 at the PRODUCTION configuration: 8 tables
+    // of corpus-SIZED hyperplane sign bits (Ann.planesFor — target 25
+    // here so the sizing engages at test scale, 5 planes at 500
+    // vectors) and an occupancy-scaled hot-bucket cap (Buckets.capFor,
+    // derived inside lshTopK from the same count). Candidates share
+    // any table bucket, exact ranking within the candidate set (the
+    // OR-construction for high recall). The plane count is a pure
+    // function of count(*), so the oracle recomputes it in SQL — the
+    // hash check covers the exact bucket construction the 100 TB path
+    // uses; the fixed-plane toy configuration lives on as the s12
+    // labeled contrast.
     "s02_ann_lsh" -> Q(
+      vCte +
+        s"""params AS (
+           |  SELECT greatest(3, CAST(ceil(log2(count(*) / 25.0)) AS INT)) AS np
+           |  FROM e),
+           |b AS (
+           |  SELECT vec_id, v,
+           |         unnest(list_transform(range(0, 8), t ->
+           |           t * (1::BIGINT << np) + list_sum(list_transform(range(0, np), j ->
+           |             CASE WHEN list_dot_product(v, list_transform(range(0, 64),
+           |                    i -> (((t*np+j)*7919 + i*104729 + 12345) % 2001 - 1000) / 1000.0)) > 0
+           |                  THEN (1::BIGINT << j) ELSE 0 END)))) AS bucket
+           |  FROM e, params),
+           |cand AS (
+           |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
+           |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+           |  WHERE q.vec_id % 25 = 0),
+           |ranked AS (
+           |  SELECT qid AS qq, cid,
+           |         $cosExpr AS cos,
+           |         row_number() OVER (PARTITION BY qid
+           |           ORDER BY $cosExpr DESC, cid) AS rank
+           |  FROM cand JOIN n q ON qid = q.vec_id JOIN n c ON cid = c.vec_id)
+           |SELECT qq AS q, rank, cid AS b, round(cos, 6) AS cos
+           |FROM ranked WHERE rank <= 3 ORDER BY q, rank""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Ann.lshTopK(emb.filter(col("vec_id") % 25 === 0), emb, k = 3,
+          targetBucketSize = 25)
+        .orderBy("q", "rank")
+    },
+
+    // LABELED CONTRAST BASELINE — do not ship at scale: s02's topology
+    // pinned to a FIXED 3 planes per table (64 buckets total) and the
+    // fixed legacy cap. Per-table bucket occupancy grows linearly with
+    // the corpus and the candidate join squares it — the round-8 100x
+    // probe measured exactly this configuration at 33.8x wall-clock
+    // for 100x data. Registered to price the anti-pattern next to the
+    // sized s02, the same way d06-default contrasts d11.
+    "s12_ann_lsh_fixed3" -> Q(
       vCte +
         s"""b AS (
            |  SELECT vec_id, v,
@@ -169,7 +215,9 @@ object AnnQueries {
            |SELECT qq AS q, rank, cid AS b, round(cos, 6) AS cos
            |FROM ranked WHERE rank <= 3 ORDER BY q, rank""".stripMargin) { (s, d) =>
       val emb = Tables.embeddings(s, d)
-      Ann.lshTopK(emb.filter(col("vec_id") % 25 === 0), emb, k = 3)
+      Ann.lshTopK(emb.filter(col("vec_id") % 25 === 0), emb, k = 3,
+          planesPerTable = Some(3),
+          maxBucketSize = Some(graft.functions.Buckets.DefaultMaxBucketSize))
         .orderBy("q", "rank")
     },
 

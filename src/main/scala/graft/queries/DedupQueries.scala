@@ -350,9 +350,13 @@ object DedupQueries {
         .orderBy("a", "b")
     },
 
-    // LSH-blocked variant — the scale path: candidates only from shared
-    // hyperplane buckets (8 tables x 3 bits, same construction as
-    // s02_ann_lsh), exact cosine within the candidate set.
+    // LSH-blocked variant at a PINNED toy configuration — LABELED
+    // CONTRAST BASELINE, do not ship at scale: candidates only from
+    // shared hyperplane buckets (8 tables x a FIXED 3 bits, the
+    // construction s12_ann_lsh_fixed3 also pins), exact cosine within
+    // the candidate set. Per-table occupancy grows linearly with the
+    // corpus at fixed planes (BASELINE.md §4 measured the blowup);
+    // d11_cosine_lsh_sized is the production-sized registration.
     "d06_cosine_neardup_lsh" -> Q(
       """WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
@@ -376,7 +380,9 @@ object DedupQueries {
         |FROM cand JOIN n p ON a = p.vec_id JOIN n q ON b = q.vec_id
         |WHERE round(list_dot_product(p.vn, q.vn), 6) >= 0.4
         |ORDER BY a, b""".stripMargin) { (s, d) =>
-      Dedup.cosineNearDupPairsLsh(Tables.embeddings(s, d), minCos = 0.4)
+      Dedup.cosineNearDupPairsLsh(Tables.embeddings(s, d), minCos = 0.4,
+          planesPerTable = Some(3),
+          maxBucketSize = Some(graft.functions.Buckets.DefaultMaxBucketSize))
         .orderBy("a", "b")
     },
 
@@ -607,10 +613,10 @@ object DedupQueries {
         |FROM cand JOIN n p ON a = p.vec_id JOIN n q ON b = q.vec_id
         |WHERE round(list_dot_product(p.vn, q.vn), 6) >= 0.4
         |ORDER BY a, b""".stripMargin) { (s, d) =>
-      val emb = Tables.embeddings(s, d)
-      // one bounded driver action: the corpus count that sizes the planes
-      val p = graft.vector.Ann.planesFor(emb.count(), targetBucketSize = 25)
-      Dedup.cosineNearDupPairsLsh(emb, minCos = 0.4, planesPerTable = p)
+      // plane count AND hot-bucket cap both derive from one bounded
+      // count-star inside the entry point — the production default
+      Dedup.cosineNearDupPairsLsh(Tables.embeddings(s, d), minCos = 0.4,
+          targetBucketSize = 25)
         .orderBy("a", "b")
     },
 

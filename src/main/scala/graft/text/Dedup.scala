@@ -182,21 +182,24 @@ object Dedup {
           (1 to rows).map(r => element_at(sig, b * rows + r))): _*)))
 
   /** MinHash+LSH near-dup candidate pairs with estimated Jaccard
-    * (signature agreement rate). Band buckets above `maxBucketSize` are
-    * dropped and surfaced via the "graft.lsh.minhash" observation.
-    * Scale callers: size the cap to expected band-bucket occupancy
-    * with [[graft.functions.Buckets.capFor]] rather than trusting the
-    * fixed default — on a duplicate-saturated corpus, buckets 50x
-    * expected occupancy can still sit under the constant and square
-    * into the candidate join (the round-8 100x probe's finding on the
-    * hyperplane path applies to every bucketed scheme here). */
+    * (signature agreement rate). Band buckets above the hot-bucket cap
+    * are dropped and surfaced via the "graft.lsh.minhash" observation.
+    * The cap DEFAULTS to the occupancy-scaled
+    * [[graft.functions.Buckets.capFor]] derived from one bounded
+    * `docs.count()` — the round-8 100x probe proved a fixed constant
+    * is a disk-spill hazard on a duplicate-saturated corpus (buckets
+    * 50x expected occupancy squared into the candidate join); pass
+    * Some(cap) only when the corpus size is already known. */
   def minhashLshPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 12, bands: Int = 4,
       minEst: Double = 0.5, n: Int = 3,
-      maxBucketSize: Int = graft.functions.Buckets.DefaultMaxBucketSize)
-      : DataFrame = {
+      maxBucketSize: Option[Int] = None): DataFrame = {
     require(k % bands == 0,
       s"signature length k=$k must divide into bands=$bands evenly")
+    // one bounded driver action (parquet count-star — no pipeline
+    // recompute) sizes the cap to the corpus when the caller didn't
+    val cap = maxBucketSize.getOrElse(graft.functions.Buckets.capFor(
+      docs.count(), graft.functions.Buckets.BandBits))
     val rows = k / bands
     // one shuffle builds every signature; persisted because the plan
     // references it three times (buckets + both pair sides)
@@ -207,7 +210,7 @@ object Dedup {
     val buckets = graft.functions.Buckets.cap(
       sigs.select(col("id"),
         explode(lshBuckets(col("sig"), bands, rows)).as("bucket")),
-      "bucket", maxBucketSize, "graft.lsh.minhash").persist()
+      "bucket", cap, "graft.lsh.minhash").persist()
     val cand = buckets.select(col("bucket"), col("id").as("a"))
       .join(buckets.select(col("bucket"), col("id").as("b")), Seq("bucket"))
       .filter(col("a") < col("b"))
@@ -259,8 +262,7 @@ object Dedup {
   def incrementalLshPairs(indexSigs: DataFrame, newDocs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text", k: Int = 12,
       bands: Int = 4, minEst: Double = 0.5, n: Int = 3,
-      maxBucketSize: Int = graft.functions.Buckets.DefaultMaxBucketSize)
-      : DataFrame =
+      maxBucketSize: Option[Int] = None): DataFrame =
     incrementalLshPairsManaged(indexSigs, newDocs, idCol, textCol, k,
       bands, minEst, n, maxBucketSize)._1
 
@@ -271,8 +273,7 @@ object Dedup {
   def incrementalLshPairsManaged(indexSigs: DataFrame, newDocs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text", k: Int = 12,
       bands: Int = 4, minEst: Double = 0.5, n: Int = 3,
-      maxBucketSize: Int = graft.functions.Buckets.DefaultMaxBucketSize)
-      : (DataFrame, () => Unit) = {
+      maxBucketSize: Option[Int] = None): (DataFrame, () => Unit) = {
     require(k % bands == 0,
       s"signature length k=$k must divide into bands=$bands evenly")
     val rows = k / bands
@@ -282,6 +283,11 @@ object Dedup {
     // COMPUTED frame (rather than a stored table scan) pays the
     // signature aggregation three times over
     val idx = indexSigs.persist()
+    // default cap sized to the ACCUMULATED corpus (index + delta) —
+    // the population the occupancy count runs over; both counts hit
+    // frames that are persisted and consumed below anyway
+    val cap = maxBucketSize.getOrElse(graft.functions.Buckets.capFor(
+      idx.count() + newSigs.count(), graft.functions.Buckets.BandBits))
     // cap on index+delta occupancy TOGETHER (one window shuffle on
     // bucket — the same exchange the index-side cap already paid), so
     // the within-batch self-join is bounded by the same policy as the
@@ -293,7 +299,7 @@ object Dedup {
         .unionByName(newSigs.select(col("id"),
             explode(lshBuckets(col("sig"), bands, rows)).as("bucket"))
           .withColumn("side", lit("d"))),
-      "bucket", maxBucketSize, "graft.lsh.incremental").persist()
+      "bucket", cap, "graft.lsh.incremental").persist()
     val newBuckets = allBuckets.filter(col("side") === "d").drop("side")
     val idxBuckets = allBuckets.filter(col("side") === "i").drop("side")
     val cross = idxBuckets.select(col("bucket"), col("id").as("i"))
@@ -491,8 +497,12 @@ object Dedup {
     * results are byte-identical with or without it. */
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", maxHamming: Int = 6,
-      maxBucketSize: Int = graft.functions.Buckets.DefaultMaxBucketSize,
+      maxBucketSize: Option[Int] = None,
       refineThreshold: Int = 2000): DataFrame = {
+    // default cap sized to expected 16-bit-band occupancy from one
+    // bounded count-star on the source (never a simhash recompute)
+    val cap = maxBucketSize.getOrElse(graft.functions.Buckets.capFor(
+      docs.count(), graft.functions.Buckets.BandBits))
     val withSim = simhashes(docs, idCol, textCol)
     val bands = withSim.select(col("id"), col("sim_lo"), col("sim_hi"),
       posexplode(array(
@@ -517,7 +527,7 @@ object Dedup {
     // refine+cap stage reduces to the one band-key exchange the plain
     // cap always cost. The threshold clamps to the cap so a tight cap
     // (tests, paranoid callers) can never be evaded by unrefined bands.
-    val thresh = math.min(refineThreshold, maxBucketSize)
+    val thresh = math.min(refineThreshold, cap)
     val withOcc = bands
       .withColumn("__band_occ", count(lit(1)).over(Window.partitionBy("band")))
     val cold = withOcc.filter(col("__band_occ") <= thresh)
@@ -529,7 +539,7 @@ object Dedup {
     // persisted: the capped frame (simhash pipeline + refine + cap)
     // feeds both sides of the candidate self-join
     val kept = cold
-      .unionByName(graft.functions.Buckets.cap(hot, "band", maxBucketSize,
+      .unionByName(graft.functions.Buckets.cap(hot, "band", cap,
         "graft.lsh.simhash"))
       .persist()
     val cand = kept.select(col("band"), col("id").as("a"),
@@ -555,22 +565,33 @@ object Dedup {
     * then exact cosine. The 100 TB path — candidate generation is a
     * bucket-key shuffle, recall governed by the table construction.
     * `planesPerTable` MUST grow with the corpus (the per-bucket join is
-    * quadratic in occupancy — size it with
-    * [[graft.vector.Ann.planesFor]]; BASELINE.md §4 has the measured
-    * blowup at a fixed 3 planes). Buckets above `maxBucketSize` are
-    * dropped and surfaced via the "graft.lsh.cosine" observation. */
+    * quadratic in occupancy; BASELINE.md §4 has the measured blowup at
+    * a fixed 3 planes), so BY DEFAULT both the plane count and the
+    * hot-bucket cap are derived from one bounded `emb.count()` —
+    * [[graft.vector.Ann.planesFor]] sizes the bucket count,
+    * [[graft.functions.Buckets.capFor]] the tolerated occupancy.
+    * Pass Some(...) only to pin a configuration (contrast baselines,
+    * oracle mirrors). Over-cap buckets are dropped and surfaced via
+    * the "graft.lsh.cosine" observation. */
   def cosineNearDupPairsLsh(emb: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", minCos: Double = 0.4,
-      dim: Int = 64, planesPerTable: Int = 3, nTables: Int = 8,
-      maxBucketSize: Int = graft.functions.Buckets.DefaultMaxBucketSize)
+      dim: Int = 64, planesPerTable: Option[Int] = None, nTables: Int = 8,
+      maxBucketSize: Option[Int] = None, targetBucketSize: Int = 250)
       : DataFrame = {
+    // one bounded driver action (count-star) sizes whichever of the
+    // two knobs the caller left to the corpus; skipped when both given
+    lazy val n = emb.count()
+    val planes = planesPerTable.getOrElse(
+      graft.vector.Ann.planesFor(n, targetBucketSize))
+    val cap = maxBucketSize.getOrElse(
+      graft.functions.Buckets.capFor(n, planes))
     // persisted: the capped frame (bucket explode + cap window) feeds
     // both sides of the candidate self-join
     val buckets = graft.functions.Buckets.cap(
       graft.vector.Ann
-        .withLshBuckets(emb, vecCol, dim, planesPerTable, nTables)
+        .withLshBuckets(emb, vecCol, dim, planes, nTables)
         .select(col(idCol).as("id"), col("bucket")),
-      "bucket", maxBucketSize, "graft.lsh.cosine").persist()
+      "bucket", cap, "graft.lsh.cosine").persist()
     val cand = buckets.select(col("bucket"), col("id").as("a"))
       .join(buckets.select(col("bucket"), col("id").as("b")), Seq("bucket"))
       .filter(col("a") < col("b"))

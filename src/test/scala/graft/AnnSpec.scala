@@ -121,6 +121,31 @@ class AnnSpec extends SparkSpec {
     hits.toDouble / truth.size should be > 0.5
   }
 
+  test("lshTopK defaults resolve to corpus-sized planes and cap") {
+    import graft.functions.Buckets
+    // the sizing math the defaults wire in: planes grow with the
+    // corpus (2^p buckets per table targeting ~targetBucketSize
+    // occupancy), the cap tracks the same geometry
+    Ann.planesFor(500L, 25) shouldBe 5
+    Ann.planesFor(50000L, 25) shouldBe 11
+    Ann.planesFor(100L) shouldBe 3 // floor at tiny corpora
+    Buckets.capFor(600L, 5) shouldBe 1000 // slack*expected under floor
+    // behavioral wiring: on a corpus where sizing ENGAGES (600 vectors
+    // at target 25 -> 5 planes, not the fixed 3), the default-arg call
+    // must be bit-identical to the explicitly planesFor/capFor-sized
+    // call — the production entry point derives, callers don't have to
+    val c = (0L until 600L).map { id =>
+      (id, Array.tabulate(64)(k => (((id * 31 + k * 7) % 97) / 97.0f) - 0.5f))
+    }.toDF("vec_id", "embedding")
+    val qs = c.filter($"vec_id" % 50 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Int, Long, Double)].collect().toSet
+    val p = Ann.planesFor(600L, 25)
+    rows(Ann.lshTopK(qs, c, k = 3, targetBucketSize = 25)) shouldBe
+      rows(Ann.lshTopK(qs, c, k = 3, planesPerTable = Some(p),
+        maxBucketSize = Some(Buckets.capFor(600L, p))))
+  }
+
   test("incremental IVF upsert equals a from-scratch reassign") {
     val base = emb.filter($"vec_id" % 10 =!= 0)
     val delta = emb.filter($"vec_id" % 10 === 0)

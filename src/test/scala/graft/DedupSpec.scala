@@ -206,10 +206,35 @@ class DedupSpec extends SparkSpec {
     val degenerate = (1L to 40L).map(i => (i, "all documents identical"))
       .toDF("doc_id", "text")
     Dedup.simhashPairs(degenerate, maxHamming = 6).count() shouldBe 780L
-    Dedup.simhashPairs(degenerate, maxHamming = 6, maxBucketSize = 39)
+    Dedup.simhashPairs(degenerate, maxHamming = 6, maxBucketSize = Some(39))
       .count() shouldBe 0L
     Dedup.minhashLshPairs(degenerate, k = 12, bands = 4, minEst = 0.5,
-      maxBucketSize = 39).count() shouldBe 0L
+      maxBucketSize = Some(39)).count() shouldBe 0L
+  }
+
+  test("default caps derive from the corpus at every LSH entry point") {
+    import graft.functions.Buckets
+    // a synthetic mega-clique: 1200 identical docs is ABOVE the derived
+    // floor cap (capFor(1200, 16) = 1000) — with the DEFAULT (None) cap
+    // the clique bucket must be dropped (and surfaced), while an
+    // explicit generous cap keeps all 1200*1199/2 pairs. This pins the
+    // round-9 wiring: production entry points size their own cap; the
+    // fixed constant survives only behind explicit Some(...).
+    val clique = (1L to 1200L).map(i => (i, "identical clique text"))
+      .toDF("doc_id", "text")
+    Dedup.minhashLshPairs(clique, k = 12, bands = 4, minEst = 0.5)
+      .count() shouldBe 0L
+    Dedup.simhashPairs(clique, maxHamming = 6).count() shouldBe 0L
+    Dedup.minhashLshPairs(clique, k = 12, bands = 4, minEst = 0.5,
+      maxBucketSize = Some(Buckets.DefaultMaxBucketSize))
+      .count() shouldBe (1200L * 1199 / 2)
+    // incremental path: accumulated (index + delta) population drives
+    // the derived cap, so the same clique split 50/50 is capped too
+    val isDelta = col("doc_id") > 600L
+    val idx = Dedup.minhashSignatures(
+      clique.filter(!isDelta), "doc_id", "text", 12, 3)
+    Dedup.incrementalLshPairs(idx, clique.filter(isDelta),
+      k = 12, bands = 4, minEst = 0.5).count() shouldBe 0L
   }
 
   test("capFor scales the bucket cap with expected occupancy") {
