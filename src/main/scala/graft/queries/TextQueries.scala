@@ -821,6 +821,179 @@ object TextQueries {
         .select(col("doc_id"), col("split_key"),
           TextFns.splitAssign(col("split_key")).as("split"))
         .orderBy("doc_id")
+    },
+
+    // THE full training-corpus build, end to end in ONE oracled query —
+    // the composition every stage above exists for, certifying that the
+    // column contracts actually chain:
+    //   gate (t11: exact-dup keeper + quality >= 0.5)
+    //     -> near-dup keep (d07/d13: Jaccard pairs + connected
+    //        components on the GATED survivors, canonical keeps)
+    //     -> decontaminate (t12: kept docs vs the full-corpus held-out
+    //        eval subset, drop >= 50% shingle overlap; eval docs never
+    //        train)
+    //     -> leakage-safe split (t26: whole-cluster hash gate, train)
+    //     -> deterministic shuffle + fixed-size shards (t08/t27:
+    //        RangeRank over md5(doc_id), shard = pos div 64)
+    //     -> sequence packing in shuffle order within each shard (t06:
+    //        2048-token contexts, window state bounded per shard).
+    // Output is the shard manifest a data-loader resumes from. Scale
+    // shape: each stage keeps its own verdict (rare-shingle blocking,
+    // one bounded action per cc round, 8-byte shingle joins, range
+    // exchange instead of SinglePartition, per-shard packing windows);
+    // the composition adds joins on doc_id only.
+    "t28_corpus_build" -> Q(
+      s"""WITH RECURSIVE
+         |nd AS (SELECT doc_id, $norm AS t FROM documents),
+         |fp AS (SELECT doc_id, md5(t) AS fp FROM nd),
+         |keepx AS (SELECT min(doc_id) AS doc_id FROM fp GROUP BY fp),
+         |q AS (
+         |  SELECT doc_id,
+         |         round(least(n::DOUBLE / 50.0, 1.0) * 0.5 +
+         |               (stop_n::DOUBLE / n::DOUBLE) * 0.3 +
+         |               (1.0 - punct_n::DOUBLE / chars::DOUBLE) * 0.2, 4)
+         |           AS quality
+         |  FROM (
+         |    SELECT doc_id,
+         |           len(string_split(t, ' ')) AS n,
+         |           len(list_filter(string_split(t, ' '),
+         |               w -> w IN $stopList)) AS stop_n,
+         |           len(regexp_extract_all(t, '[^a-z0-9 ]', 0)) AS punct_n,
+         |           len(t) AS chars
+         |    FROM nd)),
+         |gated AS (SELECT q.doc_id FROM q JOIN keepx ON q.doc_id = keepx.doc_id
+         |          WHERE q.quality >= 0.5),
+         |w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM nd),
+         |sh AS (
+         |  SELECT doc_id, unnest(list_transform(list_distinct(
+         |           list_transform(range(1, len(ws) - 1),
+         |             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])), s ->
+         |           list_reduce(list_transform(string_split(s, ''),
+         |               c -> CAST(ascii(c) AS BIGINT)),
+         |             (acc, x) -> (acc * 31 + x) % 1073741789) * 1073741824 +
+         |           list_reduce(list_transform(string_split(s, ''),
+         |               c -> CAST(ascii(c) AS BIGINT)),
+         |             (acc, x) -> (acc * 131 + x) % 1073741783))) AS sh
+         |  FROM w WHERE len(ws) >= 3),
+         |gsh AS (SELECT sh.doc_id, sh.sh FROM sh JOIN gated USING (doc_id)),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM gsh GROUP BY 1),
+         |rare AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM gsh GROUP BY 1)
+         |         WHERE df <= 50),
+         |blocked AS (SELECT doc_id, g.sh FROM gsh g JOIN rare USING (sh)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |  FROM blocked a JOIN blocked b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+         |inter AS (
+         |  SELECT c.a, c.b, count(*) AS i
+         |  FROM cand c JOIN gsh x ON x.doc_id = c.a
+         |  JOIN gsh y ON y.doc_id = c.b AND y.sh = x.sh
+         |  GROUP BY 1, 2),
+         |prs AS (
+         |  SELECT a, b
+         |  FROM inter JOIN sizes x ON a = x.doc_id JOIN sizes y ON b = y.doc_id
+         |  WHERE round(i * 1.0 / (x.n_sh + y.n_sh - i), 4) >= 0.8),
+         |und AS (SELECT a AS src, b AS dst FROM prs
+         |        UNION SELECT b, a FROM prs),
+         |cc AS (
+         |  SELECT src AS node, src AS label FROM und
+         |  UNION
+         |  SELECT u.dst, cc.label FROM cc JOIN und u ON cc.node = u.src),
+         |labels AS (SELECT node, min(label) AS cluster_id FROM cc GROUP BY 1),
+         |kept AS (SELECT g.doc_id FROM gated g LEFT JOIN labels l
+         |           ON g.doc_id = l.node
+         |         WHERE l.node IS NULL OR g.doc_id = l.cluster_id),
+         |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+         |trn AS (SELECT g.doc_id, g.sh FROM gsh g JOIN kept USING (doc_id)
+         |        WHERE g.doc_id % 97 <> 0),
+         |tsz AS (SELECT doc_id, count(*) AS n_sh FROM trn GROUP BY 1),
+         |shared AS (SELECT doc_id, count(*) AS n_shared
+         |           FROM trn JOIN ev USING (sh) GROUP BY 1),
+         |contam AS (SELECT t.doc_id FROM tsz t JOIN shared h USING (doc_id)
+         |           WHERE h.n_shared * 1.0 / t.n_sh >= 0.5),
+         |clean AS (SELECT doc_id FROM kept
+         |          WHERE doc_id % 97 <> 0
+         |            AND doc_id NOT IN (SELECT doc_id FROM contam)),
+         |tr2 AS (
+         |  SELECT c.doc_id FROM (
+         |    SELECT cl.doc_id, coalesce(l.cluster_id, cl.doc_id) AS split_key
+         |    FROM clean cl LEFT JOIN labels l ON cl.doc_id = l.node) c
+         |  WHERE list_reduce(list_transform(
+         |          string_split(md5(CAST(c.split_key AS VARCHAR)), ''),
+         |          ch -> CAST(ascii(ch) AS BIGINT)),
+         |          (acc, x) -> (acc * 31 + x) % 1000000007) % 100 < 80),
+         |r AS (
+         |  SELECT t2.doc_id,
+         |         row_number() OVER (ORDER BY md5(CAST(t2.doc_id AS VARCHAR)),
+         |                            t2.doc_id) AS pos,
+         |         len(regexp_extract_all(nd.t, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))
+         |           AS n_tok
+         |  FROM tr2 t2 JOIN nd ON t2.doc_id = nd.doc_id),
+         |p AS (
+         |  SELECT pos, n_tok,
+         |         CAST(floor((pos - 1) / 64.0) AS BIGINT) AS shard,
+         |         coalesce(CAST(sum(n_tok) OVER (
+         |           PARTITION BY CAST(floor((pos - 1) / 64.0) AS BIGINT)
+         |           ORDER BY pos
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |           AS BIGINT), 0) AS cum_before
+         |  FROM r)
+         |SELECT shard, count(*) AS n_docs,
+         |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |       CAST(max(floor(cum_before / 2048.0)) + 1 AS BIGINT) AS n_packs,
+         |       CAST(min(pos) AS BIGINT) AS pos_lo,
+         |       CAST(max(pos) AS BIGINT) AS pos_hi
+         |FROM p GROUP BY shard ORDER BY shard""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      // 1. gate: exact-dup keeper + quality threshold (t11)
+      val keepers = docs
+        .select(col("doc_id"), TextFns.fingerprintMd5(col("text")).as("fp"))
+        .groupBy("fp").agg(min("doc_id").as("doc_id")).select("doc_id")
+      val gated = docs.join(keepers, Seq("doc_id"), "left_semi")
+        .filter(TextFns.qualityScore(col("text")) >= 0.5)
+      // 2. near-dup clusters on the gated survivors (d07/d13)
+      val labels = graft.operators.ConnectedComponents.run(
+          graft.text.Dedup.ngramJaccardPairs(gated, maxDF = 50,
+            minJaccard = 0.8))
+        .withColumnRenamed("node", "doc_id")
+      val kept = gated.join(labels, Seq("doc_id"), "left")
+        .filter(col("label").isNull || col("doc_id") === col("label"))
+      // 3. decontaminate (t12): kept docs vs the FULL corpus's held-out
+      // subset — eval membership is corpus-wide, not gate-dependent
+      val isEval = col("doc_id") % 97 === 0
+      val contam = graft.text.Decontaminate.overlapStats(
+          docs.filter(isEval).select("doc_id", "text")
+            .unionByName(kept.filter(!isEval).select("doc_id", "text")),
+          col("doc_id") % 97 === 0)
+        .filter(col("n_shared") * 1.0 / col("n_sh") >= 0.5)
+        .select(col("id").as("doc_id"))
+      val clean = kept.filter(!isEval)
+        .join(contam, Seq("doc_id"), "left_anti")
+      // 4. leakage-safe split key -> train half (t26/t05)
+      val train = clean
+        .withColumn("split_key", coalesce(col("label"), col("doc_id")))
+        .filter(TextFns.splitAssign(col("split_key")) === "train")
+      // 5. deterministic shuffle + fixed-size shards (t08/t27)
+      val ranked = graft.operators.RangeRank.withGlobalRank(
+        train.select(col("doc_id"),
+          md5(col("doc_id").cast("string")).as("h"),
+          TextFns.bpeTokenCount(col("text")).as("n_tok")),
+        Seq(col("h"), col("doc_id")), "pos")
+      // 6. pack in shuffle order within each shard (t06) + manifest
+      val sharded = ranked
+        .withColumn("shard", floor((col("pos") - 1) / 64.0).cast("long"))
+      val w = Window.partitionBy("shard").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      sharded
+        .withColumn("cum_before", coalesce(sum("n_tok").over(w), lit(0L)))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").cast("long").as("n_tokens"),
+          (max(floor(col("cum_before") / 2048.0)) + 1).cast("long")
+            .as("n_packs"),
+          min("pos").as("pos_lo"),
+          max("pos").as("pos_hi"))
+        .orderBy("shard")
     }
   )
 }
