@@ -117,6 +117,66 @@ object Multimodal {
       .select(col("media_id"), col("n_win"), col("win_idx"), col("start_byte"),
         md5(expr(s"substring(content, start_byte + 1, $win)")).as("win_fp"))
 
+  /** 64-bit aHash-style perceptual fingerprint over the DECODED
+    * byte/sample stream (StubDecoder stand-in: the content bytes
+    * themselves; a real codec supplies the pixel/sample grid — the
+    * plan shape is identical): the stream splits into 64 equal spans,
+    * bit j = (span j's mean level > the stream's global mean) — the
+    * classic average-hash construction, so near-identical media differ
+    * in few bits and the hash drops straight into the SAME banded-LSH
+    * machinery as text SimHash
+    * ([[graft.text.Dedup.hashBandPairs]]). The bit test is the
+    * all-integer cross-multiplication `s*N > tot*c` (never a float
+    * mean), so any engine replays every bit exactly.
+    *
+    * Scale shape: one generator pass explodes (id, pos, code) rows,
+    * two hash aggregations with map-side partials collapse them to 64
+    * block rows then 1 hash row per object — data movement is bounded
+    * by id x block groups, not stream length. Returns
+    * (media_id, sim_lo, sim_hi) as two 32-bit halves (exact BIGINT
+    * arithmetic on both engines, same split as [[graft.text.Dedup]]'s
+    * SimHash). */
+  def perceptualHash(media: DataFrame): DataFrame = {
+    val codes = media.filter(length(col("content")) >= 1)
+      .select(col("media_id"), length(col("content")).cast("long").as("n"),
+        posexplode(transform(split(col("content").cast("string"), ""),
+          c => ascii(c).cast("long"))))
+      .toDF("media_id", "n", "pos", "code")
+    // block index by integer position scaling; 64*pos < 2^53 keeps the
+    // double floor exact for any plausible object size
+    val perBlock = codes
+      .withColumn("blk", floor(col("pos") * lit(64.0) / col("n")).cast("long"))
+      .groupBy("media_id", "blk")
+      .agg(sum("code").as("s"), count(lit(1)).as("c"))
+    val tots = perBlock.groupBy("media_id")
+      .agg(sum("s").as("tot"), sum("c").as("nn"))
+    perBlock.join(tots, "media_id")
+      .withColumn("bit", col("s") * col("nn") > col("tot") * col("c"))
+      .groupBy("media_id")
+      .agg(
+        sum(when(col("bit") && col("blk") < 32,
+          pow(lit(2.0), col("blk")).cast("long")).otherwise(0L)).as("sim_lo"),
+        sum(when(col("bit") && col("blk") >= 32,
+          pow(lit(2.0), col("blk") - 32).cast("long")).otherwise(0L))
+          .as("sim_hi"))
+  }
+
+  /** Multimodal near-duplicate pairs: [[perceptualHash]] fingerprints
+    * fed through the text-dedup family's banded-LSH machinery — the
+    * dedup operator for image/audio/video columns. Like every LSH
+    * entry point, the hot-bucket cap defaults to the occupancy-scaled
+    * [[graft.functions.Buckets.capFor]] derived from one bounded
+    * count-star; drops surface via the "graft.lsh.phash" observation.
+    * Returns (a, b, hamming) with a < b, hamming <= maxHamming. */
+  def perceptualNearDupPairs(media: DataFrame, maxHamming: Int = 6,
+      maxBucketSize: Option[Int] = None): DataFrame = {
+    val cap = maxBucketSize.getOrElse(graft.functions.Buckets.capFor(
+      media.count(), graft.functions.Buckets.BandBits))
+    graft.text.Dedup.hashBandPairs(
+      perceptualHash(media).withColumnRenamed("media_id", "id"),
+      maxHamming, cap, "graft.lsh.phash")
+  }
+
   /** Frame sampling for video media: one row per sampled frame index
     * (every `stride`-th frame of n_bytes/bytesPerFrame fake frames),
     * frame fingerprint derived from content fp + index. The generator

@@ -93,6 +93,62 @@ object MultimodalQueries {
           Multimodal.mediaFromDocuments(Tables.documents(s, d)),
           win = 256, hop = 128)
         .orderBy("media_id", "win_idx")
+    },
+
+    // multimodal near-dup: 64-bit aHash perceptual fingerprint (64
+    // equal spans of the decoded byte stream, bit = span mean > global
+    // mean, all-integer comparisons) fed through the SAME banded-LSH
+    // machinery as text SimHash (Dedup.hashBandPairs): 16-bit-band
+    // blocking, occupancy-derived hot-bucket cap, Hamming <= 6. The
+    // dedup family's member for image/audio/video columns — swap the
+    // byte-stub decode for a real codec and the plan is unchanged.
+    "m05_media_neardup" -> Q(
+      mediaCte.trim + ",\n" +
+        """codes AS (
+          |  SELECT media_id, len(content) AS n,
+          |         unnest(list_transform(range(1, len(content) + 1),
+          |           i -> {'p': i - 1,
+          |                 'cd': CAST(ascii(content[i:i]) AS BIGINT)})) AS u
+          |  FROM media WHERE len(content) >= 1),
+          |c2 AS (SELECT media_id, n, u.p AS pos, u.cd AS code FROM codes),
+          |pb AS (
+          |  SELECT media_id, CAST(floor(pos * 64.0 / n) AS BIGINT) AS blk,
+          |         sum(code) AS s, count(*) AS c
+          |  FROM c2 GROUP BY 1, 2),
+          |tots AS (SELECT media_id, sum(s) AS tot, sum(c) AS nn
+          |         FROM pb GROUP BY 1),
+          |h AS (
+          |  SELECT pb.media_id,
+          |         CAST(sum(CASE WHEN s * nn > tot * c AND blk < 32
+          |                       THEN (1::BIGINT << CAST(blk AS INTEGER))
+          |                       ELSE 0 END) AS BIGINT) AS sim_lo,
+          |         CAST(sum(CASE WHEN s * nn > tot * c AND blk >= 32
+          |                       THEN (1::BIGINT << CAST(blk - 32 AS INTEGER))
+          |                       ELSE 0 END) AS BIGINT) AS sim_hi
+          |  FROM pb JOIN tots USING (media_id) GROUP BY 1),
+          |bands AS (
+          |  SELECT media_id, sim_lo, sim_hi, unnest([
+          |           '0|' || CAST(sim_lo & 65535 AS VARCHAR),
+          |           '1|' || CAST((sim_lo >> 16) & 65535 AS VARCHAR),
+          |           '2|' || CAST(sim_hi & 65535 AS VARCHAR),
+          |           '3|' || CAST((sim_hi >> 16) & 65535 AS VARCHAR)]) AS band
+          |  FROM h),
+          |cand AS (
+          |  SELECT DISTINCT a.media_id AS a, b.media_id AS b,
+          |         a.sim_lo AS loa, a.sim_hi AS hia,
+          |         b.sim_lo AS lob, b.sim_hi AS hib
+          |  FROM bands a JOIN bands b
+          |    ON a.band = b.band AND a.media_id < b.media_id)
+          |SELECT a, b,
+          |       CAST(bit_count(xor(loa, lob)) + bit_count(xor(hia, hib))
+          |            AS BIGINT) AS hamming
+          |FROM cand
+          |WHERE bit_count(xor(loa, lob)) + bit_count(xor(hia, hib)) <= 6
+          |ORDER BY a, b""".stripMargin) { (s, d) =>
+      Multimodal.perceptualNearDupPairs(
+          Multimodal.mediaFromDocuments(Tables.documents(s, d)),
+          maxHamming = 6)
+        .orderBy("a", "b")
     }
   )
 }

@@ -503,8 +503,23 @@ object Dedup {
     // bounded count-star on the source (never a simhash recompute)
     val cap = maxBucketSize.getOrElse(graft.functions.Buckets.capFor(
       docs.count(), graft.functions.Buckets.BandBits))
-    val withSim = simhashes(docs, idCol, textCol)
-    val bands = withSim.select(col("id"), col("sim_lo"), col("sim_hi"),
+    hashBandPairs(simhashes(docs, idCol, textCol), maxHamming, cap,
+      "graft.lsh.simhash", refineThreshold)
+  }
+
+  /** Banded near-dup candidate generation over ANY 64-bit locality-
+    * sensitive hash held as two 32-bit halves `(id, sim_lo, sim_hi)`:
+    * 16-bit-band blocking, occupancy-adaptive sub-banding above
+    * `refineThreshold`, the hard hot-bucket cap, then the exact
+    * Hamming filter. Text SimHash (d04) and the multimodal perceptual
+    * hash (m05, [[graft.multimodal.Multimodal.perceptualHash]]) both
+    * feed this — one banding machinery, every modality that can
+    * produce a Hamming-space fingerprint. `metricName` labels the
+    * drop-counter observation and must be query-unique. */
+  def hashBandPairs(hashes: DataFrame, maxHamming: Int, maxBucketSize: Int,
+      metricName: String, refineThreshold: Int = 2000): DataFrame = {
+    val cap = maxBucketSize
+    val bands = hashes.select(col("id"), col("sim_lo"), col("sim_hi"),
       posexplode(array(
         col("sim_lo").bitwiseAND(65535L),
         shiftright(col("sim_lo"), 16).bitwiseAND(65535L),
@@ -540,7 +555,7 @@ object Dedup {
     // feeds both sides of the candidate self-join
     val kept = cold
       .unionByName(graft.functions.Buckets.cap(hot, "band", cap,
-        "graft.lsh.simhash"))
+        metricName))
       .persist()
     val cand = kept.select(col("band"), col("id").as("a"),
         col("sim_lo").as("loa"), col("sim_hi").as("hia"))

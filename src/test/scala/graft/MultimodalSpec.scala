@@ -60,4 +60,45 @@ class MultimodalSpec extends SparkSpec {
       .agg(max("frame_idx").as("mx"), first("n_frames").as("n"))
       .filter($"mx" > $"n").count() shouldBe 0
   }
+
+  test("perceptual hash: identical media collide, distinct media separate") {
+    import org.apache.spark.sql.functions.lit
+    val long = ("the quick brown fox jumps over the lazy dog and keeps " +
+      "running through the long field of words ") * 6
+    val other = ("entirely different content built from another set of " +
+      "symbols numbers 12345 and punctuation !!! ??? ;;; ") * 6
+    val m = Seq(
+      (1L, long), (2L, long), // exact duplicates
+      (3L, long + " tiny suffix"), // near-duplicate
+      (4L, other))
+      .toDF("media_id", "text")
+      .select($"media_id", lit("image").as("kind"),
+        $"text".cast("binary").as("content"))
+    val h = Multimodal.perceptualHash(m)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    h(1L) shouldBe h(2L) // identical bytes -> identical 64 bits
+    def hamming(a: (Long, Long), b: (Long, Long)) =
+      java.lang.Long.bitCount(a._1 ^ b._1) + java.lang.Long.bitCount(a._2 ^ b._2)
+    hamming(h(1L), h(3L)) should be < hamming(h(1L), h(4L))
+    // the pair machinery (banded LSH + Hamming filter) finds the dup
+    val pairs = Multimodal.perceptualNearDupPairs(m, maxHamming = 6)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    pairs should contain((1L, 2L))
+    pairs should not contain ((1L, 4L))
+  }
+
+  test("perceptual near-dup derives its hot-bucket cap like every LSH door") {
+    import org.apache.spark.sql.functions.lit
+    // 1200 identical objects: one band bucket of 1200 > the derived
+    // floor cap (capFor(1200, 16) = 1000) -> dropped and surfaced;
+    // an explicit generous cap keeps the full clique
+    val clique = (1L to 1200L).map(i => (i, "identical media payload"))
+      .toDF("media_id", "text")
+      .select($"media_id", lit("image").as("kind"),
+        $"text".cast("binary").as("content"))
+    Multimodal.perceptualNearDupPairs(clique).count() shouldBe 0L
+    Multimodal.perceptualNearDupPairs(clique,
+      maxBucketSize = Some(graft.functions.Buckets.DefaultMaxBucketSize))
+      .count() shouldBe (1200L * 1199 / 2)
+  }
 }
