@@ -144,10 +144,11 @@ object ScaleProbe {
     // as the corpus grows — sized planes restore bucket-local work.
     val emb = sources.Tables.embeddings(spark, dir)
     val planes = vector.Ann.planesFor(emb.count())
-    // s11 contrast: the row_number-window plan the bounded-heap TopKAgg
-    // replaced, on the same scaled corpus — per label, the window sorts
-    // EVERY candidate of a query in one partition; the heap ships <= k
-    // rows per query per task. The delta is the measured cost of the
+    // s11 contrast (LABELED CONTRAST BASELINE — do not ship at scale):
+    // the row_number-window plan the bounded-heap TopKAgg replaced, on
+    // the same scaled corpus — per label, the window sorts EVERY
+    // candidate of a query in one partition; the heap ships <= k rows
+    // per query per task. The delta is the measured cost of the
     // scale-killer pattern.
     def s11ViaWindow(d: String): Long = {
       import org.apache.spark.sql.expressions.Window
@@ -209,8 +210,13 @@ object ScaleProbe {
       s""""sized_cap":$sizedCap,""" +
       s""""scaled_drops":$dropJs,"sf":"$src"}"""
     println(line)
-    ProbeLog.record(metricName, line)
+    val regressions = ProbeLog.recordGated(metricName, line)
     spark.stop()
+    if (regressions.nonEmpty) {
+      regressions.foreach(r =>
+        System.err.println(s"[probe] REGRESSION vs committed PROBES.json: $r"))
+      sys.exit(1)
+    }
   }
 }
 
@@ -290,8 +296,13 @@ object EventScaleProbe {
       s""""base":${js(base)},"scaled":${js(scaled)},""" +
       s""""ratios":${ProbeLog.ratios(base, scaled)},"sf":"$src"}"""
     println(line)
-    ProbeLog.record(metricName, line)
+    val regressions = ProbeLog.recordGated(metricName, line)
     spark.stop()
+    if (regressions.nonEmpty) {
+      regressions.foreach(r =>
+        System.err.println(s"[probe] REGRESSION vs committed PROBES.json: $r"))
+      sys.exit(1)
+    }
   }
 }
 
@@ -373,8 +384,9 @@ object SkewProbe {
     // BM25 with a HOT query term: "alpha" is in every document, so the
     // hot query's candidate set is the whole corpus. The heap path
     // (t23's production plan) ships <= 5 rows per query per task; the
-    // window contrast sorts every candidate of the hot query in ONE
-    // partition — the measured price of the pattern t23 abandoned.
+    // window contrast (LABELED CONTRAST BASELINE — do not ship at
+    // scale) sorts every candidate of the hot query in ONE partition —
+    // the measured price of the pattern t23 abandoned.
     val hotSearches = Seq(
       "hot_term" -> Seq("alpha", "table", "merge"),
       "query_shape" -> Seq("join", "filter", "window"))
@@ -412,8 +424,13 @@ object SkewProbe {
       s""""ratios":${ProbeLog.ratios(skew1, skewN)},""" +
       s""""bm25_hot":${js(hot)},"sf":"$src"}"""
     println(line)
-    ProbeLog.record(metricName, line)
+    val regressions = ProbeLog.recordGated(metricName, line)
     spark.stop()
+    if (regressions.nonEmpty) {
+      regressions.foreach(r =>
+        System.err.println(s"[probe] REGRESSION vs committed PROBES.json: $r"))
+      sys.exit(1)
+    }
   }
 }
 
@@ -482,7 +499,106 @@ object StreamScaleProbe {
       s""""base":${js(base)},"scaled":${js(scaled)},""" +
       s""""ratios":${ProbeLog.ratios(base, scaled)},"sf":"$src"}"""
     println(line)
-    ProbeLog.record(metricName, line)
+    val regressions = ProbeLog.recordGated(metricName, line)
     spark.stop()
+    if (regressions.nonEmpty) {
+      regressions.foreach(r =>
+        System.err.println(s"[probe] REGRESSION vs committed PROBES.json: $r"))
+      sys.exit(1)
+    }
+  }
+}
+
+/** Zipf-duplication variant of the dedup scale probe (VERDICT r8 task
+  * 5): the standing 100x corpus is duplicate-SATURATED — every doc sits
+  * in a clique of `copies` — so st11/d04's ~10x time ratios there are
+  * output-bound (pair output grew 8 813–108 497x) and say nothing about
+  * per-row overhead. This corpus duplicates only ~1% of docs (doc_id %
+  * 100 == 0 becomes a clique of `copies`); the other 99% of each copy
+  * is caesar-shifted into genuinely DISTINCT content (different words,
+  * different shingles/simhash bits, same length statistics) — the
+  * realistic crawl profile. If the saturated ratio was output-tracking,
+  * the Zipf time ratio must collapse toward flat-per-input; a ratio
+  * that STAYS super-linear here would expose real per-row overhead.
+  *
+  * Run: `SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01
+  * SPARK_GRAFT_SCALE_COPIES=100 sbt "runMain graft.ZipfScaleProbe"`.
+  */
+object ZipfScaleProbe {
+
+  private val Subset = Seq(
+    "d03_minhash_lsh", "d04_simhash", "st11_stream_ingest_dedup")
+
+  private val IdStride = 10000000L
+
+  private def synthesize(spark: SparkSession, src: String, dir: String,
+      copies: Int): Unit = {
+    if (new java.io.File(s"$dir/_READY").exists()) return
+    val docs = sources.Tables.documents(spark, src)
+    val abc = "abcdefghijklmnopqrstuvwxyz"
+    (0 until copies).map { k =>
+      if (k == 0) docs
+      else {
+        // 1% clique members stay near-duplicates (suffixed); the rest
+        // rotate through a per-copy substitution alphabet — distinct
+        // words, so no cross-copy shingle/simhash collisions
+        val rot = (k % 25) + 1
+        val shifted = abc.drop(rot) + abc.take(rot)
+        docs.select(
+          (col("doc_id") + lit(k * IdStride)).as("doc_id"),
+          when(col("doc_id") % 100 === 0,
+            concat(col("text"), lit(s" variant $k")))
+            .otherwise(translate(col("text"), abc, shifted)).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    new java.io.File(s"$dir/_READY").createNewFile()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "100").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.register(spark)
+
+    val srcTag = new java.io.File(src).getName
+    val dir = s"/tmp/graft-zipf-$srcTag-$copies"
+    synthesize(spark, src, dir, copies)
+
+    val wdocs = sources.Tables.documents(spark, src)
+    wdocs.join(wdocs.select("doc_id"), "doc_id").agg(count(lit(1))).collect()
+
+    def runSet(d: String): Seq[(String, Double, Long)] = Subset.map { n =>
+      System.err.println(s"[probe] $n @ $d")
+      val t0 = System.nanoTime()
+      val rows = SparkEntry.queries(n)(spark, d).count()
+      (n, (System.nanoTime() - t0) / 1e9, rows)
+    }
+    val base = runSet(src)
+    val scaled = runSet(dir)
+
+    import ProbeLog.js
+    val metricName =
+      if (copies == 10) "scale_probe_zipf" else s"scale_probe_zipf_${copies}x"
+    val line = s"""{"metric":"$metricName","copies":$copies,""" +
+      s""""base":${js(base)},"scaled":${js(scaled)},""" +
+      s""""ratios":${ProbeLog.ratios(base, scaled)},"sf":"$src"}"""
+    println(line)
+    val regressions = ProbeLog.recordGated(metricName, line)
+    spark.stop()
+    if (regressions.nonEmpty) {
+      regressions.foreach(r =>
+        System.err.println(s"[probe] REGRESSION vs committed PROBES.json: $r"))
+      sys.exit(1)
+    }
   }
 }

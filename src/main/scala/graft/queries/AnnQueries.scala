@@ -126,7 +126,11 @@ object AnnQueries {
 
   val all: Map[String, Q] = Map(
 
-    // exact cosine top-5 for a 1-in-25 query sample — the ANN baseline.
+    // exact cosine top-5 for a 1-in-25 query sample — the exact
+    // correctness baseline the approximate indexes (s02/s03/s08) are
+    // measured against (s09 recall). LABELED CONTRAST BASELINE — do
+    // not ship at scale: the |Q| x |C| dense scan is the priced
+    // anti-pattern; lshTopK/ivfTopK are the corpus-scale paths.
     "s01_ann_brute" -> Q(
       vCte +
         s"""ranked AS (
@@ -604,6 +608,9 @@ object AnnQueries {
       import graft.text.TextFns
       import org.apache.spark.sql.expressions.Window
       val emb = Tables.embeddings(s, d)
+      // dense leg = exact brute force: LABELED CONTRAST BASELINE — do
+      // not ship at scale; swap in lshTopK/ivfTopK for the corpus-
+      // scale dense leg (same (q, cand, rank) contract feeds the RRF)
       val dense = Ann.bruteForceTopK(
           emb.filter(col("vec_id") % 50 === 0), emb, k = 10)
         .select(col("q"), col("b").as("cand"), col("rank").as("dr"))

@@ -331,9 +331,13 @@ object DedupQueries {
         .orderBy("a", "b")
     },
 
-    // embedding-cosine near-dup: vectors unit-normalized once, pair
-    // cosine is a single dot fold — both engines compute the identical
-    // sequential sum, so results match bit-for-bit.
+    // embedding-cosine near-dup, ALL-PAIRS — LABELED CONTRAST
+    // BASELINE, do not ship at scale: the O(n²) cross join exists to
+    // price the anti-pattern next to the LSH-blocked d06/d11 (the
+    // scale probe excludes it above 10x for exactly that reason).
+    // Vectors unit-normalized once, pair cosine a single dot fold —
+    // both engines compute the identical sequential sum, so results
+    // match bit-for-bit.
     "d05_cosine_neardup" -> Q(
       """WITH n AS (
         |  SELECT vec_id,

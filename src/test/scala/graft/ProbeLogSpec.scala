@@ -1,0 +1,96 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+/** The PROBES.json regression gate: replace-by-metric recording would
+  * otherwise let a future edit silently overwrite a good row with a
+  * degenerate one — the gate turns that into a nonzero probe exit.
+  */
+class ProbeLogSpec extends AnyFunSuite with Matchers {
+
+  private def line(ratios: String = "", drops: String = "",
+      scaled: String = ""): String =
+    s"""{"metric":"m","copies":10,"scaled":{$scaled},""" +
+      s""""ratios":{$ratios},"scaled_drops":{$drops},"sf":"x"}"""
+
+  test("metric field is parsed, not substring-matched") {
+    ProbeLog.metricOf("""{"metric":"scale_probe","x":1}""") shouldBe
+      Some("scale_probe")
+    // a VALUE mentioning another metric's name must not match
+    ProbeLog.metricOf("""{"metric":"a","note":"\"metric\":\"b\""}""") shouldBe
+      Some("a")
+    ProbeLog.metricOf("not json") shouldBe None
+  }
+
+  test("time_ratio doubling (plus slack) is a regression; drift is not") {
+    val old = line(ratios = """"q1":{"time_ratio":4.40,"rows_ratio":1.0}""")
+    // 4.4 -> 6.0: host drift band, clean
+    ProbeLog.regressionsVs(old,
+      line(ratios = """"q1":{"time_ratio":6.00,"rows_ratio":1.0}""")) shouldBe
+      Seq.empty
+    // 4.4 -> 10.2 (> 2x + 1.0): shape change, flagged
+    val regs = ProbeLog.regressionsVs(old,
+      line(ratios = """"q1":{"time_ratio":10.20,"rows_ratio":1.0}"""))
+    regs should have size 1
+    regs.head should include("q1")
+    // sub-1x committed ratios gate against the 1.0 floor, so noise on
+    // fast queries (0.7 -> 1.5) stays clean ...
+    val oldFlat = line(ratios = """"q2":{"time_ratio":0.70,"rows_ratio":1.0}""")
+    ProbeLog.regressionsVs(oldFlat,
+      line(ratios = """"q2":{"time_ratio":1.50,"rows_ratio":1.0}""")) shouldBe
+      Seq.empty
+    // ... but a flat row turning super-linear is flagged
+    ProbeLog.regressionsVs(oldFlat,
+      line(ratios = """"q2":{"time_ratio":3.10,"rows_ratio":1.0}""")) should
+      have size 1
+  }
+
+  test("a drop counter going zero -> nonzero is a regression") {
+    val old = line(drops = """"graft.lsh.minhash":0""")
+    ProbeLog.regressionsVs(old,
+      line(drops = """"graft.lsh.minhash":0""")) shouldBe Seq.empty
+    ProbeLog.regressionsVs(old,
+      line(drops = """"graft.lsh.minhash":123""")).head should
+      include("graft.lsh.minhash")
+    // a counter that was ALREADY nonzero in the committed row (a known,
+    // documented drop regime) is not re-flagged
+    val oldDropping = line(drops = """"graft.lsh.simhash":50""")
+    ProbeLog.regressionsVs(oldDropping,
+      line(drops = """"graft.lsh.simhash":80""")) shouldBe Seq.empty
+  }
+
+  test("a completed row turning rows=-1 is a regression") {
+    val old = line(scaled = """"d06_sized":{"sec":10.0,"rows":120}""")
+    ProbeLog.regressionsVs(old,
+      line(scaled = """"d06_sized":{"sec":99.0,"rows":-1}""")).head should
+      include("d06_sized")
+    // already-failed contrast rows stay non-regressions
+    val oldFailed = line(scaled = """"d05":{"sec":9.0,"rows":-1}""")
+    ProbeLog.regressionsVs(oldFailed,
+      line(scaled = """"d05":{"sec":9.0,"rows":-1}""")) shouldBe Seq.empty
+  }
+
+  test("record replaces by parsed metric and gates against the old row") {
+    val f = java.nio.file.Files.createTempDirectory("probelog")
+      .resolve("PROBES.json")
+    System.setProperty("graft.probes.file", f.toString)
+    try {
+      ProbeLog.record("a", line(ratios = """"q":{"time_ratio":1.0}""")
+        .replaceFirst("\"m\"", "\"a\""))
+      ProbeLog.record("b", """{"metric":"b","v":1}""")
+      // same metric replaces its row, the other row survives
+      val regs = ProbeLog.recordGated("a",
+        line(ratios = """"q":{"time_ratio":9.9}""")
+          .replaceFirst("\"m\"", "\"a\""))
+      regs should have size 1 // gated vs the committed 1.0 row
+      val lines = new String(java.nio.file.Files.readAllBytes(f))
+        .split("\n").filter(_.nonEmpty)
+      lines should have size 2
+      lines.count(l => ProbeLog.metricOf(l).contains("a")) shouldBe 1
+      ProbeLog.currentLine("a").get should include("9.9")
+      // a metric with no committed row gates clean
+      ProbeLog.recordGated("c", """{"metric":"c","v":2}""") shouldBe Seq.empty
+    } finally System.clearProperty("graft.probes.file")
+  }
+}
