@@ -341,4 +341,57 @@ class StreamingSpec extends SparkSpec {
     dim() shouldBe Seq((1L, "a", 10L, Some(20L)), (1L, "b", 20L, Some(30L)),
       (1L, "c", 30L, Some(40L)), (1L, "d", 40L, None), (2L, "x", 15L, None))
   }
+
+  test("st15 crash between dim MERGE and checkpoint commit converges") {
+    // the partial-commit boundary the replay contract exists for: the
+    // last batch's MERGE is fully committed to the dimension (manifest
+    // renamed) but the STREAMING checkpoint never recorded the batch —
+    // on restart the source re-delivers it and the fold must converge
+    // to the byte-identical dimension instead of corrupting history
+    import graft.streaming.StreamingScd2
+    val root = Files.createTempDirectory("scd2crash").toString
+    def publishSlice(rows: Seq[(Long, Long, String, Long)],
+        append: Boolean, mtime: Long): Unit = {
+      val ev = rows.toDF("event_id", "user_id", "event_type", "t")
+        .select(col("event_id"), col("t").cast("timestamp").as("ts"),
+          col("user_id"), col("event_type"),
+          lit(1.0).as("value"), lit("{}").as("props"))
+      val dir = new java.io.File(s"$root/topic")
+      val before = Option(dir.listFiles())
+        .map(_.map(_.getName).toSet).getOrElse(Set.empty[String])
+      Topic.publishEvents(ev, s"$root/topic", nFiles = 1, append = append)
+      dir.listFiles().filter(f => !before.contains(f.getName))
+        .foreach(_.setLastModified(mtime))
+    }
+    // two ascending time slices -> two micro-batches at 1 file/trigger
+    publishSlice(Seq((1L, 1L, "a", 10L), (2L, 1L, "b", 20L),
+      (3L, 2L, "x", 15L)), append = false, mtime = 1000000L)
+    publishSlice(Seq((4L, 1L, "c", 30L), (5L, 2L, "y", 40L)),
+      append = true, mtime = 2000000L)
+    def dimRows() = KeyedUpsert.read(spark, s"$root/dim")
+      .select("user_id", "event_type", "valid_from", "valid_to")
+      .as[(Long, String, Long, Option[Long])]
+      .collect().toSeq.sortBy(r => (r._1, r._3))
+    StreamingScd2.runEventsDim(spark, s"$root/topic", s"$root/dim",
+      s"$root/ckpt")
+    val expect = dimRows()
+    expect.map(r => (r._1, r._2)) should contain allOf
+      ((1L, "c"), (2L, "y")) // both batches landed
+    // crash simulation: drop the newest checkpoint commit marker — the
+    // dim keeps the batch, the stream forgets it
+    val commits = new java.io.File(s"$root/ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+    commits.length should be >= 2
+    commits.last.delete() shouldBe true
+    // the local ChecksumFs keeps a hidden .N.crc sidecar; a crashed
+    // process would have written neither — remove it too or the
+    // restart's commit rename trips over the orphan
+    new java.io.File(commits.last.getParentFile,
+      s".${commits.last.getName}.crc").delete()
+    // restart: the source re-delivers the half-committed batch; the
+    // whole-batch replay folds to the identical dimension
+    StreamingScd2.runEventsDim(spark, s"$root/topic", s"$root/dim",
+      s"$root/ckpt")
+    dimRows() shouldBe expect
+  }
 }
