@@ -176,6 +176,23 @@ object ScaleProbe {
     // behavior (all buckets well under it), so the standing rows are
     // comparable.
     val sizedCap = functions.Buckets.capFor(emb.count(), planes)
+    // constant-query-load corpus-scaling contrast: the registered s02's
+    // query set is every 25th vector, so it grows WITH the corpus and
+    // its time ratio folds query-count scaling into corpus scaling.
+    // These rows pin the query load to the 1x corpus's sample on both
+    // the 1x and Nx corpora, so the ratio isolates corpus growth:
+    // sized planes hold per-query candidate work ~flat, while the
+    // fixed-3 contrast's per-bucket occupancy — and so its per-query
+    // candidates — grows linearly with the corpus.
+    val baseEmb = sources.Tables.embeddings(spark, src)
+    val baseQs = baseEmb.filter(col("vec_id") % 25 === 0)
+    def fixedQSized(corpus: org.apache.spark.sql.DataFrame): Long =
+      vector.Ann.lshTopK(baseQs, corpus, k = 3,
+        targetBucketSize = 25).count()
+    def fixedQFixed3(corpus: org.apache.spark.sql.DataFrame): Long =
+      vector.Ann.lshTopK(baseQs, corpus, k = 3, planesPerTable = Some(3),
+        maxBucketSize = Some(functions.Buckets.DefaultMaxBucketSize))
+        .count()
     val sized = Seq(
       // planesFor/capFor are the in-operator DEFAULTS since round 9, so
       // the standing s02_ann_lsh subset row already measures the sized
@@ -184,6 +201,12 @@ object ScaleProbe {
       "d06_sized" -> (() => text.Dedup.cosineNearDupPairsLsh(
         emb, planesPerTable = Some(planes),
         maxBucketSize = Some(sizedCap)).count()),
+      "s02_fixedq_sized_1x" -> (() => fixedQSized(baseEmb)),
+      s"s02_fixedq_sized_${copies}x" -> (() =>
+        fixedQSized(sources.Tables.embeddings(spark, dir))),
+      "s02_fixedq_fixed3_1x" -> (() => fixedQFixed3(baseEmb)),
+      s"s02_fixedq_fixed3_${copies}x" -> (() =>
+        fixedQFixed3(sources.Tables.embeddings(spark, dir))),
       "s11_window_contrast" -> (() => s11ViaWindow(dir))
     ).map { case (n, f) =>
       System.err.println(s"[probe] $n (sized/contrast)")

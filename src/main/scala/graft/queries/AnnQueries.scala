@@ -682,6 +682,66 @@ object AnnQueries {
         .orderBy("q", "rank")
     },
 
+    // Matryoshka-truncation acceptance metric: recall@10 of the
+    // 16-dim-truncated-and-renormalized embedding space against the
+    // full 64-dim exact ranking — the measurement a pipeline publishes
+    // before shipping dimension-reduced vectors (4x smaller index,
+    // quality loss quantified per query, same metric family as s09's
+    // IVF recall). Both rankings are the exact brute-force scan — the
+    // measuring instrument here, like s09/s01 (LABELED CONTRAST
+    // BASELINE shape — a production corpus measures on a sample).
+    // Integer hit counts, deterministic cross-engine.
+    "s13_matryoshka_recall" -> Q(
+      """WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id,
+        |         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn
+        |  FROM e),
+        |e16 AS (SELECT vec_id, v[1:16] AS v FROM e),
+        |n16 AS (
+        |  SELECT vec_id,
+        |         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS vn
+        |  FROM e16),
+        |exk AS (
+        |  SELECT q, b FROM (
+        |    SELECT q.vec_id AS q, c.vec_id AS b,
+        |           row_number() OVER (PARTITION BY q.vec_id
+        |             ORDER BY list_dot_product(q.vn, c.vn) DESC, c.vec_id)
+        |             AS rank
+        |    FROM n q JOIN n c ON q.vec_id != c.vec_id
+        |    WHERE q.vec_id % 25 = 0) WHERE rank <= 10),
+        |tk AS (
+        |  SELECT q, b FROM (
+        |    SELECT q.vec_id AS q, c.vec_id AS b,
+        |           row_number() OVER (PARTITION BY q.vec_id
+        |             ORDER BY list_dot_product(q.vn, c.vn) DESC, c.vec_id)
+        |             AS rank
+        |    FROM n16 q JOIN n16 c ON q.vec_id != c.vec_id
+        |    WHERE q.vec_id % 25 = 0) WHERE rank <= 10)
+        |SELECT exk.q, count(tk.b) AS n_hit,
+        |       round(count(tk.b) / 10.0, 4) AS recall
+        |FROM exk LEFT JOIN tk ON exk.q = tk.q AND exk.b = tk.b
+        |GROUP BY exk.q ORDER BY exk.q""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val emb16 = emb.select(col("vec_id"),
+        slice(col("embedding"), 1, 16).as("embedding"))
+      val full = Ann.bruteForceTopK(
+          emb.filter(col("vec_id") % 25 === 0), emb, k = 10)
+        .select(col("q"), col("b"))
+      val trunc = Ann.bruteForceTopK(
+          emb16.filter(col("vec_id") % 25 === 0), emb16, k = 10)
+        .select(col("q").as("tq"), col("b").as("tb"))
+      full.join(trunc, col("q") === col("tq") && col("b") === col("tb"),
+          "left")
+        .groupBy("q")
+        .agg(count(col("tb")).as("n_hit"))
+        .select(col("q"), col("n_hit"),
+          round(col("n_hit") / 10.0, 4).as("recall"))
+        .orderBy("q")
+    },
+
     // Filtered vector search: top-3 cosine neighbors among SAME-label
     // vectors only (the "similar docs in my language/shard" production
     // query). The label is an equi-join key — both sides co-partition

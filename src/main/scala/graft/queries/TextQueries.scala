@@ -994,6 +994,62 @@ object TextQueries {
           min("pos").as("pos_lo"),
           max("pos").as("pos_hi"))
         .orderBy("shard")
+    },
+
+    // temperature-based mixture sampling (the multilingual-LM data-mix
+    // standard, e.g. mC4/XLM-R's alpha-smoothing): per-source sampling
+    // shares follow tok_s^alpha (alpha = 0.5 via sqrt — exactly
+    // rounded IEEE, so both engines derive identical doubles)
+    // renormalized over sources, a 5000-token target budget converts
+    // shares to per-source keep RATES (head sources downsample, tail
+    // sources keep everything), and per-doc inclusion is the
+    // deterministic ppm hash gate — zero RNG, reproducible at any
+    // partitioning. The cross-source normalizer sums DECIMAL(30,15)
+    // (order-independent), never raw doubles. Scale shape: two
+    // source-level aggregates (|sources| rows) broadcast back over one
+    // corpus scan.
+    "t29_temperature_mix" -> Q(
+      s"""WITH t AS (
+         |  SELECT doc_id, source, len(string_split($norm, ' ')) AS n_tok
+         |  FROM documents),
+         |s AS (SELECT source, CAST(sum(n_tok) AS BIGINT) AS tok_s
+         |      FROM t GROUP BY 1),
+         |z AS (SELECT CAST(sum(CAST(sqrt(CAST(tok_s AS DOUBLE))
+         |                        AS DECIMAL(30,15))) AS DOUBLE) AS z
+         |      FROM s),
+         |r AS (
+         |  SELECT source, tok_s,
+         |         CAST(floor(least(1.0,
+         |             (5000.0 * (sqrt(CAST(tok_s AS DOUBLE)) / z)) / tok_s)
+         |           * 1000000.0) AS BIGINT) AS rate_ppm
+         |  FROM s, z)
+         |SELECT t.doc_id, t.source, CAST(t.n_tok AS BIGINT) AS n_tok,
+         |       r.rate_ppm
+         |FROM t JOIN r USING (source)
+         |WHERE list_reduce(list_transform(
+         |        string_split(md5(CAST(t.doc_id AS VARCHAR) || ':' || t.source), ''),
+         |        c -> CAST(ascii(c) AS BIGINT)),
+         |        (acc, x) -> (acc * 31 + x) % 1000000007) % 1000000
+         |      < r.rate_ppm
+         |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      val t = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        TextFns.tokenCount(col("text")).as("n_tok"))
+      val bySrc = t.groupBy("source").agg(sum("n_tok").as("tok_s"))
+      val zRow = bySrc
+        .agg(sum(sqrt(col("tok_s").cast("double"))
+          .cast(DecimalType(30, 15))).as("zd"))
+        .select(col("zd").cast("double").as("z"))
+      val rates = bySrc.crossJoin(broadcast(zRow))
+        .withColumn("share", sqrt(col("tok_s").cast("double")) / col("z"))
+        .withColumn("rate_ppm",
+          floor(least(lit(1.0), (lit(5000.0) * col("share")) / col("tok_s"))
+            * lit(1000000.0)).cast("long"))
+        .select("source", "rate_ppm")
+      t.join(broadcast(rates), "source")
+        .where(TextFns.keepPpm(col("doc_id"), col("source"), col("rate_ppm")))
+        .select("doc_id", "source", "n_tok", "rate_ppm")
+        .orderBy("doc_id")
     }
   )
 }

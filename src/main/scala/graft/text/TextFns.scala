@@ -152,6 +152,15 @@ object TextFns {
     pmod(charFold(md5(concat(id.cast("string"), lit(":"), stratum))),
       lit(100L)) < pct
 
+  /** Parts-per-million variant of [[stratifiedKeep]] for DERIVED keep
+    * rates (temperature mixing computes fractional per-source rates a
+    * 0–100 integer gate would quantize to death): keep when the folded
+    * md5 of `id:stratum` lands below `ratePpm` out of 1 000 000. Same
+    * decorrelation salt, same zero-RNG engine portability. */
+  def keepPpm(id: Column, stratum: Column, ratePpm: Column): Column =
+    pmod(charFold(md5(concat(id.cast("string"), lit(":"), stratum))),
+      lit(1000000L)) < ratePpm
+
   /** Systematic PPS (probability-proportional-to-size) inclusion
     * predicate: with rows laid on a weight line in `orderCol` order,
     * keep the ones whose cumulative-weight interval crosses one of `k`

@@ -186,7 +186,9 @@ class PlanSpec extends SparkSpec {
       "s10_hybrid_rrf", // embeds the s01 exact dense leg + t23's 1-row stats
       "q51_pagerank", // broadcasts a 1-ROW node-count side (N) per round
       "q52_funnel", // joins 1-ROW step counts for the ppm ratios
-      "q53_triangles") // joins four 1-ROW graph-stat aggregates
+      "q53_triangles", // joins four 1-ROW graph-stat aggregates
+      "s13_matryoshka_recall", // embeds TWO s01-style exact baselines (the measuring instrument)
+      "t29_temperature_mix") // broadcasts a 1-ROW share normalizer (z)
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, SfDir)
       withClue(s"$name: ") {
@@ -246,6 +248,28 @@ class PlanSpec extends SparkSpec {
     }.size shouldBe 1
     val plan = formattedPlan("s10_hybrid_rrf")
     plan should include ("partial_topk")
+  }
+
+  test("t28 corpus build: no single-partition exchange, no cartesian") {
+    // the composition must not reintroduce the scale-killers its
+    // stages individually avoid: the shuffle rank is RangeRank (range
+    // exchange), the packing window partitions by shard, and every
+    // stage joins on doc_id/shingle keys
+    val plan = formattedPlan("t28_corpus_build")
+    plan should not include "SinglePartition"
+    plan should not include "CartesianProduct"
+  }
+
+  test("m05 media near-dup: banded candidates, never a cross join") {
+    val plan = formattedPlan("m05_media_neardup")
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoop"
+  }
+
+  test("t29 temperature mix broadcasts the per-source rate table") {
+    val plan = formattedPlan("t29_temperature_mix")
+    plan should include ("BroadcastHashJoin")
+    plan should not include "CartesianProduct"
   }
 
   test("flagship entry returns rows") {
