@@ -37,7 +37,11 @@ object ProbeLog {
       val lock = ch.lock()
       try {
         val buf = ByteBuffer.allocate(ch.size().toInt)
-        ch.read(buf, 0L)
+        // loop: a single read may legally return short, and a short
+        // read here would silently drop the unread tail of the file
+        // (other metrics' committed rows) on the rewrite below
+        while (buf.hasRemaining &&
+          ch.read(buf, buf.position().toLong) >= 0) {}
         val existing = new String(buf.array(), 0, buf.position(),
             StandardCharsets.UTF_8)
           .split("\n").toSeq.filter(_.trim.nonEmpty)
@@ -126,10 +130,9 @@ object ProbeLog {
       case (k, v) if v > 0 && od.getOrElse(k, 0.0) == 0.0 =>
         f"$k: ${v.toLong} dropped rows where committed row had 0"
     }
-    val oFailed = rowsByQuery(o).filter(_._2 < 0).keySet
+    val oldRows = rowsByQuery(o)
     val failRegs = rowsByQuery(n).toSeq.sortBy(_._1).collect {
-      case (q, r) if r < 0 && rowsByQuery(o).get(q).exists(_ >= 0) &&
-          !oFailed.contains(q) =>
+      case (q, r) if r < 0 && oldRows.get(q).exists(_ >= 0) =>
         s"$q: rows=-1 (failed) where the committed row completed"
     }
     timeRegs ++ dropRegs ++ failRegs

@@ -554,24 +554,41 @@ object ZipfScaleProbe {
 
   private val IdStride = 10000000L
 
+  /** Per-copy substitution alphabet: the 26 letters ordered by
+    * md5("k:letter") — a deterministic permutation, DISTINCT for every
+    * copy (a plain rotation would repeat every 25 copies and silently
+    * clone each non-clique doc into exact-dup groups of copies/25 —
+    * the round-9 review caught exactly that in the first Zipf run).
+    * The identity permutation is remapped (it would alias copy 0). */
+  private[graft] def permFor(k: Int): String = {
+    val abc = "abcdefghijklmnopqrstuvwxyz"
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val p = abc.sortBy { c =>
+      md.digest(s"$k:$c".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }.mkString
+    if (p == abc) p.reverse else p
+  }
+
   private def synthesize(spark: SparkSession, src: String, dir: String,
       copies: Int): Unit = {
     if (new java.io.File(s"$dir/_READY").exists()) return
     val docs = sources.Tables.documents(spark, src)
     val abc = "abcdefghijklmnopqrstuvwxyz"
+    val perms = (1 until copies).map(permFor)
+    require(perms.distinct.size == perms.size,
+      "ZipfScaleProbe: per-copy alphabets must be pairwise distinct")
     (0 until copies).map { k =>
       if (k == 0) docs
       else {
         // 1% clique members stay near-duplicates (suffixed); the rest
-        // rotate through a per-copy substitution alphabet — distinct
-        // words, so no cross-copy shingle/simhash collisions
-        val rot = (k % 25) + 1
-        val shifted = abc.drop(rot) + abc.take(rot)
+        // map through a per-copy-distinct substitution alphabet —
+        // different words in EVERY copy, so no cross-copy
+        // shingle/simhash collisions anywhere outside the cliques
         docs.select(
           (col("doc_id") + lit(k * IdStride)).as("doc_id"),
           when(col("doc_id") % 100 === 0,
             concat(col("text"), lit(s" variant $k")))
-            .otherwise(translate(col("text"), abc, shifted)).as("text"),
+            .otherwise(translate(col("text"), abc, perms(k - 1))).as("text"),
           col("lang"), col("source"), col("n_chars"))
       }
     }.reduce(_ unionByName _)

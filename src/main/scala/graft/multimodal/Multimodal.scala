@@ -137,9 +137,15 @@ object Multimodal {
     * arithmetic on both engines, same split as [[graft.text.Dedup]]'s
     * SimHash). */
   def perceptualHash(media: DataFrame): DataFrame = {
-    val codes = media.filter(length(col("content")) >= 1)
-      .select(col("media_id"), length(col("content")).cast("long").as("n"),
-        posexplode(transform(split(col("content").cast("string"), ""),
+    // n is the CHARACTER count of the decoded stream — the same unit
+    // `pos` indexes (splitting the string cast) — never the binary
+    // byte length: one multi-byte character would otherwise skew every
+    // block boundary after it and diverge from the char-counting
+    // oracle
+    val decoded = col("content").cast("string")
+    val codes = media.filter(length(decoded) >= 1)
+      .select(col("media_id"), length(decoded).cast("long").as("n"),
+        posexplode(transform(split(decoded, ""),
           c => ascii(c).cast("long"))))
       .toDF("media_id", "n", "pos", "code")
     // block index by integer position scaling; 64*pos < 2^53 keeps the
@@ -170,6 +176,10 @@ object Multimodal {
     * Returns (a, b, hamming) with a < b, hamming <= maxHamming. */
   def perceptualNearDupPairs(media: DataFrame, maxHamming: Int = 6,
       maxBucketSize: Option[Int] = None): DataFrame = {
+    // count() on the projected media frame prunes to a count-star of
+    // the underlying source (Catalyst drops the unreferenced
+    // projection exprs), so this stays the same bounded action as the
+    // text entry points' source counts
     val cap = maxBucketSize.getOrElse(graft.functions.Buckets.capFor(
       media.count(), graft.functions.Buckets.BandBits))
     graft.text.Dedup.hashBandPairs(

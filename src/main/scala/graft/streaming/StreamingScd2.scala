@@ -60,6 +60,14 @@ object StreamingScd2 {
       else Scd2.emptyDim(changes, keys, attrs, tsCol)
     val openAffected = stored.filter(col("valid_to").isNull)
       .join(changes.select(keys.map(col): _*).distinct(), keys, "left_semi")
+    // ONE join tags every change with its key's open valid_from; the
+    // guard, the replay filter and the fold all read it (persisted —
+    // three consumers, and isEmpty is its own job)
+    val tagged = changes
+      .join(openAffected.select(keys.map(col) :+
+        col("valid_from").as("__open_from"): _*), keys, "left_outer")
+      .persist()
+    try {
     // Loud guard for the ordering contract: a change that predates its
     // key's OPEN interval is either (a) a REPLAY — it rebuilds closed
     // history it already created, so the stored interval COVERING its
@@ -70,10 +78,8 @@ object StreamingScd2 {
     // producer is fixed) rather than corrupt the dimension. The check
     // is O(late x per-key intervals) and only runs when late changes
     // exist at all.
-    val lateChanges = changes
-      .join(openAffected.select(keys.map(col) :+
-        col("valid_from").as("__open_from"): _*), keys)
-      .filter(col(tsCol) < col("__open_from"))
+    val lateChanges = tagged
+      .filter(col("__open_from").isNotNull && col(tsCol) < col("__open_from"))
       .drop("__open_from")
     if (!lateChanges.isEmpty) {
       val c = lateChanges.select(
@@ -103,9 +109,7 @@ object StreamingScd2 {
     // no open row) fold; a whole-batch replay thus reduces to the open
     // row's own re-derivation — a clean no-op — and a mixed batch folds
     // exactly its genuinely-new suffix.
-    val ordered = changes
-      .join(openAffected.select(keys.map(col) :+
-        col("valid_from").as("__open_from"): _*), keys, "left_outer")
+    val ordered = tagged
       .filter(col("__open_from").isNull || col(tsCol) >= col("__open_from"))
       .drop("__open_from")
     if (ordered.isEmpty) return // pure replay of closed history
@@ -115,6 +119,7 @@ object StreamingScd2 {
       tsCol, seqCol)
     KeyedUpsert.upsert(spark, dimDir, updated,
       keys :+ "valid_from", numBuckets = numBuckets)
+    } finally tagged.unpersist()
   }
 
   /** Drive a full bounded run: decode `topicDir` as an events change

@@ -516,9 +516,8 @@ object Dedup {
     * feed this — one banding machinery, every modality that can
     * produce a Hamming-space fingerprint. `metricName` labels the
     * drop-counter observation and must be query-unique. */
-  def hashBandPairs(hashes: DataFrame, maxHamming: Int, maxBucketSize: Int,
+  def hashBandPairs(hashes: DataFrame, maxHamming: Int, cap: Int,
       metricName: String, refineThreshold: Int = 2000): DataFrame = {
-    val cap = maxBucketSize
     val bands = hashes.select(col("id"), col("sim_lo"), col("sim_hi"),
       posexplode(array(
         col("sim_lo").bitwiseAND(65535L),

@@ -149,8 +149,14 @@ object TextFns {
     * what corpus-mixture rebalancing (downsample the head language,
     * keep the tail) needs to be reproducible. */
   def stratifiedKeep(id: Column, stratum: Column, pct: Column): Column =
+    hashGate(id, stratum, 100L) < pct
+
+  /** Shared salted hash gate behind [[stratifiedKeep]] and [[keepPpm]]:
+    * the folded md5 of `id:stratum` reduced mod `mod` — ONE definition
+    * of the fold+salt contract the DuckDB oracles mirror. */
+  private def hashGate(id: Column, stratum: Column, mod: Long): Column =
     pmod(charFold(md5(concat(id.cast("string"), lit(":"), stratum))),
-      lit(100L)) < pct
+      lit(mod))
 
   /** Parts-per-million variant of [[stratifiedKeep]] for DERIVED keep
     * rates (temperature mixing computes fractional per-source rates a
@@ -158,8 +164,7 @@ object TextFns {
     * md5 of `id:stratum` lands below `ratePpm` out of 1 000 000. Same
     * decorrelation salt, same zero-RNG engine portability. */
   def keepPpm(id: Column, stratum: Column, ratePpm: Column): Column =
-    pmod(charFold(md5(concat(id.cast("string"), lit(":"), stratum))),
-      lit(1000000L)) < ratePpm
+    hashGate(id, stratum, 1000000L) < ratePpm
 
   /** Systematic PPS (probability-proportional-to-size) inclusion
     * predicate: with rows laid on a weight line in `orderCol` order,
