@@ -30,6 +30,8 @@ object ScaleProbe {
     "d12_substring_spans", // gram table is linear; hits track dup content
     "t19_bloom_decontam",
     "t24_lm_perplexity", // bigram join: big/pre count tables grow with corpus
+    "t28_corpus_build", // the full gate->dedup->decontam->split->shard->pack composition
+    "m05_media_neardup", // perceptual-hash banding over the media bytes
     "s02_ann_lsh", // sized planes + cap derive in-operator — the production row
     "s12_ann_lsh_fixed3", // labeled fixed-plane contrast (excluded above 10x)
     "s03_ann_ivf",
