@@ -19,11 +19,26 @@ object ProbeLog {
   private def File: String =
     sys.props.getOrElse("graft.probes.file", "PROBES.json")
 
-  /** The `"metric"` field of a probe line, parsed (not substring
-    * containment, which a value embedding another metric's name would
-    * fool). */
-  def metricOf(line: String): Option[String] =
-    """"metric"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(line).map(_.group(1))
+  /** The `"metric"` field of a probe line, JSON-parsed — a first-match
+    * regex would key the row off a literal `"metric":"x"` embedded in
+    * an EARLIER string value and silently replace the wrong metric's
+    * row on the next [[record]]. Malformed lines yield None (kept
+    * verbatim by record's replace-by-metric filter). */
+  def metricOf(line: String): Option[String] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods.parseOpt
+    parseOpt(line).flatMap(_ \ "metric" match {
+      case JString(s) => Some(s)
+      case _ => None
+    })
+  }
+
+  /** ROOT-locale fixed-decimal formatting: every JSON fragment below
+    * must render `0.33`, never a comma-decimal `0,33` that would make
+    * PROBES.json unparseable on the next gated read. The `f"..."`
+    * interpolator uses the DEFAULT locale — never use it for JSON. */
+  def fmt(d: Double, decimals: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(d))
 
   /** Replace-or-append `line` (a one-line JSON object containing
     * `"metric":"<metric>"`) in PROBES.json. Probe mains run as separate
@@ -85,7 +100,16 @@ object ProbeLog {
     *  2. any hot-bucket drop counter nonzero where the committed row
     *     had zero — silent recall loss is never an acceptable drift;
     *  3. any query row that completed before now reporting rows = -1
-    *     (the try/caught sized/contrast rows' failure sentinel). */
+    *     (the try/caught sized/contrast rows' failure sentinel);
+    *  4. cores rows only (lines carrying a `"speedup"` block, where
+    *     time_ratio = t_hi/t_lo within ONE session): a committed
+    *     speedup >= 1.5 falling below half, or a committed sub-1.0
+    *     time_ratio worsening past 1.5x. Rule 1's doubling threshold
+    *     never fires on a healthy-cores ~0.3 ratio regressing to ~1.0
+    *     (total scalability loss — the exact failure CoresProbe
+    *     exists to catch), and same-session ratios carry none of the
+    *     cross-host drift rule 1's slack absorbs, so the tighter
+    *     bound is safe here and ONLY here. */
   def regressionsVs(oldLine: String, newLine: String): Seq[String] = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods.parse
@@ -135,13 +159,37 @@ object ProbeLog {
       case (q, r) if r < 0 && oldRows.get(q).exists(_ >= 0) =>
         s"$q: rows=-1 (failed) where the committed row completed"
     }
-    timeRegs ++ dropRegs ++ failRegs
+    def speedups(j: JValue): Map[String, Double] = j \ "speedup" match {
+      case JObject(fs) => fs.toMap.flatMap { case (q, v) =>
+        num(v \ "speedup").map(q -> _)
+      }
+      case _ => Map.empty
+    }
+    val oSpd = speedups(o)
+    val coresRegs = if (oSpd.isEmpty) Seq.empty else {
+      val spdRegs = speedups(n).toSeq.sortBy(_._1).flatMap { case (q, ns) =>
+        oSpd.get(q).collect {
+          case os if os >= 1.5 && ns >= 0 && ns < os / 2.0 =>
+            s"$q: cores speedup ${fmt(ns, 2)} vs committed ${fmt(os, 2)}" +
+              " (fell below half)"
+        }
+      }
+      val trRegs = timeRatios(n).toSeq.sortBy(_._1).flatMap { case (q, ntr) =>
+        or.get(q).collect {
+          case otr if otr < 1.0 && ntr > otr * 1.5 =>
+            s"$q: cores time_ratio ${fmt(ntr, 2)} vs committed " +
+              s"${fmt(otr, 2)} (>1.5x of a sub-1.0 same-session ratio)"
+        }
+      }
+      spdRegs ++ trRegs
+    }
+    timeRegs ++ dropRegs ++ failRegs ++ coresRegs
   }
 
   /** Per-query JSON fragment for a (name, seconds, rows) result set. */
   def js(rs: Seq[(String, Double, Long)]): String =
     rs.map { case (n, t, r) =>
-      f"""\"$n\":{\"sec\":$t%.3f,\"rows\":$r}"""
+      s""""$n":{"sec":${fmt(t, 3)},"rows":$r}"""
     }.mkString("{", ",", "}")
 
   /** Per-query time ratios scaled/base (the "flat at 10x?" verdict as
@@ -153,7 +201,7 @@ object ProbeLog {
       b.get(n).map { case (_, bt, brows) =>
         val tr = if (bt > 0) t / bt else -1.0
         val rr = if (brows > 0) rows.toDouble / brows else -1.0
-        f""""$n":{"time_ratio":$tr%.2f,"rows_ratio":$rr%.2f}"""
+        s""""$n":{"time_ratio":${fmt(tr, 2)},"rows_ratio":${fmt(rr, 2)}}"""
       }
     }.mkString("{", ",", "}")
   }

@@ -758,9 +758,12 @@ object CoresProbe {
 
     val ideal = hi.toDouble / lo
     val loMap = loRun.map(r => r._1 -> r._2).toMap
+    // ROOT-locale formatting (ProbeLog.fmt): the f"" interpolator is
+    // locale-dependent and a comma-decimal host would corrupt the file
     val speedup = hiRun.map { case (n, t, _) =>
       val s = if (t > 0) loMap(n) / t else -1.0
-      f""""$n":{"speedup":$s%.2f,"efficiency":${s / ideal}%.2f}"""
+      s""""$n":{"speedup":${ProbeLog.fmt(s, 2)},""" +
+        s""""efficiency":${ProbeLog.fmt(s / ideal, 2)}}"""
     }.mkString("{", ",", "}")
 
     import ProbeLog.js

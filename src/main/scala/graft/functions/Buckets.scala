@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Hot-bucket guard for LSH candidate generation.
@@ -56,17 +55,30 @@ object Buckets {
     * The drop is never silent: the number of dropped rows is published
     * as an `observe` metric under `metricName` (readable through a
     * `QueryExecutionListener` / `Observation`), costing no extra job.
-    * The size count shuffles on the bucket column — the same key the
-    * candidate self-join shuffles on, so the exchange is reusable.
+    *
+    * Occupancy is counted with `groupBy(bucket).count()` joined back —
+    * NOT `count(...).over(Window.partitionBy(bucket))`. The two are
+    * semantically identical, but the window form plans as a full
+    * shuffle plus a WindowExec that BUFFERS each bucket's rows in a
+    * single task: the exact degenerate mega-bucket this cap exists to
+    * neutralize (say 10⁹ rows of all-zero vectors at 100 TB) would be
+    * serialized through one straggler task at O(B) spill cost *before*
+    * the filter discards it — a scale-killer sitting inside the
+    * defense. The aggregate form lets map-side partial aggregation
+    * absorb the hot key (each task emits one partial count per bucket
+    * it sees), the sizes table is |distinct buckets| rows, and the
+    * join back shuffles on the same bucket key the candidate self-join
+    * uses, so AQE can skew-split the hot bucket's join rows across
+    * tasks instead of funneling them through one.
     *
     * `metricName` must be unique within a single query (Spark requires
     * distinct observation names); each operator passes its own.
     */
   def cap(buckets: DataFrame, bucketCol: String, maxBucketSize: Int,
       metricName: String): DataFrame = {
-    val w = Window.partitionBy(bucketCol)
-    buckets
-      .withColumn("__bucket_size", count(lit(1)).over(w))
+    val sizes = buckets.groupBy(bucketCol)
+      .agg(count(lit(1)).as("__bucket_size"))
+    buckets.join(sizes, Seq(bucketCol))
       .observe(metricName,
         sum(when(col("__bucket_size") > maxBucketSize, 1L).otherwise(0L))
           .as("dropped_rows"))

@@ -175,14 +175,21 @@ object Multimodal {
     * count-star; drops surface via the "graft.lsh.phash" observation.
     * Returns (a, b, hamming) with a < b, hamming <= maxHamming. */
   def perceptualNearDupPairs(media: DataFrame, maxHamming: Int = 6,
-      maxBucketSize: Option[Int] = None): DataFrame = {
+      maxBucketSize: Option[Int] = None): DataFrame =
+    perceptualNearDupPairsManaged(media, maxHamming, maxBucketSize)._1
+
+  /** [[perceptualNearDupPairs]] plus a release handle for the capped
+    * band cache (see [[graft.text.Dedup.minhashLshPairsManaged]] for
+    * the call contract — release AFTER materializing). */
+  def perceptualNearDupPairsManaged(media: DataFrame, maxHamming: Int = 6,
+      maxBucketSize: Option[Int] = None): (DataFrame, () => Unit) = {
     // count() on the projected media frame prunes to a count-star of
     // the underlying source (Catalyst drops the unreferenced
     // projection exprs), so this stays the same bounded action as the
     // text entry points' source counts
     val cap = maxBucketSize.getOrElse(graft.functions.Buckets.capFor(
       media.count(), graft.functions.Buckets.BandBits))
-    graft.text.Dedup.hashBandPairs(
+    graft.text.Dedup.hashBandPairsManaged(
       perceptualHash(media).withColumnRenamed("media_id", "id"),
       maxHamming, cap, "graft.lsh.phash")
   }

@@ -70,8 +70,13 @@ object ConnectedComponents {
     // action: the agg job both materializes the checkpointed partitions
     // (truncating lineage for the next round's join) and delivers the
     // convergence probe — not two jobs per round.
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+    // sum() over ZERO rows is null — an empty graph (no pairs at all,
+    // e.g. a corpus with no near-dups) must converge on the first
+    // probe instead of NPE-ing on the null decimal
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val s = df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s
+    }
     var labels = und.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(false)

@@ -153,11 +153,15 @@ object AnnQueries {
     // vectors) and an occupancy-scaled hot-bucket cap (Buckets.capFor,
     // derived inside lshTopK from the same count). Candidates share
     // any table bucket, exact ranking within the candidate set (the
-    // OR-construction for high recall). The plane count is a pure
-    // function of count(*), so the oracle recomputes it in SQL — the
-    // hash check covers the exact bucket construction the 100 TB path
-    // uses; the fixed-plane toy configuration lives on as the s12
-    // labeled contrast.
+    // OR-construction for high recall). The plane count AND the
+    // hot-bucket cap are pure functions of count(*), so the oracle
+    // recomputes BOTH in SQL (capv mirrors Buckets.capFor: 16x
+    // expected occupancy, floor 1000, integer division) and excludes
+    // over-cap corpus buckets exactly like lshTopK's capped corpus
+    // side — the hash check covers the full 100 TB construction
+    // including the drop policy, at any testdata scale or skew; the
+    // fixed-plane toy configuration lives on as the s12 labeled
+    // contrast.
     "s02_ann_lsh" -> Q(
       vCte +
         s"""params AS (
@@ -171,10 +175,16 @@ object AnnQueries {
            |                    i -> (((t*np+j)*7919 + i*104729 + 12345) % 2001 - 1000) / 1000.0)) > 0
            |                  THEN (1::BIGINT << j) ELSE 0 END)))) AS bucket
            |  FROM e, params),
+           |capv AS (
+           |  SELECT greatest(1000, 16 * ((SELECT count(*) FROM e)
+           |           // (1::BIGINT << np))) AS cap
+           |  FROM params),
+           |occ AS (SELECT bucket, count(*) AS n_occ FROM b GROUP BY 1),
            |cand AS (
            |  SELECT DISTINCT q.vec_id AS qid, c.vec_id AS cid
            |  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
-           |  WHERE q.vec_id % 25 = 0),
+           |  JOIN occ ON occ.bucket = c.bucket, capv
+           |  WHERE q.vec_id % 25 = 0 AND occ.n_occ <= capv.cap),
            |ranked AS (
            |  SELECT qid AS qq, cid,
            |         $cosExpr AS cos,

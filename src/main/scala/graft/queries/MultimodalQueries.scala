@@ -19,6 +19,55 @@ object MultimodalQueries {
       |  FROM documents)
       |""".stripMargin
 
+  /** m05's full perceptual-hash near-dup pipeline as oracle CTEs
+    * (aHash 64-bit fingerprint -> 16-bit bands -> candidate join ->
+    * Hamming filter), ending in `pairs (a, b, hamming)`. Shared by the
+    * m05 pair query and the m06 keep composition, exactly as the Spark
+    * side shares Multimodal.perceptualNearDupPairs. */
+  private val phashPairsCtes =
+    """codes AS (
+      |  SELECT media_id, len(content) AS n,
+      |         unnest(list_transform(range(1, len(content) + 1),
+      |           i -> {'p': i - 1,
+      |                 'cd': CAST(ascii(content[i:i]) AS BIGINT)})) AS u
+      |  FROM media WHERE len(content) >= 1),
+      |c2 AS (SELECT media_id, n, u.p AS pos, u.cd AS code FROM codes),
+      |pb AS (
+      |  SELECT media_id, CAST(floor(pos * 64.0 / n) AS BIGINT) AS blk,
+      |         sum(code) AS s, count(*) AS c
+      |  FROM c2 GROUP BY 1, 2),
+      |tots AS (SELECT media_id, sum(s) AS tot, sum(c) AS nn
+      |         FROM pb GROUP BY 1),
+      |h AS (
+      |  SELECT pb.media_id,
+      |         CAST(sum(CASE WHEN s * nn > tot * c AND blk < 32
+      |                       THEN (1::BIGINT << CAST(blk AS INTEGER))
+      |                       ELSE 0 END) AS BIGINT) AS sim_lo,
+      |         CAST(sum(CASE WHEN s * nn > tot * c AND blk >= 32
+      |                       THEN (1::BIGINT << CAST(blk - 32 AS INTEGER))
+      |                       ELSE 0 END) AS BIGINT) AS sim_hi
+      |  FROM pb JOIN tots USING (media_id) GROUP BY 1),
+      |bands AS (
+      |  SELECT media_id, sim_lo, sim_hi, unnest([
+      |           '0|' || CAST(sim_lo & 65535 AS VARCHAR),
+      |           '1|' || CAST((sim_lo >> 16) & 65535 AS VARCHAR),
+      |           '2|' || CAST(sim_hi & 65535 AS VARCHAR),
+      |           '3|' || CAST((sim_hi >> 16) & 65535 AS VARCHAR)]) AS band
+      |  FROM h),
+      |cand AS (
+      |  SELECT DISTINCT a.media_id AS a, b.media_id AS b,
+      |         a.sim_lo AS loa, a.sim_hi AS hia,
+      |         b.sim_lo AS lob, b.sim_hi AS hib
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.media_id < b.media_id),
+      |pairs AS (
+      |  SELECT a, b,
+      |         CAST(bit_count(xor(loa, lob)) + bit_count(xor(hia, hib))
+      |              AS BIGINT) AS hamming
+      |  FROM cand
+      |  WHERE bit_count(xor(loa, lob)) + bit_count(xor(hia, hib)) <= 6)
+      |""".stripMargin
+
   val all: Map[String, Q] = Map(
 
     // typed metadata decode over opaque binary content.
@@ -103,52 +152,53 @@ object MultimodalQueries {
     // dedup family's member for image/audio/video columns — swap the
     // byte-stub decode for a real codec and the plan is unchanged.
     "m05_media_neardup" -> Q(
-      mediaCte.trim + ",\n" +
-        """codes AS (
-          |  SELECT media_id, len(content) AS n,
-          |         unnest(list_transform(range(1, len(content) + 1),
-          |           i -> {'p': i - 1,
-          |                 'cd': CAST(ascii(content[i:i]) AS BIGINT)})) AS u
-          |  FROM media WHERE len(content) >= 1),
-          |c2 AS (SELECT media_id, n, u.p AS pos, u.cd AS code FROM codes),
-          |pb AS (
-          |  SELECT media_id, CAST(floor(pos * 64.0 / n) AS BIGINT) AS blk,
-          |         sum(code) AS s, count(*) AS c
-          |  FROM c2 GROUP BY 1, 2),
-          |tots AS (SELECT media_id, sum(s) AS tot, sum(c) AS nn
-          |         FROM pb GROUP BY 1),
-          |h AS (
-          |  SELECT pb.media_id,
-          |         CAST(sum(CASE WHEN s * nn > tot * c AND blk < 32
-          |                       THEN (1::BIGINT << CAST(blk AS INTEGER))
-          |                       ELSE 0 END) AS BIGINT) AS sim_lo,
-          |         CAST(sum(CASE WHEN s * nn > tot * c AND blk >= 32
-          |                       THEN (1::BIGINT << CAST(blk - 32 AS INTEGER))
-          |                       ELSE 0 END) AS BIGINT) AS sim_hi
-          |  FROM pb JOIN tots USING (media_id) GROUP BY 1),
-          |bands AS (
-          |  SELECT media_id, sim_lo, sim_hi, unnest([
-          |           '0|' || CAST(sim_lo & 65535 AS VARCHAR),
-          |           '1|' || CAST((sim_lo >> 16) & 65535 AS VARCHAR),
-          |           '2|' || CAST(sim_hi & 65535 AS VARCHAR),
-          |           '3|' || CAST((sim_hi >> 16) & 65535 AS VARCHAR)]) AS band
-          |  FROM h),
-          |cand AS (
-          |  SELECT DISTINCT a.media_id AS a, b.media_id AS b,
-          |         a.sim_lo AS loa, a.sim_hi AS hia,
-          |         b.sim_lo AS lob, b.sim_hi AS hib
-          |  FROM bands a JOIN bands b
-          |    ON a.band = b.band AND a.media_id < b.media_id)
-          |SELECT a, b,
-          |       CAST(bit_count(xor(loa, lob)) + bit_count(xor(hia, hib))
-          |            AS BIGINT) AS hamming
-          |FROM cand
-          |WHERE bit_count(xor(loa, lob)) + bit_count(xor(hia, hib)) <= 6
+      mediaCte.trim + ",\n" + phashPairsCtes.trim + "\n" +
+        """SELECT a, b, hamming
+          |FROM pairs
           |ORDER BY a, b""".stripMargin) { (s, d) =>
       Multimodal.perceptualNearDupPairs(
           Multimodal.mediaFromDocuments(Tables.documents(s, d)),
           maxHamming = 6)
         .orderBy("a", "b")
+    },
+
+    // the APPLY step m05's pairs exist for — the media dedup keep,
+    // completing the multimodal family's pairs -> clusters -> kept
+    // corpus arc with the SAME machinery as the text side: min-label
+    // connected components (graft.operators.ConnectedComponents, d07)
+    // and the d13 keep rule (every unclustered object survives as
+    // 'unique'; each perceptual cluster keeps exactly its canonical
+    // member = the min-media_id cluster label). The oracle replays the
+    // label propagation as a recursive CTE over the SAME pair CTEs m05
+    // hash-verifies.
+    "m06_media_keep" -> Q(
+      mediaCte.trim.replaceFirst("WITH media", "WITH RECURSIVE media") +
+        ",\n" + phashPairsCtes.trim + ",\n" +
+        """und AS (SELECT a AS src, b AS dst FROM pairs
+          |        UNION SELECT b, a FROM pairs),
+          |cc AS (
+          |  SELECT src AS node, src AS label FROM und
+          |  UNION
+          |  SELECT u.dst, cc.label FROM cc JOIN und u ON cc.node = u.src),
+          |labels AS (SELECT node, min(label) AS cluster_id FROM cc GROUP BY 1)
+          |SELECT m.media_id, m.kind,
+          |       CASE WHEN l.node IS NULL THEN 'unique'
+          |            ELSE 'canonical' END AS reason
+          |FROM media m LEFT JOIN labels l ON m.media_id = l.node
+          |WHERE l.node IS NULL OR m.media_id = l.cluster_id
+          |ORDER BY media_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
+      val pairs = Multimodal.perceptualNearDupPairs(media, maxHamming = 6)
+      val labels = graft.operators.ConnectedComponents.run(pairs)
+        .withColumnRenamed("node", "media_id")
+      media.select("media_id", "kind")
+        .join(labels, Seq("media_id"), "left")
+        .filter(col("label").isNull || col("media_id") === col("label"))
+        .select(col("media_id"), col("kind"),
+          when(col("label").isNull, lit("unique"))
+            .otherwise(lit("canonical")).as("reason"))
+        .orderBy("media_id")
     }
   )
 }

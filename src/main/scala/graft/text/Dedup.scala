@@ -193,7 +193,21 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 12, bands: Int = 4,
       minEst: Double = 0.5, n: Int = 3,
-      maxBucketSize: Option[Int] = None): DataFrame = {
+      maxBucketSize: Option[Int] = None): DataFrame =
+    minhashLshPairsManaged(docs, idCol, textCol, k, bands, minEst, n,
+      maxBucketSize)._1
+
+  /** [[minhashLshPairs]] plus a release handle that unpersists the two
+    * intermediate caches (signatures + capped buckets). Call strictly
+    * AFTER materializing the returned frame; safe to call twice. In a
+    * long-lived session the unmanaged form accumulates cached
+    * partitions across calls until LRU pressure causes recomputes
+    * elsewhere — repeated callers must use this form, as
+    * [[graft.streaming.IngestDedup]] does with the incremental one. */
+  def minhashLshPairsManaged(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 12, bands: Int = 4,
+      minEst: Double = 0.5, n: Int = 3,
+      maxBucketSize: Option[Int] = None): (DataFrame, () => Unit) = {
     require(k % bands == 0,
       s"signature length k=$k must divide into bands=$bands evenly")
     // one bounded driver action (parquet count-star — no pipeline
@@ -204,9 +218,9 @@ object Dedup {
     // one shuffle builds every signature; persisted because the plan
     // references it three times (buckets + both pair sides)
     val sigs = minhashSignatures(docs, idCol, textCol, k, n).persist()
-    // the capped bucket frame carries a per-bucket window shuffle; it
-    // feeds both sides of the candidate self-join, so persist it or the
-    // whole subtree (signatures included) computes twice
+    // the capped bucket frame carries a bucket-key occupancy shuffle;
+    // it feeds both sides of the candidate self-join, so persist it or
+    // the whole subtree (signatures included) computes twice
     val buckets = graft.functions.Buckets.cap(
       sigs.select(col("id"),
         explode(lshBuckets(col("sig"), bands, rows)).as("bucket")),
@@ -215,13 +229,14 @@ object Dedup {
       .join(buckets.select(col("bucket"), col("id").as("b")), Seq("bucket"))
       .filter(col("a") < col("b"))
       .select("a", "b").distinct()
-    cand
+    val out = cand
       .join(sigs.select(col("id").as("a"), col("sig").as("siga")), "a")
       .join(sigs.select(col("id").as("b"), col("sig").as("sigb")), "b")
       .select(col("a"), col("b"),
         round(size(filter(zip_with(col("siga"), col("sigb"),
           (x, y) => x === y), p => p)) / lit(k.toDouble), 4).as("est_jaccard"))
       .filter(col("est_jaccard") >= minEst)
+    (out, () => { sigs.unpersist(); buckets.unpersist(); () })
   }
 
   /** Incremental near-dup: candidates for a (small) NEW batch against
@@ -288,7 +303,7 @@ object Dedup {
     // frames that are persisted and consumed below anyway
     val cap = maxBucketSize.getOrElse(graft.functions.Buckets.capFor(
       idx.count() + newSigs.count(), graft.functions.Buckets.BandBits))
-    // cap on index+delta occupancy TOGETHER (one window shuffle on
+    // cap on index+delta occupancy TOGETHER (one aggregate shuffle on
     // bucket — the same exchange the index-side cap already paid), so
     // the within-batch self-join is bounded by the same policy as the
     // batch pipeline and the cap engages at accumulated corpus size
@@ -498,12 +513,21 @@ object Dedup {
   def simhashPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", maxHamming: Int = 6,
       maxBucketSize: Option[Int] = None,
-      refineThreshold: Int = 2000): DataFrame = {
+      refineThreshold: Int = 2000): DataFrame =
+    simhashPairsManaged(docs, idCol, textCol, maxHamming, maxBucketSize,
+      refineThreshold)._1
+
+  /** [[simhashPairs]] plus a release handle for the capped band cache
+    * (see [[minhashLshPairsManaged]] for the call contract). */
+  def simhashPairsManaged(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", maxHamming: Int = 6,
+      maxBucketSize: Option[Int] = None,
+      refineThreshold: Int = 2000): (DataFrame, () => Unit) = {
     // default cap sized to expected 16-bit-band occupancy from one
     // bounded count-star on the source (never a simhash recompute)
     val cap = maxBucketSize.getOrElse(graft.functions.Buckets.capFor(
       docs.count(), graft.functions.Buckets.BandBits))
-    hashBandPairs(simhashes(docs, idCol, textCol), maxHamming, cap,
+    hashBandPairsManaged(simhashes(docs, idCol, textCol), maxHamming, cap,
       "graft.lsh.simhash", refineThreshold)
   }
 
@@ -517,7 +541,15 @@ object Dedup {
     * produce a Hamming-space fingerprint. `metricName` labels the
     * drop-counter observation and must be query-unique. */
   def hashBandPairs(hashes: DataFrame, maxHamming: Int, cap: Int,
-      metricName: String, refineThreshold: Int = 2000): DataFrame = {
+      metricName: String, refineThreshold: Int = 2000): DataFrame =
+    hashBandPairsManaged(hashes, maxHamming, cap, metricName,
+      refineThreshold)._1
+
+  /** [[hashBandPairs]] plus a release handle for the capped band cache
+    * (see [[minhashLshPairsManaged]] for the call contract). */
+  def hashBandPairsManaged(hashes: DataFrame, maxHamming: Int, cap: Int,
+      metricName: String, refineThreshold: Int = 2000)
+      : (DataFrame, () => Unit) = {
     val bands = hashes.select(col("id"), col("sim_lo"), col("sim_hi"),
       posexplode(array(
         col("sim_lo").bitwiseAND(65535L),
@@ -541,9 +573,12 @@ object Dedup {
     // refine+cap stage reduces to the one band-key exchange the plain
     // cap always cost. The threshold clamps to the cap so a tight cap
     // (tests, paranoid callers) can never be evaded by unrefined bands.
+    // Occupancy via groupBy+join, NOT a partition window: a window
+    // would buffer the mega-band this split exists to break through
+    // ONE WindowExec task before the split (see Buckets.cap).
     val thresh = math.min(refineThreshold, cap)
-    val withOcc = bands
-      .withColumn("__band_occ", count(lit(1)).over(Window.partitionBy("band")))
+    val occ = bands.groupBy("band").agg(count(lit(1)).as("__band_occ"))
+    val withOcc = bands.join(occ, Seq("band"))
     val cold = withOcc.filter(col("__band_occ") <= thresh)
       .drop("__band_occ")
     val hot = withOcc.filter(col("__band_occ") > thresh)
@@ -562,11 +597,12 @@ object Dedup {
         col("sim_lo").as("lob"), col("sim_hi").as("hib")), Seq("band"))
       .filter(col("a") < col("b"))
       .select("a", "b", "loa", "hia", "lob", "hib").distinct()
-    cand.select(col("a"), col("b"),
+    val out = cand.select(col("a"), col("b"),
         (bit_count(col("loa").bitwiseXOR(col("lob"))) +
           bit_count(col("hia").bitwiseXOR(col("hib")))).cast("long")
           .as("hamming"))
       .filter(col("hamming") <= maxHamming)
+    (out, () => { kept.unpersist(); () })
   }
 
   // ------------------------------------------------------ embedding cosine
@@ -591,7 +627,17 @@ object Dedup {
       vecCol: String = "embedding", minCos: Double = 0.4,
       dim: Int = 64, planesPerTable: Option[Int] = None, nTables: Int = 8,
       maxBucketSize: Option[Int] = None, targetBucketSize: Int = 250)
-      : DataFrame = {
+      : DataFrame =
+    cosineNearDupPairsLshManaged(emb, idCol, vecCol, minCos, dim,
+      planesPerTable, nTables, maxBucketSize, targetBucketSize)._1
+
+  /** [[cosineNearDupPairsLsh]] plus a release handle for the capped
+    * bucket cache (see [[minhashLshPairsManaged]] for the contract). */
+  def cosineNearDupPairsLshManaged(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", minCos: Double = 0.4,
+      dim: Int = 64, planesPerTable: Option[Int] = None, nTables: Int = 8,
+      maxBucketSize: Option[Int] = None, targetBucketSize: Int = 250)
+      : (DataFrame, () => Unit) = {
     // one bounded driver action (count-star) sizes whichever of the
     // two knobs the caller left to the corpus; skipped when both given
     lazy val n = emb.count()
@@ -599,7 +645,7 @@ object Dedup {
       graft.vector.Ann.planesFor(n, targetBucketSize))
     val cap = maxBucketSize.getOrElse(
       graft.functions.Buckets.capFor(n, planes))
-    // persisted: the capped frame (bucket explode + cap window) feeds
+    // persisted: the capped frame (bucket explode + occupancy cap) feeds
     // both sides of the candidate self-join
     val buckets = graft.functions.Buckets.cap(
       graft.vector.Ann
@@ -614,12 +660,13 @@ object Dedup {
       .select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("nrm", VectorFns.norm(col("v")))
       .select(col("id"), VectorFns.normalized(col("v"), col("nrm")).as("vn"))
-    cand
+    val out = cand
       .join(normed.select(col("id").as("a"), col("vn").as("va")), Seq("a"))
       .join(normed.select(col("id").as("b"), col("vn").as("vb")), Seq("b"))
       .select(col("a"), col("b"),
         round(VectorFns.dot(col("va"), col("vb")), 6).as("cos"))
       .filter(col("cos") >= minCos)
+    (out, () => { buckets.unpersist(); () })
   }
 
   def cosineNearDupPairs(emb: DataFrame, idCol: String = "vec_id",

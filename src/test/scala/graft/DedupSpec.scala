@@ -237,6 +237,57 @@ class DedupSpec extends SparkSpec {
       k = 12, bands = 4, minEst = 0.5).count() shouldBe 0L
   }
 
+  test("no LSH query drops bucket rows at oracle scale (sf0.01 parity guard)") {
+    // the Spark side caps hot buckets; most DuckDB oracles don't model
+    // the cap (s02's now does). Parity therefore requires zero drops
+    // at the verify scale — assert it via the cap's own observation
+    // metrics, so bigger or more-skewed future testdata fails HERE
+    // with a pointer to the cause instead of as a bare hash mismatch.
+    // Zero drops also bounds occupancy at the 1000 floor, which is the
+    // sub-banding refine threshold at this scale, so d04/m05's
+    // unrefined oracles stay byte-identical too.
+    val dir = "/root/testdata/sf0.01"
+    for (name <- Seq("d03_minhash_lsh", "d04_simhash",
+        "d06_cosine_neardup_lsh", "d08_incremental_lsh",
+        "d11_cosine_lsh_sized", "m05_media_neardup", "s02_ann_lsh")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.collect()
+      val drops = df.queryExecution.observedMetrics.values
+        .flatMap(r => scala.util.Try(r.getAs[Long]("dropped_rows")).toOption)
+        .sum
+      withClue(s"$name: ") { drops shouldBe 0L }
+    }
+  }
+
+  test("managed LSH entry points release every cached frame they create") {
+    // the unmanaged forms persist() intermediates that outlive the
+    // query — fine for one-shot jobs, a leak in a long-lived session.
+    // Each ...Managed form must (a) actually cache (the shared
+    // subtrees feed 2-3 consumers) and (b) return the session cache to
+    // empty on release.
+    val cm = spark.sharedState.cacheManager
+    cm.clearCache()
+    val emb = Tables.embeddings(spark, SfDir)
+    val runs: Seq[(String, () => (org.apache.spark.sql.DataFrame, () => Unit))] =
+      Seq(
+        ("minhash", () => Dedup.minhashLshPairsManaged(corpus)),
+        ("simhash", () => Dedup.simhashPairsManaged(corpus)),
+        ("cosineLsh", () => Dedup.cosineNearDupPairsLshManaged(emb)),
+        ("perceptual", () => graft.multimodal.Multimodal
+          .perceptualNearDupPairsManaged(
+            graft.multimodal.Multimodal.mediaFromDocuments(
+              Tables.documents(spark, SfDir)))))
+    for ((name, run) <- runs) withClue(s"$name: ") {
+      val (df, release) = run()
+      df.count() // materialize: the persists fill
+      cm.isEmpty shouldBe false
+      release()
+      cm.isEmpty shouldBe true
+      release() // idempotent
+      cm.isEmpty shouldBe true
+    }
+  }
+
   test("capFor scales the bucket cap with expected occupancy") {
     import graft.functions.Buckets
     // 50k corpus, 11 planes -> expected bucket ~24, 16x slack under

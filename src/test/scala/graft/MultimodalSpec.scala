@@ -87,6 +87,31 @@ class MultimodalSpec extends SparkSpec {
     pairs should not contain ((1L, 4L))
   }
 
+  test("media keep: one canonical per perceptual cluster, uniques survive") {
+    import org.apache.spark.sql.functions.lit
+    val long = ("the quick brown fox jumps over the lazy dog and keeps " +
+      "running through the long field of words ") * 6
+    val other = ("entirely different content built from another set of " +
+      "symbols numbers 12345 and punctuation !!! ??? ;;; ") * 6
+    val m = Seq((1L, long), (2L, long), (3L, long), (4L, other))
+      .toDF("media_id", "text")
+      .select($"media_id", lit("image").as("kind"),
+        $"text".cast("binary").as("content"))
+    // same composition as the m06 registration: pairs -> CC -> keep
+    val pairs = Multimodal.perceptualNearDupPairs(m, maxHamming = 6)
+    val labels = graft.operators.ConnectedComponents.run(pairs)
+      .withColumnRenamed("node", "media_id")
+    val kept = m.select("media_id")
+      .join(labels, Seq("media_id"), "left")
+      .filter($"label".isNull || $"media_id" === $"label")
+      .select($"media_id",
+        when($"label".isNull, "unique").otherwise("canonical").as("reason"))
+      .as[(Long, String)].collect().toMap
+    kept.keySet shouldBe Set(1L, 4L) // 2,3 drop; 1 canonical; 4 unique
+    kept(1L) shouldBe "canonical"
+    kept(4L) shouldBe "unique"
+  }
+
   test("perceptual near-dup derives its hot-bucket cap like every LSH door") {
     import org.apache.spark.sql.functions.lit
     // 1200 identical objects: one band bucket of 1200 > the derived

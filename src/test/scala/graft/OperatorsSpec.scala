@@ -151,6 +151,18 @@ class OperatorsSpec extends SparkSpec {
       (10L, 10L), (11L, 10L))
   }
 
+  test("connected components returns empty labels on an empty pair list") {
+    // a corpus with zero near-dup pairs must yield an empty label
+    // table (callers left-join it and keep everything as 'unique'),
+    // not NPE on the null convergence sum — the m06 keep query hit
+    // exactly this at sf0.01, where m05 finds no perceptual pairs
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    ConnectedComponents.run(empty).count() shouldBe 0L
+    // self-loops only: every edge is dropped, same empty result
+    val loops = Seq((5L, 5L), (9L, 9L)).toDF("a", "b")
+    ConnectedComponents.run(loops).count() shouldBe 0L
+  }
+
   test("connected components converges on a star and a long chain") {
     val star = (2L to 20L).map(i => (1L, i)).toDF("a", "b")
     ConnectedComponents.run(star).as[(Long, Long)].collect()

@@ -266,6 +266,25 @@ class PlanSpec extends SparkSpec {
     plan should not include "BroadcastNestedLoop"
   }
 
+  test("LSH candidate plans count bucket occupancy by aggregation — zero Window nodes") {
+    // Buckets.cap and hashBandPairs must never count occupancy with
+    // count(..).over(Window.partitionBy(bucket)): that buffers the
+    // mega-bucket the cap exists to kill through ONE WindowExec task
+    // before the filter drops it. groupBy+join keeps the hot key in
+    // map-side partial aggregation. One shared fix — assert it holds
+    // across every LSH operator that routes through the cap machinery.
+    for (name <- Seq("d03_minhash_lsh", "d04_simhash",
+        "d06_cosine_neardup_lsh", "d08_incremental_lsh",
+        "d11_cosine_lsh_sized", "m05_media_neardup", "s02_ann_lsh")) {
+      val df = SparkEntry.queries(name)(spark, SfDir)
+      withClue(s"$name: ") {
+        df.queryExecution.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+        } shouldBe empty
+      }
+    }
+  }
+
   test("t29 temperature mix broadcasts the per-source rate table") {
     val plan = formattedPlan("t29_temperature_mix")
     plan should include ("BroadcastHashJoin")

@@ -23,6 +23,59 @@ class ProbeLogSpec extends AnyFunSuite with Matchers {
     ProbeLog.metricOf("not json") shouldBe None
   }
 
+  test("metric parse survives an embedded metric-literal EARLIER in the line") {
+    // a first-match regex would key this row as "b" and replace the
+    // wrong metric's row on the next record
+    ProbeLog.metricOf("""{"note":"\"metric\":\"b\"","metric":"a"}""") shouldBe
+      Some("a")
+  }
+
+  test("JSON number formatting is locale-independent") {
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.FRANCE) // comma decimals
+      ProbeLog.fmt(0.333, 2) shouldBe "0.33"
+      val frag = ProbeLog.js(Seq(("q", 1.2341, 7L)))
+      frag shouldBe """{"q":{"sec":1.234,"rows":7}}"""
+      // and the full ratios fragment stays parseable
+      org.json4s.jackson.JsonMethods.parse(
+        ProbeLog.ratios(Seq(("q", 2.0, 10L)), Seq(("q", 3.0, 20L))))
+    } finally java.util.Locale.setDefault(prev)
+  }
+
+  test("cores rows gate on speedup collapse and sub-1.0 ratio worsening") {
+    def cline(spd: String, ratios: String) =
+      s"""{"metric":"cores_probe","cores_lo":8,"cores_hi":32,""" +
+        s""""ratios":{$ratios},"speedup":{$spd},"sf":"x"}"""
+    val old = cline(""""d03":{"speedup":1.90,"efficiency":0.48}""",
+      """"d03":{"time_ratio":0.53,"rows_ratio":1.0}""")
+    // healthy re-run inside drift: clean
+    ProbeLog.regressionsVs(old,
+      cline(""""d03":{"speedup":1.70,"efficiency":0.43}""",
+        """"d03":{"time_ratio":0.59,"rows_ratio":1.0}""")) shouldBe Seq.empty
+    // total scalability loss (speedup 1.9 -> 0.90, ratio 0.53 -> 1.05):
+    // the failure CoresProbe exists to catch — rule 1's doubling
+    // threshold (2x + 1.0) never fires here, rule 4 must
+    val regs = ProbeLog.regressionsVs(old,
+      cline(""""d03":{"speedup":0.90,"efficiency":0.23}""",
+        """"d03":{"time_ratio":1.05,"rows_ratio":1.0}"""))
+    regs.exists(_.contains("speedup")) shouldBe true
+    regs.exists(_.contains("time_ratio")) shouldBe true
+    // a committed flatliner (no >=1.5 speedup) only gates via the
+    // ratio rule, not the speedup rule
+    val oldFlat = cline(""""t28":{"speedup":0.87,"efficiency":0.22}""",
+      """"t28":{"time_ratio":1.15,"rows_ratio":1.0}""")
+    ProbeLog.regressionsVs(oldFlat,
+      cline(""""t28":{"speedup":0.40,"efficiency":0.10}""",
+        """"t28":{"time_ratio":2.50,"rows_ratio":1.0}""")) shouldBe Seq.empty
+    // data-scaling rows (no speedup block) keep the lenient rule only:
+    // 0.7 -> 1.5 stays clean there (asserted again for contrast)
+    val oldData = line(ratios = """"q2":{"time_ratio":0.70,"rows_ratio":1.0}""")
+    ProbeLog.regressionsVs(oldData,
+      line(ratios = """"q2":{"time_ratio":1.50,"rows_ratio":1.0}""")) shouldBe
+      Seq.empty
+  }
+
   test("time_ratio doubling (plus slack) is a regression; drift is not") {
     val old = line(ratios = """"q1":{"time_ratio":4.40,"rows_ratio":1.0}""")
     // 4.4 -> 6.0: host drift band, clean
