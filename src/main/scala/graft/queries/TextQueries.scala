@@ -33,7 +33,7 @@ object TextQueries {
         s"replace($acc, '$a'||chr(1)||'$b'||chr(1), '$a$b'||chr(1))"
     }
 
-  private val stopList =
+  private[queries] val stopList =
     TextFns.Stopwords.map(w => s"'$w'").mkString("(", ",", ")")
 
   /** Profiles for t03: argmax over marker-vocab hit counts. */

@@ -1,0 +1,248 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructField, StructType}
+
+import graft.sources.Topic
+import graft.text.{Dedup, TextFns}
+
+/** Incremental corpus build: t28's batch topology (quality gate →
+  * near-dup dedup → decontaminate → leakage-safe split → deterministic
+  * shuffle shards → per-shard packing) under micro-batch arrival — the
+  * production shape, where documents stream in and the corpus release
+  * is CUT from accumulated state instead of rebuilt from raw text.
+  *
+  * Per-batch (arrival-time, O(delta + delta×index)) work — each
+  * document's TEXT is scanned exactly once, in the batch it arrives:
+  *   1. quality gate (per-doc, order-free);
+  *   2. MinHash signatures + incremental LSH pairs vs the accumulated
+  *      signature index ([[Dedup.incrementalLshPairsManaged]] —
+  *      [[IngestDedup]]'s machinery: delta buckets broadcast, no
+  *      index–index pairs, every pair discovered exactly once);
+  *   3. token counts + hashed shingles appended to per-batch stores;
+  *   4. incremental decontamination deltas: a training document's
+  *      eval-overlap count grows as EITHER side arrives — new train
+  *      shingles join the accumulated eval-shingle set (this batch
+  *      included), and first-appearance eval shingles join the
+  *      accumulated train-shingle store — so the per-doc sum over all
+  *      deltas equals the batch overlap count no matter how arrivals
+  *      interleave (each (doc, shingle) hit is counted exactly once:
+  *      at the LATER of the doc's and the shingle's arrival).
+  *
+  * Publish ([[publish]], the "cut a release" step) derives the shard
+  * manifest from the accumulated COMPACT tables only — pairs, token
+  * counts, overlap sums; never raw text: connected components → one
+  * canonical per cluster → drop eval + contaminated → leakage-safe
+  * cluster-keyed split → md5-ranked shuffle shards → pack manifest.
+  * Clustering and global ranking are inherently corpus-global, so they
+  * run at publish time; everything they consume accumulated
+  * incrementally, and all state tables are append-only `batch=<id>`
+  * subdirectories written in overwrite mode (crash/replay of a batch
+  * rewrites identical content — [[IngestDedup]]'s idempotency
+  * contract).
+  *
+  * Batching invariance (the st11 pattern, spec-pinned across
+  * slicings): gate and token counts are per-doc; pair discovery is
+  * invariant in the sub-cap regime; overlap deltas sum to the batch
+  * count — so the published manifest equals [[batchReference]] (the
+  * same topology computed in one shot) for ANY slicing of the stream.
+  */
+object StreamingCorpusBuild {
+
+  private val sigSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("sig", ArrayType(StringType))))
+
+  private val isEval = col("doc_id") % 97 === 0
+
+  /** Publish `docs` as a topic, stream it through the per-batch build,
+    * then cut the release: returns the shard manifest
+    * (shard, n_docs, n_tokens, n_packs, pos_lo, pos_hi). */
+  def run(spark: SparkSession, docs: DataFrame, root: String,
+      nFiles: Int = 4, maxFilesPerTrigger: Int = 1): DataFrame = {
+    Topic.publishDocuments(docs, s"$root/topic", nFiles = nFiles)
+    val src = Topic.decodeDocuments(
+      Topic.readStream(spark, s"$root/topic", maxFilesPerTrigger))
+    val q = src.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, root)
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    publish(spark, root)
+  }
+
+  /** One micro-batch's arrival-time work, idempotent in `batchId`:
+    * every read of accumulated state takes `batch < batchId` only, and
+    * every write overwrites this batch's own subdirectory. */
+  def processBatch(batch: DataFrame, batchId: Long, root: String): Unit = {
+    val sp = batch.sparkSession
+    def prev(dir: String): Option[DataFrame] =
+      if (Files.exists(Paths.get(s"$root/$dir")))
+        Some(sp.read.parquet(s"$root/$dir").filter(col("batch") < batchId))
+      else None
+    val scored = batch.select(col("doc_id"), col("text"), isEval.as("ev"),
+        (TextFns.qualityScore(col("text")) >= 0.5).as("gated"))
+      .persist()
+    try {
+      val gated = scored.filter(col("gated")).select("doc_id", "text")
+      // gated-doc roster + token counts (the publish step's only
+      // per-doc metadata; eval docs participate in clusters, so they
+      // stay on the roster until the publish-time eval filter)
+      gated.select(col("doc_id"),
+          TextFns.bpeTokenCount(col("text")).as("n_tok"))
+        .write.mode("overwrite").parquet(s"$root/meta/batch=$batchId")
+      // incremental LSH vs the accumulated GATED signature index
+      val index = prev("index").map(_.select("id", "sig")).getOrElse(
+        sp.createDataFrame(new java.util.ArrayList[Row](), sigSchema))
+      val (pairs, release) =
+        Dedup.incrementalLshPairsManaged(index, gated)
+      try pairs.select("a", "b")
+        .write.mode("overwrite").parquet(s"$root/pairs/batch=$batchId")
+      finally release()
+      Dedup.minhashSignatures(gated, "doc_id", "text", 12, 3)
+        .write.mode("overwrite").parquet(s"$root/index/batch=$batchId")
+      // hashed-shingle stores: train side per doc, eval side as the
+      // FIRST-APPEARANCE distinct set (so the accumulated eval store
+      // is distinct by construction — no per-batch global distinct)
+      val sh = scored.filter(col("gated") || col("ev"))
+        .select(col("doc_id"), col("ev"),
+          explode(graft.functions.ShingleHashes(
+            TextFns.words(col("text")), 3)).as("sh"))
+      sh.filter(!col("ev")).select("doc_id", "sh")
+        .write.mode("overwrite").parquet(s"$root/trainsh/batch=$batchId")
+      val newEvalAll = sh.filter(col("ev")).select("sh").distinct()
+      val newEval = prev("evalsh") match {
+        case Some(p) => newEvalAll.join(broadcast(p.select("sh")),
+          Seq("sh"), "left_anti")
+        case None => newEvalAll
+      }
+      newEval.write.mode("overwrite").parquet(s"$root/evalsh/batch=$batchId")
+      // decontam deltas: (a) this batch's train shingles vs the eval
+      // set up to AND INCLUDING this batch, (b) earlier train shingles
+      // vs this batch's first-appearance eval shingles — each
+      // (doc, shingle) overlap is counted at the later arrival, once.
+      val newEvalStored = sp.read
+        .parquet(s"$root/evalsh/batch=$batchId").select("sh")
+      val evalAll = prev("evalsh").map(_.select("sh"))
+        .fold(newEvalStored)(_.unionByName(newEvalStored))
+      val newTrain = sp.read.parquet(s"$root/trainsh/batch=$batchId")
+        .select("doc_id", "sh")
+      val d1 = newTrain.join(evalAll, "sh")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared_delta"))
+      val d2 = prev("trainsh") match {
+        case Some(p) => p.select("doc_id", "sh")
+          .join(broadcast(newEvalStored), "sh")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_shared_delta"))
+        case None => d1.limit(0)
+      }
+      d1.unionByName(d2)
+        .write.mode("overwrite").parquet(s"$root/shared/batch=$batchId")
+    } finally scored.unpersist()
+  }
+
+  /** Cut the corpus release from accumulated state: the shard manifest
+    * a training run consumes. Touches only the compact derived tables
+    * (pairs, meta, overlap sums) — never document text. */
+  def publish(spark: SparkSession, root: String): DataFrame = {
+    val meta = spark.read.parquet(s"$root/meta").select("doc_id", "n_tok")
+    val pairs = spark.read.parquet(s"$root/pairs").select("a", "b")
+    val labels = graft.operators.ConnectedComponents.run(pairs)
+      .withColumnRenamed("node", "doc_id")
+    val kept = meta.join(labels, Seq("doc_id"), "left")
+      .filter(col("label").isNull || col("doc_id") === col("label"))
+    // contamination: accumulated overlap sums vs per-doc shingle counts
+    val nSh = spark.read.parquet(s"$root/trainsh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val contam =
+      if (Files.exists(Paths.get(s"$root/shared")))
+        spark.read.parquet(s"$root/shared")
+          .groupBy("doc_id").agg(sum("n_shared_delta").as("n_shared"))
+          .join(nSh, "doc_id")
+          .filter(col("n_shared") * 1.0 / col("n_sh") >= 0.5)
+          .select("doc_id")
+      else nSh.select("doc_id").limit(0)
+    val clean = kept.filter(!isEval)
+      .join(contam, Seq("doc_id"), "left_anti")
+    // leakage-safe split: the whole cluster shares one split key (t26)
+    val train = clean
+      .withColumn("split_key", coalesce(col("label"), col("doc_id")))
+      .filter(TextFns.splitAssign(col("split_key")) === "train")
+    // deterministic shuffle + fixed-size shards + pack manifest —
+    // identical to t28's steps 5–6
+    val ranked = graft.operators.RangeRank.withGlobalRank(
+      train.select(col("doc_id"),
+        md5(col("doc_id").cast("string")).as("h"), col("n_tok")),
+      Seq(col("h"), col("doc_id")), "pos")
+    val sharded = ranked
+      .withColumn("shard", floor((col("pos") - 1) / 64.0).cast("long"))
+    val w = Window.partitionBy("shard").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sharded
+      .withColumn("cum_before", coalesce(sum("n_tok").over(w), lit(0L)))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").cast("long").as("n_tokens"),
+        (max(floor(col("cum_before") / 2048.0)) + 1).cast("long")
+          .as("n_packs"),
+        min("pos").as("pos_lo"),
+        max("pos").as("pos_hi"))
+      .orderBy("shard")
+  }
+
+  /** The SAME topology in one batch shot (quality gate → MinHash-LSH
+    * pairs → clusters → keep → decontaminate → split → shards): the
+    * reference the streamed build must equal under any slicing. Kept
+    * next to the streaming code because the equality IS the operator's
+    * contract; the spec asserts it across slicings. */
+  def batchReference(docs: DataFrame): DataFrame = {
+    val gated = docs
+      .filter(TextFns.qualityScore(col("text")) >= 0.5)
+      .select("doc_id", "text")
+    val (pairs, release) = Dedup.minhashLshPairsManaged(gated)
+    val labels =
+      try graft.operators.ConnectedComponents.run(pairs)
+        .withColumnRenamed("node", "doc_id")
+      finally release()
+    val kept = gated
+      .select(col("doc_id"), TextFns.bpeTokenCount(col("text")).as("n_tok"))
+      .join(labels, Seq("doc_id"), "left")
+      .filter(col("label").isNull || col("doc_id") === col("label"))
+    val contam = graft.text.Decontaminate.overlapStats(
+        docs.filter(isEval).select("doc_id", "text")
+          .unionByName(gated.filter(!isEval)),
+        col("doc_id") % 97 === 0)
+      .filter(col("n_shared") * 1.0 / col("n_sh") >= 0.5)
+      .select(col("id").as("doc_id"))
+    val clean = kept.filter(!isEval)
+      .join(contam, Seq("doc_id"), "left_anti")
+    val train = clean
+      .withColumn("split_key", coalesce(col("label"), col("doc_id")))
+      .filter(TextFns.splitAssign(col("split_key")) === "train")
+    val ranked = graft.operators.RangeRank.withGlobalRank(
+      train.select(col("doc_id"),
+        md5(col("doc_id").cast("string")).as("h"), col("n_tok")),
+      Seq(col("h"), col("doc_id")), "pos")
+    val sharded = ranked
+      .withColumn("shard", floor((col("pos") - 1) / 64.0).cast("long"))
+    val w = Window.partitionBy("shard").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sharded
+      .withColumn("cum_before", coalesce(sum("n_tok").over(w), lit(0L)))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").cast("long").as("n_tokens"),
+        (max(floor(col("cum_before") / 2048.0)) + 1).cast("long")
+          .as("n_packs"),
+        min("pos").as("pos_lo"),
+        max("pos").as("pos_hi"))
+      .orderBy("shard")
+  }
+}

@@ -47,6 +47,26 @@ class IngestDedupSpec extends SparkSpec {
     coarse shouldBe batch
   }
 
+  test("incremental corpus build publishes the batch manifest under any slicing") {
+    // the st16 contract: gate / pair-discovery / token counts /
+    // decontam deltas all accumulate order-free, so the published
+    // shard manifest equals the one-shot batch topology no matter how
+    // the stream is sliced — including slices that split near-dup
+    // clusters AND eval-vs-train arrivals across batch boundaries
+    import graft.streaming.StreamingCorpusBuild
+    val docs = Tables.documents(spark, SfDir)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.collect().toSeq.map(_.toSeq)
+    val batch = rows(StreamingCorpusBuild.batchReference(docs))
+    batch should not be empty
+    val fine = rows(StreamingCorpusBuild.run(spark, docs,
+      fresh("corpus-fine").toString, nFiles = 4, maxFilesPerTrigger = 1))
+    val coarse = rows(StreamingCorpusBuild.run(spark, docs,
+      fresh("corpus-coarse").toString, nFiles = 6, maxFilesPerTrigger = 3))
+    fine shouldBe batch
+    coarse shouldBe batch
+  }
+
   test("each pair is emitted exactly once across micro-batches") {
     val docs = Tables.documents(spark, SfDir)
     val out = IngestDedup.run(spark, docs, fresh("ingest-once").toString,
