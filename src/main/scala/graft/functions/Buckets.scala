@@ -73,6 +73,14 @@ object Buckets {
     *
     * `metricName` must be unique within a single query (Spark requires
     * distinct observation names); each operator passes its own.
+    *
+    * COST NOTE: `buckets` is read twice (the sizes aggregate + the
+    * join probe side). Callers whose bucket subtree is expensive to
+    * recompute — the hyperplane paths, where bucket derivation is the
+    * dot-product hashing itself — must persist the input first (and
+    * release it through their Managed handle); the dedup paths explode
+    * from already-persisted signature frames, so their recompute is
+    * one cheap projection.
     */
   def cap(buckets: DataFrame, bucketCol: String, maxBucketSize: Int,
       metricName: String): DataFrame = {

@@ -550,6 +550,10 @@ object Dedup {
   def hashBandPairsManaged(hashes: DataFrame, maxHamming: Int, cap: Int,
       metricName: String, refineThreshold: Int = 2000)
       : (DataFrame, () => Unit) = {
+    // persisted: the band frame feeds the occupancy aggregate plus the
+    // cold and hot branch probes (Buckets.cap cost note), and its
+    // parent is the full simhash/perceptual-hash derivation — without
+    // the cache that hashing recomputes once per consumer
     val bands = hashes.select(col("id"), col("sim_lo"), col("sim_hi"),
       posexplode(array(
         col("sim_lo").bitwiseAND(65535L),
@@ -559,6 +563,7 @@ object Dedup {
       .withColumn("band",
         concat(col("pos").cast("string"), lit("|"), col("col").cast("string")))
       .drop("pos", "col")
+      .persist()
     // 8 refinement bits from the opposite half: a doc's band-i bits and
     // its refinement bits never overlap, so refinement adds independent
     // discrimination instead of re-reading the bits that collided
@@ -602,7 +607,7 @@ object Dedup {
           bit_count(col("hia").bitwiseXOR(col("hib")))).cast("long")
           .as("hamming"))
       .filter(col("hamming") <= maxHamming)
-    (out, () => { kept.unpersist(); () })
+    (out, () => { bands.unpersist(); kept.unpersist(); () })
   }
 
   // ------------------------------------------------------ embedding cosine
@@ -645,13 +650,16 @@ object Dedup {
       graft.vector.Ann.planesFor(n, targetBucketSize))
     val cap = maxBucketSize.getOrElse(
       graft.functions.Buckets.capFor(n, planes))
-    // persisted: the capped frame (bucket explode + occupancy cap) feeds
-    // both sides of the candidate self-join
+    // two persists: the RAW bucket frame (the occupancy cap reads it
+    // twice — Buckets.cap cost note — and bucket derivation IS the
+    // hyperplane hashing) and the capped frame (feeds both sides of
+    // the candidate self-join)
+    val raw = graft.vector.Ann
+      .withLshBuckets(emb, vecCol, dim, planes, nTables)
+      .select(col(idCol).as("id"), col("bucket"))
+      .persist()
     val buckets = graft.functions.Buckets.cap(
-      graft.vector.Ann
-        .withLshBuckets(emb, vecCol, dim, planes, nTables)
-        .select(col(idCol).as("id"), col("bucket")),
-      "bucket", cap, "graft.lsh.cosine").persist()
+      raw, "bucket", cap, "graft.lsh.cosine").persist()
     val cand = buckets.select(col("bucket"), col("id").as("a"))
       .join(buckets.select(col("bucket"), col("id").as("b")), Seq("bucket"))
       .filter(col("a") < col("b"))
@@ -666,7 +674,7 @@ object Dedup {
       .select(col("a"), col("b"),
         round(VectorFns.dot(col("va"), col("vb")), 6).as("cos"))
       .filter(col("cos") >= minCos)
-    (out, () => { buckets.unpersist(); () })
+    (out, () => { raw.unpersist(); buckets.unpersist(); () })
   }
 
   def cosineNearDupPairs(emb: DataFrame, idCol: String = "vec_id",

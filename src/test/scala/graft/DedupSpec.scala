@@ -273,6 +273,8 @@ class DedupSpec extends SparkSpec {
         ("minhash", () => Dedup.minhashLshPairsManaged(corpus)),
         ("simhash", () => Dedup.simhashPairsManaged(corpus)),
         ("cosineLsh", () => Dedup.cosineNearDupPairsLshManaged(emb)),
+        ("annLsh", () => graft.vector.Ann.lshTopKManaged(
+          emb.filter(col("vec_id") % 25 === 0), emb, 3)),
         ("perceptual", () => graft.multimodal.Multimodal
           .perceptualNearDupPairsManaged(
             graft.multimodal.Multimodal.mediaFromDocuments(
