@@ -60,6 +60,41 @@ class CodegenSpec extends SparkSpec {
     }
   }
 
+  test("LshBucketHash: codegen and interpreted agree and match the per-dot composition") {
+    // the matrix-loop expression replaced 24-88 unrolled DotProducts
+    // whose generated method fell out of JIT (HashProfile: 37x slower
+    // than interpreted at 11 planes) — it must produce bit-identical
+    // buckets to the composition under BOTH execution modes
+    import graft.vector.Ann
+    val emb = graft.sources.Tables.embeddings(spark, SfDir).limit(100)
+    def buckets(): Seq[(Long, Seq[Long])] =
+      emb.select($"vec_id", Ann.lshBuckets($"embedding", 64, 7, 8).as("b"))
+        .as[(Long, Seq[Long])].collect().toSeq.sortBy(_._1)
+    val gen = codegenOnly { buckets() }
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val interp = try buckets()
+      finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    gen shouldBe interp
+    // reference semantics: explicit per-plane DotProduct fold
+    val ref = emb.select($"vec_id",
+        array((0 until 8).map { t =>
+          (0 until 7).foldLeft(lit(t.toLong * (1L << 7))) { (acc, j) =>
+            acc + when(graft.functions.DotProduct(
+                $"embedding".cast("array<double>"),
+                Ann.planeLitPublic(t * 7 + j, 64)) > 0,
+              lit(1L << j)).otherwise(lit(0L))
+          }
+        }: _*).as("b"))
+      .as[(Long, Seq[Long])].collect().toSeq.sortBy(_._1)
+    gen shouldBe ref
+    // a wrong-length vector contributes sign bit 0 everywhere (the
+    // when(null > 0) otherwise-branch of the old composition)
+    val short = Seq((1L, Seq(0.5f, -0.5f))).toDF("vec_id", "embedding")
+      .select(Ann.lshBuckets($"embedding", 64, 7, 8).as("b"))
+      .as[Seq[Long]].head()
+    short shouldBe (0 until 8).map(t => t.toLong << 7)
+  }
+
   test("the text-analysis column stack compiles under forced codegen") {
     codegenOnly {
       val docs = graft.sources.Tables.documents(spark, SfDir).limit(50)
