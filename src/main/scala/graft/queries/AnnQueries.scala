@@ -536,6 +536,69 @@ object AnnQueries {
         .orderBy("q")
     },
 
+    // IVF nprobe SWEEP — s09 certifies recall at one operating point;
+    // this measures the recall-vs-cost KNOB (nprobe = how many inverted
+    // lists each query scans) the way an index operator would tune it:
+    // one row per nprobe in {1,2,4} with aggregate recall@10 against
+    // the exact ranking. Recall is integer hit-count arithmetic (one
+    // exact division at the end), so the sweep is cross-engine exact —
+    // no order-dependent double summation.
+    "s14_ivf_nprobe_sweep" -> Q(
+      ivfAssignCte +
+        s"""sweep AS (SELECT CAST(unnest([1, 2, 4]) AS BIGINT) AS np),
+           |probes AS (
+           |  SELECT s.np, p.q, p.qv, p.cid FROM (
+           |    SELECT n.vec_id AS q, n.vn AS qv, c.cid,
+           |           row_number() OVER (PARTITION BY n.vec_id
+           |             ORDER BY list_dot_product(n.vn, c.cv) DESC, c.cid)
+           |             AS rn
+           |    FROM n CROSS JOIN cent c WHERE n.vec_id % 25 = 0) p
+           |  CROSS JOIN sweep s WHERE p.rn <= s.np),
+           |ivfk AS (
+           |  SELECT np, q, b FROM (
+           |    SELECT np, q, id AS b,
+           |           row_number() OVER (PARTITION BY np, q
+           |             ORDER BY list_dot_product(qv, vn) DESC, id) AS rank
+           |    FROM probes JOIN assign USING (cid) WHERE q != id)
+           |  WHERE rank <= 10),
+           |exk AS (
+           |  SELECT q, b FROM (
+           |    SELECT q.vec_id AS q, c.vec_id AS b,
+           |           row_number() OVER (PARTITION BY q.vec_id
+           |             ORDER BY $cosExpr DESC, c.vec_id) AS rank
+           |    FROM n q JOIN n c ON q.vec_id != c.vec_id
+           |    WHERE q.vec_id % 25 = 0)
+           |  WHERE rank <= 10)
+           |SELECT s.np AS nprobe, count(i.b) AS total_hits,
+           |       count(DISTINCT e.q) AS n_queries,
+           |       round(count(i.b) / (10.0 * count(DISTINCT e.q)), 4)
+           |         AS mean_recall
+           |FROM exk e CROSS JOIN sweep s
+           |LEFT JOIN ivfk i ON i.np = s.np AND i.q = e.q AND i.b = e.b
+           |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val qs = emb.filter(col("vec_id") % 25 === 0)
+      val ex = Ann.bruteForceTopK(qs, emb, k = 10).select(col("q"), col("b"))
+      // ONE index build + ONE candidate pass shared across the sweep —
+      // not |sweep| independent ivfTopK calls re-running k-means
+      val sweeps = Ann.ivfTopKSweep(qs, emb, k = 10, nProbes = Seq(1, 2, 4))
+        .select(col("np"), col("q").as("iq"), col("b").as("ib"))
+      // the sweep axis gets its own column name so the join below can
+      // never collapse to a trivially-true self-reference
+      val exNp = ex.crossJoin(broadcast(
+        sweeps.select(col("np").as("enp")).distinct()))
+      exNp.join(sweeps,
+          col("enp") === col("np") && col("q") === col("iq") &&
+            col("b") === col("ib"), "left")
+        .groupBy(col("enp"))
+        .agg(count(col("ib")).as("total_hits"),
+          countDistinct(col("q")).as("n_queries"))
+        .select(col("enp").as("nprobe"), col("total_hits"), col("n_queries"),
+          round(col("total_hits") / (lit(10.0) * col("n_queries")), 4)
+            .as("mean_recall"))
+        .orderBy("nprobe")
+    },
+
     // Hybrid retrieval with reciprocal-rank fusion (Cormack et al.
     // 2009): for query DOCUMENTS (doc_id % 50 = 0, embeddings align
     // 1:1 with documents by id), fuse a lexical more-like-this BM25

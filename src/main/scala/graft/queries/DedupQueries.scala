@@ -529,6 +529,80 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // contamination ATTRIBUTION — t12 answers "is this train doc
+    // contaminated"; this answers "by WHICH eval doc": per training doc
+    // with any eval overlap, the top contributing eval doc (argmax
+    // aggregate, no window), its coverage count, the number of distinct
+    // eval docs hit, and the total distinct shared shingles. The hit
+    // table is bounded by real overlap, orders smaller than the corpus.
+    "t30_contamination_attribution" -> Q(
+      hashedShingleCtes +
+        """ev AS (SELECT doc_id AS eval_id, sh FROM sh WHERE doc_id % 97 = 0),
+          |tr AS (SELECT doc_id, sh FROM sh WHERE doc_id % 97 <> 0),
+          |hits AS (SELECT t.doc_id, e.eval_id, t.sh
+          |         FROM tr t JOIN ev e USING (sh)),
+          |contrib AS (SELECT doc_id, eval_id, count(*) AS n_with
+          |            FROM hits GROUP BY 1, 2),
+          |tot AS (SELECT doc_id, count(DISTINCT eval_id) AS n_evals,
+          |               count(DISTINCT sh) AS n_shared
+          |        FROM hits GROUP BY 1),
+          |best AS (SELECT doc_id, eval_id, n_with,
+          |                row_number() OVER (PARTITION BY doc_id
+          |                  ORDER BY n_with DESC, eval_id) AS rk
+          |         FROM contrib)
+          |SELECT b.doc_id, b.eval_id AS top_eval_id,
+          |       b.n_with AS n_top_shared, t.n_evals, t.n_shared
+          |FROM best b JOIN tot t USING (doc_id)
+          |WHERE b.rk = 1
+          |ORDER BY b.doc_id""".stripMargin) { (s, d) =>
+      graft.text.Decontaminate.attribution(Tables.documents(s, d),
+          col("doc_id") % 97 === 0)
+        .orderBy("doc_id")
+    },
+
+    // frequency-weighted SOFT dedup — hard dedup (d13) keeps exactly
+    // one copy per duplicate group, erasing natural-abundance signal;
+    // the soft policy keeps the canonical plus a deterministic ~sqrt(k)
+    // sample of a k-duplicated group, so duplication survives at damped
+    // weight. The keep decision is the ppm hash gate (zero RNG,
+    // engine-replayable), NOT a per-group rank window: a 10^9-copy
+    // mega-group costs no straggler partition, only a per-fingerprint
+    // rate row in a broadcastable table. Rate arithmetic is ordered
+    // identically on both engines (1e6 * sqrt(k), then / k, then
+    // floor) so the doubles agree bit-for-bit.
+    "d14_soft_dedup" -> Q(
+      s"""WITH f AS (SELECT doc_id, md5($norm) AS fp FROM documents),
+         |g AS (SELECT fp, count(*) AS dup_count, min(doc_id) AS canonical
+         |      FROM f GROUP BY 1),
+         |r AS (SELECT fp, dup_count, canonical,
+         |             CAST(floor(1000000.0 * sqrt(CAST(dup_count AS DOUBLE))
+         |                        / dup_count) AS BIGINT) AS rate_ppm
+         |      FROM g)
+         |SELECT f.doc_id, r.dup_count,
+         |       CAST(f.doc_id = r.canonical OR
+         |            list_reduce(list_transform(
+         |              string_split(md5(CAST(f.doc_id AS VARCHAR)
+         |                               || ':' || f.fp), ''),
+         |              c -> CAST(ascii(c) AS BIGINT)),
+         |              (acc, x) -> (acc * 31 + x) % 1000000007) % 1000000
+         |            < r.rate_ppm AS BIGINT) AS kept
+         |FROM f JOIN r USING (fp)
+         |ORDER BY f.doc_id""".stripMargin) { (s, d) =>
+      val f = Tables.documents(s, d)
+        .select(col("doc_id"), TextFns.fingerprintMd5(col("text")).as("fp"))
+      val r = f.groupBy("fp")
+        .agg(count(lit(1)).as("dup_count"), min("doc_id").as("canonical"))
+        .withColumn("rate_ppm",
+          floor(lit(1000000.0) * sqrt(col("dup_count").cast("double"))
+            / col("dup_count")).cast("long"))
+      f.join(r, "fp")
+        .select(col("doc_id"), col("dup_count"),
+          (col("doc_id") === col("canonical") ||
+            TextFns.keepPpm(col("doc_id"), col("fp"), col("rate_ppm")))
+            .cast("bigint").as("kept"))
+        .orderBy("doc_id")
+    },
+
     // content-defined chunking dedup: storage-style sub-document
     // granularity — split every document at rolling-hash boundaries
     // (graft.functions.CdcChunks, one fused codegen pass), then account

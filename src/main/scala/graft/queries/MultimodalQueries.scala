@@ -199,6 +199,46 @@ object MultimodalQueries {
           when(col("label").isNull, lit("unique"))
             .otherwise(lit("canonical")).as("reason"))
         .orderBy("media_id")
+    },
+
+    // media leakage-safe split — t26's contract on the perceptual
+    // clusters: every member of a near-dup media cluster shares ONE
+    // split key (the cluster label), so a resized/re-encoded copy can
+    // never land in val while its original trains. Completes the media
+    // family arc: pairs (m05) -> keep (m06) -> split (m07), all on the
+    // text side's CC/splitAssign machinery.
+    "m07_media_split" -> Q(
+      mediaCte.trim.replaceFirst("WITH media", "WITH RECURSIVE media") +
+        ",\n" + phashPairsCtes.trim + ",\n" +
+        """und AS (SELECT a AS src, b AS dst FROM pairs
+          |        UNION SELECT b, a FROM pairs),
+          |cc AS (
+          |  SELECT src AS node, src AS label FROM und
+          |  UNION
+          |  SELECT u.dst, cc.label FROM cc JOIN und u ON cc.node = u.src),
+          |labels AS (SELECT node, min(label) AS cluster_id FROM cc GROUP BY 1)
+          |SELECT m.media_id, m.kind,
+          |       coalesce(l.cluster_id, m.media_id) AS split_key,
+          |       CASE WHEN list_reduce(list_transform(
+          |              string_split(md5(CAST(coalesce(l.cluster_id,
+          |                                             m.media_id)
+          |                                    AS VARCHAR)), ''),
+          |              c -> CAST(ascii(c) AS BIGINT)),
+          |              (acc, x) -> (acc * 31 + x) % 1000000007) % 100 < 80
+          |            THEN 'train' ELSE 'val' END AS split
+          |FROM media m LEFT JOIN labels l ON m.media_id = l.node
+          |ORDER BY media_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val media = Multimodal.mediaFromDocuments(Tables.documents(s, d))
+      val pairs = Multimodal.perceptualNearDupPairs(media, maxHamming = 6)
+      val labels = graft.operators.ConnectedComponents.run(pairs)
+        .withColumnRenamed("node", "media_id")
+      media.select("media_id", "kind")
+        .join(labels, Seq("media_id"), "left")
+        .withColumn("split_key", coalesce(col("label"), col("media_id")))
+        .select(col("media_id"), col("kind"), col("split_key"),
+          graft.text.TextFns.splitAssign(col("split_key")).as("split"))
+        .orderBy("media_id")
     }
   )
 }

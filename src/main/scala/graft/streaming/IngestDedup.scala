@@ -87,13 +87,21 @@ object IngestDedup {
         sp.read.parquet(s"$root/index")
           .filter(col("batch") < batchId).select("id", "sig")
       else sp.createDataFrame(new java.util.ArrayList[Row](), sigSchema)
-    // managed variant: one call per micro-batch would otherwise
-    // accumulate three persisted frames per batch until LRU eviction
-    val (pairs, release) = Dedup.incrementalLshPairsManaged(index, batch,
-      k = k, bands = bands, minEst = minEst)
-    try pairs.write.mode("overwrite").parquet(s"$root/pairs/batch=$batchId")
-    finally release()
+    // signatures are computed ONCE per batch: written to the index
+    // first, then the stored rows feed candidate generation — the
+    // raw-docs form would re-shingle and re-aggregate the same text a
+    // second time. A crash between the index write and the pairs write
+    // retries into identical overwrites (the index frame above already
+    // excludes this batch), so idempotency is unchanged.
     Dedup.minhashSignatures(batch, "doc_id", "text", k, 3)
       .write.mode("overwrite").parquet(s"$root/index/batch=$batchId")
+    val deltaSigs = sp.read.parquet(s"$root/index/batch=$batchId")
+      .select("id", "sig")
+    // managed variant: one call per micro-batch would otherwise
+    // accumulate three persisted frames per batch until LRU eviction
+    val (pairs, release) = Dedup.incrementalLshPairsFromSigsManaged(
+      index, deltaSigs, k = k, bands = bands, minEst = minEst)
+    try pairs.write.mode("overwrite").parquet(s"$root/pairs/batch=$batchId")
+    finally release()
   }
 }

@@ -99,16 +99,23 @@ object StreamingCorpusBuild {
       gated.select(col("doc_id"),
           TextFns.bpeTokenCount(col("text")).as("n_tok"))
         .write.mode("overwrite").parquet(s"$root/meta/batch=$batchId")
-      // incremental LSH vs the accumulated GATED signature index
+      // incremental LSH vs the accumulated GATED signature index.
+      // Signatures are computed ONCE: written to the index first, then
+      // the stored rows feed candidate generation (the raw-docs form
+      // would re-shingle + re-aggregate the same text twice per batch);
+      // the `index` frame reads strictly-earlier batches, so a crash
+      // between the two writes retries into identical overwrites.
       val index = prev("index").map(_.select("id", "sig")).getOrElse(
         sp.createDataFrame(new java.util.ArrayList[Row](), sigSchema))
+      Dedup.minhashSignatures(gated, "doc_id", "text", 12, 3)
+        .write.mode("overwrite").parquet(s"$root/index/batch=$batchId")
+      val deltaSigs = sp.read.parquet(s"$root/index/batch=$batchId")
+        .select("id", "sig")
       val (pairs, release) =
-        Dedup.incrementalLshPairsManaged(index, gated)
+        Dedup.incrementalLshPairsFromSigsManaged(index, deltaSigs)
       try pairs.select("a", "b")
         .write.mode("overwrite").parquet(s"$root/pairs/batch=$batchId")
       finally release()
-      Dedup.minhashSignatures(gated, "doc_id", "text", 12, 3)
-        .write.mode("overwrite").parquet(s"$root/index/batch=$batchId")
       // hashed-shingle stores: train side per doc, eval side as the
       // FIRST-APPEARANCE distinct set (so the accumulated eval store
       // is distinct by construction — no per-batch global distinct)
@@ -135,7 +142,10 @@ object StreamingCorpusBuild {
         .fold(newEvalStored)(_.unionByName(newEvalStored))
       val newTrain = sp.read.parquet(s"$root/trainsh/batch=$batchId")
         .select("doc_id", "sh")
-      val d1 = newTrain.join(evalAll, "sh")
+      // the eval-shingle set is bounded by the held-out corpus (small
+      // and fixed while train grows unboundedly) — broadcast it so the
+      // train-side shingle table never shuffles on `sh`
+      val d1 = newTrain.join(broadcast(evalAll), "sh")
         .groupBy("doc_id").agg(count(lit(1)).as("n_shared_delta"))
       val d2 = prev("trainsh") match {
         case Some(p) => p.select("doc_id", "sh")

@@ -47,6 +47,49 @@ object Decontaminate {
         coalesce(col("n_shared"), lit(0L)).as("n_shared"))
   }
 
+  /** Contamination ATTRIBUTION: for each training document sharing at
+    * least one shingle with the eval set, WHICH eval document
+    * contributed most — the "which benchmark leaked into my corpus"
+    * report that turns [[overlapStats]]'s drop decision into an
+    * actionable one (fix the crawl source, or retire the compromised
+    * eval). Output per contaminated training doc: the top contributing
+    * eval doc (ties broken to the smallest id), how many of the train
+    * doc's shingles that eval doc covers, how many distinct eval docs
+    * it collides with at all, and its total distinct shared-shingle
+    * count.
+    *
+    * Scale shape: same 8-byte-key join as [[overlapStats]] but keyed to
+    * (train, eval) pairs; the hit table is bounded by actual overlap
+    * (tiny relative to the corpus), and both follow-up aggregations
+    * read it from cache. Top-contributor selection is the argmax
+    * `max(struct(count, -id))` aggregate — no window, no per-doc sort.
+    */
+  def attribution(docs: DataFrame, isEval: Column, idCol: String = "doc_id",
+      textCol: String = "text", n: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), isEval.as("is_eval"),
+        explode(graft.functions.ShingleHashes(
+          TextFns.words(col(textCol)), n)).as("sh"))
+      .persist()
+    val evalSh = sh.filter(col("is_eval"))
+      .select(col("id").as("eval_id"), col("sh"))
+    // the overlap hit table feeds two aggregations (per-pair counts +
+    // per-doc distincts) — persist it, not the join recomputed
+    val hits = sh.filter(!col("is_eval")).select(col("id"), col("sh"))
+      .join(evalSh, "sh").persist()
+    val contrib = hits.groupBy("id", "eval_id")
+      .agg(count(lit(1)).as("n_with"))
+    val top = contrib.groupBy("id")
+      .agg(max(struct(col("n_with"), (-col("eval_id")).as("neg"))).as("m"))
+      .select(col("id"), (-col("m.neg")).as("top_eval_id"),
+        col("m.n_with").as("n_top_shared"))
+    val tot = hits.groupBy("id")
+      .agg(countDistinct("eval_id").as("n_evals"),
+        countDistinct("sh").as("n_shared"))
+    top.join(tot, "id")
+      .select(col("id").as("doc_id"), col("top_eval_id"),
+        col("n_top_shared"), col("n_evals"), col("n_shared"))
+  }
+
   /** Bloom-filter variant of [[overlapStats]] — the 100 TB shape.
     *
     * [[overlapStats]] joins every training shingle against the eval

@@ -288,11 +288,29 @@ object Dedup {
   def incrementalLshPairsManaged(indexSigs: DataFrame, newDocs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text", k: Int = 12,
       bands: Int = 4, minEst: Double = 0.5, n: Int = 3,
+      maxBucketSize: Option[Int] = None): (DataFrame, () => Unit) =
+    incrementalLshPairsFromSigsManaged(indexSigs,
+      minhashSignatures(newDocs, idCol, textCol, k, n), k, bands, minEst,
+      maxBucketSize)
+
+  /** [[incrementalLshPairsManaged]] taking PRE-COMPUTED delta
+    * signatures instead of raw documents. The ingest shape
+    * ([[graft.streaming.IngestDedup]], [[graft.streaming.StreamingCorpusBuild]])
+    * must write the delta's `(id, sig)` rows to the accumulated index
+    * anyway — computing signatures once, writing them, and feeding the
+    * stored rows back here halves the per-batch text work (the shingle
+    * explode + k-way min aggregation is the dominant arrival-time cost;
+    * re-reading the compact signature parquet is not). Semantics are
+    * identical to the raw-docs form: signatures are per-document
+    * functions of the text alone. */
+  def incrementalLshPairsFromSigsManaged(indexSigs: DataFrame,
+      deltaSigs: DataFrame, k: Int = 12, bands: Int = 4,
+      minEst: Double = 0.5,
       maxBucketSize: Option[Int] = None): (DataFrame, () => Unit) = {
     require(k % bands == 0,
       s"signature length k=$k must divide into bands=$bands evenly")
     val rows = k / bands
-    val newSigs = minhashSignatures(newDocs, idCol, textCol, k, n).persist()
+    val newSigs = deltaSigs.persist()
     // the index side feeds three consumers (bucket explode + both
     // sides of the verify join): persist it, or a caller passing a
     // COMPUTED frame (rather than a stored table scan) pays the

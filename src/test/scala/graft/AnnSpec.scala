@@ -89,6 +89,20 @@ class AnnSpec extends SparkSpec {
     recall(probe2) should be > 0.2
   }
 
+  test("ivfTopKSweep is bit-identical to per-point ivfTopK at every np") {
+    val qs = emb.filter($"vec_id" % 10 === 0)
+    val sweep = Ann.ivfTopKSweep(qs, emb, k = 3, nProbes = Seq(1, 4))
+      .select("np", "q", "rank", "b", "cos")
+      .as[(Long, Long, Int, Long, Double)].collect().toSet
+    Seq(1, 4).foreach { np =>
+      val single = Ann.ivfTopK(qs, emb, k = 3, nProbe = np)
+        .select("q", "rank", "b", "cos")
+        .as[(Long, Int, Long, Double)].collect()
+        .map { case (q, r, b, c) => (np.toLong, q, r, b, c) }.toSet
+      sweep.filter(_._1 == np) shouldBe single
+    }
+  }
+
   test("Lloyd-refined centroids improve probe recall over the first-16 seed") {
     val qs = emb.filter($"vec_id" % 10 === 0)
     val truth = Ann.bruteForceTopK(qs, emb, k = 1)

@@ -39,6 +39,22 @@ class DedupSpec extends SparkSpec {
     stats shouldBe Seq((1L, 6L, 2L), (2L, 3L, 0L))
   }
 
+  test("attribution names the top contributing eval doc, ties to min id") {
+    val docs = Seq(
+      (10L, "a b c d"), // eval: shingles {abc, bcd}
+      (20L, "a b c e"), // eval: shingles {abc, bce}
+      (30L, "a b c x"), // train: {abc, bcx} — ties eval 10 and 20 at 1
+      (40L, "b c d y"), // train: {bcd, cdy} — only eval 10
+      (50L, "p q r s") // train, clean: absent from the report
+    ).toDF("doc_id", "text")
+    val rows = graft.text.Decontaminate
+      .attribution(docs, col("doc_id") < 30L)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    rows shouldBe Seq(
+      (30L, 10L, 1L, 2L, 1L), // tie broken to the smaller eval id
+      (40L, 10L, 1L, 1L, 1L))
+  }
+
   test("bloom decontamination never undercounts the exact overlap") {
     import graft.functions.BloomMightContain
     val docs = Seq(

@@ -112,6 +112,31 @@ class MultimodalSpec extends SparkSpec {
     kept(4L) shouldBe "unique"
   }
 
+  test("media split: a perceptual cluster shares one split, leak-free") {
+    import org.apache.spark.sql.functions.lit
+    val long = ("the quick brown fox jumps over the lazy dog and keeps " +
+      "running through the long field of words ") * 6
+    val other = ("entirely different content built from another set of " +
+      "symbols numbers 12345 and punctuation !!! ??? ;;; ") * 6
+    val m = Seq((1L, long), (2L, long), (3L, long), (4L, other))
+      .toDF("media_id", "text")
+      .select($"media_id", lit("image").as("kind"),
+        $"text".cast("binary").as("content"))
+    val pairs = Multimodal.perceptualNearDupPairs(m, maxHamming = 6)
+    val labels = graft.operators.ConnectedComponents.run(pairs)
+      .withColumnRenamed("node", "media_id")
+    val split = m.select("media_id")
+      .join(labels, Seq("media_id"), "left")
+      .withColumn("split_key", coalesce($"label", $"media_id"))
+      .select($"media_id", $"split_key",
+        graft.text.TextFns.splitAssign($"split_key").as("split"))
+      .as[(Long, Long, String)].collect()
+    val clustered = split.filter(r => Set(1L, 2L, 3L)(r._1))
+    clustered.map(_._2).toSet.size shouldBe 1 // one shared split key
+    clustered.map(_._3).toSet.size shouldBe 1 // hence one shared split
+    split.filter(_._1 == 4L).head._2 shouldBe 4L // unique keys itself
+  }
+
   test("perceptual near-dup derives its hot-bucket cap like every LSH door") {
     import org.apache.spark.sql.functions.lit
     // 1200 identical objects: one band bucket of 1200 > the derived

@@ -188,7 +188,8 @@ class PlanSpec extends SparkSpec {
       "q52_funnel", // joins 1-ROW step counts for the ppm ratios
       "q53_triangles", // joins four 1-ROW graph-stat aggregates
       "s13_matryoshka_recall", // embeds TWO s01-style exact baselines (the measuring instrument)
-      "t29_temperature_mix") // broadcasts a 1-ROW share normalizer (z)
+      "t29_temperature_mix", // broadcasts a 1-ROW share normalizer (z)
+      "s14_ivf_nprobe_sweep") // embeds the s01 exact baseline + a broadcast 3-ROW sweep axis
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, SfDir)
       withClue(s"$name: ") {
