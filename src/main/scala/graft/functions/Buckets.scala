@@ -86,7 +86,17 @@ object Buckets {
       metricName: String): DataFrame = {
     val sizes = buckets.groupBy(bucketCol)
       .agg(count(lit(1)).as("__bucket_size"))
-    buckets.join(sizes, Seq(bucketCol))
+      .withColumnRenamed(bucketCol, "__bucket_key")
+    // NULL-SAFE join key (<=>): groupBy treats NULL as its own group,
+    // but a plain equi-join would silently drop every NULL-bucket row
+    // on the way back — the old Window.partitionBy form kept them as
+    // their own partition, and a cap must never change membership for
+    // rows it didn't cap. (All current bucket keys are non-null
+    // expressions; this guards the future nullable one.) EqualNullSafe
+    // is still an equi-join key, so the plan stays a hashed/sort-merge
+    // join that AQE can skew-split.
+    buckets.join(sizes, col(bucketCol) <=> col("__bucket_key"))
+      .drop("__bucket_key")
       .observe(metricName,
         sum(when(col("__bucket_size") > maxBucketSize, 1L).otherwise(0L))
           .as("dropped_rows"))

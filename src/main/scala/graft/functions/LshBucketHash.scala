@@ -33,6 +33,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * plane — `when(null > 0, ..)` took the otherwise-branch — so each
   * table contributes its base id `t·2^m`.
   *
+  * NULL contract (a DELIBERATE change from the composition): a NULL
+  * embedding yields NULL (standard `UnaryExpression` null
+  * propagation), so the downstream `explode` drops the row from
+  * candidate generation entirely. The old DotProduct+when fold instead
+  * emitted the base-id bucket array for NULL vectors, which filed
+  * every NULL embedding into the SAME `nTables` buckets — at corpus
+  * scale that is a synthetic mega-bucket of garbage rows the occupancy
+  * cap then has to absorb. Dropping NULL vectors from near-dup/ANN
+  * candidacy is the semantics a corpus pipeline wants (a row with no
+  * embedding cannot be anyone's neighbor); callers that must surface
+  * them should filter `isNull` explicitly before hashing.
+  *
   * @param weights flat `[table][plane][dim]` hyperplane matrix
   */
 case class LshBucketHash(child: Expression, weights: Array[Double],

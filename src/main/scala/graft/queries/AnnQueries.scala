@@ -584,9 +584,13 @@ object AnnQueries {
       val sweeps = Ann.ivfTopKSweep(qs, emb, k = 10, nProbes = Seq(1, 2, 4))
         .select(col("np"), col("q").as("iq"), col("b").as("ib"))
       // the sweep axis gets its own column name so the join below can
-      // never collapse to a trivially-true self-reference
-      val exNp = ex.crossJoin(broadcast(
-        sweeps.select(col("np").as("enp")).distinct()))
+      // never collapse to a trivially-true self-reference — and it is
+      // built from the LITERAL operating points, not from observed
+      // candidate rows: an nprobe that yields zero candidates for every
+      // query must still emit its (zero-recall) sweep row, exactly as
+      // the oracle's unnest([1,2,4]) axis does
+      import s.implicits._
+      val exNp = ex.crossJoin(broadcast(Seq(1L, 2L, 4L).toDF("enp")))
       exNp.join(sweeps,
           col("enp") === col("np") && col("q") === col("iq") &&
             col("b") === col("ib"), "left")
