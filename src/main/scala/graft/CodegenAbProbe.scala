@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Codegen A-B regression harness for every custom native expression —
+  * the generalized form of the one-off `HashProfile` that found round
+  * 10's 37x bug: a generated consume method that exceeds the JVM
+  * huge-method JIT limit drops the whole stage to the BYTECODE
+  * interpreter, which is dramatically SLOWER than Catalyst's own
+  * interpreted mode — and nothing correctness-shaped ever sees it
+  * (CodegenSpec proves the code compiles and agrees, not that it is
+  * fast). That bug class is silent and recurs as expressions
+  * accumulate, so this probe runs ONE representative full-scan
+  * workload per native expression with whole-stage codegen ON and OFF
+  * over the 10x corpora, records the gen/interp time ratio as the
+  * gated `codegen_ab` row, and HARD-FAILS any expression whose codegen
+  * leg is slower than interpreted beyond slack (2x + 1 s) — codegen
+  * being no faster is tolerable on scan-bound workloads; codegen being
+  * structurally slower is always the JIT-limit pathology.
+  *
+  * Run: `sbt "runMain graft.CodegenAbProbe"`.
+  */
+object CodegenAbProbe {
+
+  def main(args: Array[String]): Unit = {
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.files.maxPartitionBytes", "524288")
+      .config("spark.sql.files.openCostInBytes", "65536")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.register(spark)
+
+    val srcTag = new java.io.File(src).getName
+    val dir = s"/tmp/graft-scale-$srcTag-$copies"
+    ScaleProbe.synthesize(spark, src, dir, copies)
+    val docs = sources.Tables.documents(spark, dir)
+    val emb = sources.Tables.embeddings(spark, dir)
+    val nDocs = docs.count()
+    val wordsCol = graft.text.TextFns.words(col("text"))
+    val normCol = graft.text.TextFns.normalize(col("text"))
+
+    import graft.functions._
+    // one full-scan aggregate per expression: the agg sink keeps the
+    // timed work inside the scan stage (no result shipping), and the
+    // expression dominates the stage cost at 10x corpus size
+    val workloads: Seq[(String, () => Unit)] = Seq(
+      "poly_hash64" -> (() => {
+        docs.select(PolyHash64(col("text")).as("h"))
+          .agg(sum("h")).collect(); ()
+      }),
+      "nfc_normalize" -> (() => {
+        docs.select(length(NfcNormalize(col("text"))).as("l"))
+          .agg(sum("l")).collect(); ()
+      }),
+      "shingle_hashes" -> (() => {
+        docs.select(size(ShingleHashes(wordsCol, 3)).as("n"))
+          .agg(sum("n")).collect(); ()
+      }),
+      "cdc_chunks" -> (() => {
+        docs.select(size(CdcChunks(normCol, 8, 64)).as("n"))
+          .agg(sum("n")).collect(); ()
+      }),
+      "regexp_extract_all_negate" -> (() => {
+        docs.select(size(RegexpExtractAllNegate(col("text"),
+          lit("[a-z]+"), lit(0))).as("n")).agg(sum("n")).collect(); ()
+      }),
+      "byte_stride" -> (() => {
+        docs.select(length(ByteStride(col("text").cast("binary"), 4))
+          .as("l")).agg(sum("l")).collect(); ()
+      }),
+      "bloom_might_contain" -> (() => {
+        val filt = BloomMightContain.buildWords(
+          (0 until BloomMightContain.K).map(j => BloomMightContain
+            .probe(PolyHash64.hash("the"), j, 4096).toLong).toArray, 4096)
+        docs.select(BloomMightContain(filt, 4096,
+          PolyHash64(col("text"))).cast("int").as("b"))
+          .agg(sum("b")).collect(); ()
+      }),
+      "hashed_ngram_score" -> (() => {
+        docs.select(graft.text.QualityClassifier.rawScore(col("text"))
+          .as("s")).agg(sum("s")).collect(); ()
+      }),
+      "dot_product" -> (() => {
+        emb.select(DotProduct(col("embedding").cast("array<double>"),
+          vector.Ann.planeLitPublic(0, 64)).as("d"))
+          .agg(sum("d")).collect(); ()
+      }),
+      "lsh_bucket_hash" -> (() => {
+        // the round-10 patient itself, at the production 8-plane config
+        vector.Ann.withLshBuckets(emb, planesPerTable = 8)
+          .agg(sum("bucket")).collect(); ()
+      }))
+
+    def run(wsc: Boolean): Seq[(String, Double, Long)] = {
+      spark.conf.set("spark.sql.codegen.wholeStage", wsc)
+      try workloads.map { case (name, body) =>
+        System.err.println(s"[probe] $name codegen=$wsc")
+        body() // untimed warm-up: JIT + codegen compile + scan cache
+        val t0 = System.nanoTime()
+        body()
+        (name, (System.nanoTime() - t0) / 1e9, nDocs)
+      } finally spark.conf.set("spark.sql.codegen.wholeStage", true)
+    }
+
+    val interp = run(wsc = false)
+    val gen = run(wsc = true)
+
+    val iMap = interp.map(r => r._1 -> r._2).toMap
+    val inversions = gen.flatMap { case (name, gSec, _) =>
+      val iSec = iMap(name)
+      if (gSec > 2.0 * iSec + 1.0)
+        Some(s"$name: codegen ${ProbeLog.fmt(gSec, 2)}s vs interpreted " +
+          s"${ProbeLog.fmt(iSec, 2)}s — the JIT-limit inversion class")
+      else None
+    }
+
+    import ProbeLog.js
+    val line = s"""{"metric":"codegen_ab","copies":$copies,""" +
+      s""""interp":${js(interp)},"gen":${js(gen)},""" +
+      s""""ratios":${ProbeLog.ratios(interp, gen)},"sf":"$src"}"""
+    println(line)
+    val regressions = ProbeLog.recordGated("codegen_ab", line) ++ inversions
+    spark.stop()
+    if (regressions.nonEmpty) {
+      regressions.foreach(r =>
+        System.err.println(s"[probe] REGRESSION/INVERSION: $r"))
+      sys.exit(1)
+    }
+  }
+}

@@ -32,6 +32,13 @@ object ScaleProbe {
     "t24_lm_perplexity", // bigram join: big/pre count tables grow with corpus
     "t28_corpus_build", // the full gate->dedup->decontam->split->shard->pack composition
     "m05_media_neardup", // perceptual-hash banding over the media bytes
+    "m06_media_keep", // m05 pairs -> CC -> canonical keep (CC under media load)
+    "m07_media_split", // perceptual clusters share one split key
+    "d14_soft_dedup", // per-row ppm gate vs broadcast rate table — the
+    // mega-group claim: a saturated corpus multiplies every dup_count
+    // by `copies` and the keep decision must stay rank-window-free
+    "s14_ivf_nprobe_sweep", // ONE shared index build + candidate pass
+    // across the sweep — per-nprobe cost must never multiply the build
     "s02_ann_lsh", // sized planes + cap derive in-operator — the production row
     "s12_ann_lsh_fixed3", // labeled fixed-plane contrast (excluded above 10x)
     "s03_ann_ivf",
@@ -499,6 +506,15 @@ object StreamScaleProbe {
     // 10x, the adversarial direction for the per-batch O(delta) fold
     "st15_stream_scd2")
 
+  /** st16 consumes the DOCUMENTS corpus ([[ScaleProbe]]'s near-dup 10x
+    * synthesis), not events: its scale couplings — the incremental
+    * decontam joins against two GROWING shingle stores and the
+    * corpus-global publish (CC + RangeRank) — are exactly what the
+    * per-key-density events corpus cannot exercise. Through round 10
+    * its scale claim was st11's row as a proxy; this gives the slowest
+    * query in the engine its own measured, gated verdict. */
+  private val DocSubset = Seq("st16_stream_corpus_build")
+
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
@@ -514,19 +530,25 @@ object StreamScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.register(spark)
 
-    val dir = s"/tmp/graft-evscale-${new java.io.File(src).getName}-$copies"
+    val srcTag = new java.io.File(src).getName
+    val dir = s"/tmp/graft-evscale-$srcTag-$copies"
     EventScaleProbe.synthesize(spark, src, dir, copies)
+    val docDir = s"/tmp/graft-scale-$srcTag-$copies"
+    ScaleProbe.synthesize(spark, src, docDir, copies)
 
     val wev = sources.Tables.events(spark, src)
     wev.join(wev.select("event_id"), "event_id").agg(count(lit(1))).collect()
 
-    def runSet(d: String): Seq[(String, Double, Long)] = Subset.map { n =>
+    def runOne(n: String, d: String): (String, Double, Long) = {
+      System.err.println(s"[probe] $n @ $d")
       val t0 = System.nanoTime()
       val rows = SparkEntry.queries(n)(spark, d).count()
       (n, (System.nanoTime() - t0) / 1e9, rows)
     }
-    val base = runSet(src)
-    val scaled = runSet(dir)
+    def runSet(evD: String, docD: String): Seq[(String, Double, Long)] =
+      Subset.map(runOne(_, evD)) ++ DocSubset.map(runOne(_, docD))
+    val base = runSet(src, src)
+    val scaled = runSet(dir, docDir)
 
     import ProbeLog.js
     val metricName =
@@ -569,7 +591,12 @@ object ZipfScaleProbe {
     // shares shingles with held-out content), so only this realistic
     // profile can show the end-to-end pipeline producing real shards
     // at 100x
-    "t28_corpus_build")
+    "t28_corpus_build",
+    // contamination attribution: the hit table is bounded by ACTUAL
+    // train-eval overlap, and only the realistic-duplication profile
+    // has a non-degenerate overlap at 100x — the row that proves the
+    // argmax aggregate stays output-bound, not corpus-bound
+    "t30_contamination_attribution")
 
   private val IdStride = 10000000L
 
@@ -792,6 +819,121 @@ object PageRankScaleProbe {
   }
 }
 
+/** Chain-topology probe for ConnectedComponents — the driver-round
+  * floor measurement. Every dedup probe corpus builds CLIQUE-shaped
+  * duplicate groups (diameter 1–2), which never exercises the
+  * O(diameter) risk of min-label propagation: a CHAIN of near-dups
+  * (doc A ~ B ~ C ~ ..., the long-tail crawl topology where each
+  * revision resembles only its neighbors) has diameter = n, and a
+  * one-driver-action-per-round loop would pay n round-trips — at
+  * round-10's measured 1–2 s per round, a 4096-link chain would be
+  * HOURS. The pointer-jumping shortcut (ConnectedComponents round =
+  * hop + jump) bounds rounds at O(log diameter); this probe measures
+  * exactly that:
+  *
+  *  - operator leg: pure chain edge lists at 256 and 4096 nodes —
+  *    rounds must grow by ~log2(16x) = 4, never 16x, and the probe
+  *    HARD-FAILS if rounds exceed log2(n) + 6;
+  *  - composition leg: d07 (near-dup pairs -> CC -> clusters) on a
+  *    sliding-window chain corpus (doc i = tokens i..i+19, so only
+  *    distance <= 2 neighbors clear the 0.8 Jaccard bar) at 500 and
+  *    2000 docs — one giant path-shaped component of diameter ~n/2;
+  *    without the jump this leg does not finish inside maxIter=50.
+  *
+  * Run: `sbt "runMain graft.CcChainProbe"`; gated row `cc_chain_probe`.
+  */
+object CcChainProbe {
+
+  private[graft] def synthesizeChain(spark: SparkSession, dir: String,
+      nDocs: Int): Unit = {
+    if (new java.io.File(s"$dir/_READY").exists()) return
+    val text = concat_ws(" ",
+      (0 until 20).map(j => concat(lit("tok"), col("id") + j)): _*)
+    spark.range(nDocs)
+      .select(col("id").as("doc_id"), text.as("text"),
+        lit("en").as("lang"), lit("chain").as("source"),
+        length(text).cast("long").as("n_chars"))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    new java.io.File(s"$dir/_READY").createNewFile()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.files.maxPartitionBytes", "524288")
+      .config("spark.sql.files.openCostInBytes", "65536")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.register(spark)
+
+    def ccChain(n: Long): (Double, Long, Int) = {
+      System.err.println(s"[probe] cc_chain @ $n nodes")
+      val edges = spark.range(n - 1)
+        .select(col("id").as("a"), (col("id") + 1).as("b"))
+      val t0 = System.nanoTime()
+      val (labels, rounds) =
+        operators.ConnectedComponents.runWithRounds(edges)
+      val rows = labels.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      // correctness on the way: one component, labeled by its min id
+      val lbl = labels.select("label").distinct().collect()
+      require(lbl.length == 1 && lbl(0).getLong(0) == 0L,
+        s"chain($n) mislabeled: ${lbl.take(3).mkString(",")}")
+      (sec, rows, rounds)
+    }
+    def d07Chain(nDocs: Int): (Double, Long) = {
+      System.err.println(s"[probe] d07_chain @ $nDocs docs")
+      val dir = s"/tmp/graft-ccchain-$nDocs"
+      synthesizeChain(spark, dir, nDocs)
+      val t0 = System.nanoTime()
+      val rows = SparkEntry.queries("d07_dedup_clusters")(spark, dir).count()
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+
+    // untimed warm-up (JIT + codegen) on a tiny chain
+    ccChain(32)
+
+    val (sB, rB, roundsB) = ccChain(256)
+    val (sS, rS, roundsS) = ccChain(4096)
+    val (dB, dRowsB) = d07Chain(500)
+    val (dS, dRowsS) = d07Chain(2000)
+
+    def logBound(n: Long): Int =
+      (math.log(n.toDouble) / math.log(2.0)).ceil.toInt + 6
+    val roundFailures = Seq(
+      (roundsB > logBound(256)) ->
+        s"cc_chain(256): $roundsB rounds > log bound ${logBound(256)}",
+      (roundsS > logBound(4096)) ->
+        s"cc_chain(4096): $roundsS rounds > log bound ${logBound(4096)}",
+      (roundsS - roundsB > 6) ->
+        s"rounds grew $roundsB -> $roundsS for a 16x chain (not log-like)"
+    ).collect { case (true, msg) => msg }
+
+    val base = Seq(("cc_chain", sB, rB), ("d07_chain", dB, dRowsB))
+    val scaled = Seq(("cc_chain", sS, rS), ("d07_chain", dS, dRowsS))
+    import ProbeLog.js
+    val line = s"""{"metric":"cc_chain_probe",""" +
+      s""""base":${js(base)},"scaled":${js(scaled)},""" +
+      s""""ratios":${ProbeLog.ratios(base, scaled)},""" +
+      s""""rounds":{"cc_chain_base":$roundsB,"cc_chain_scaled":$roundsS},""" +
+      s""""sf":"synthetic-chain"}"""
+    println(line)
+    val regressions = ProbeLog.recordGated("cc_chain_probe", line) ++
+      roundFailures
+    spark.stop()
+    if (regressions.nonEmpty) {
+      regressions.foreach(r =>
+        System.err.println(s"[probe] REGRESSION/ROUND-BOUND: $r"))
+      sys.exit(1)
+    }
+  }
+}
+
 object CoresProbe {
 
   /** Compute-heavy batch queries over the 10x docs/embeddings corpus:
@@ -826,7 +968,12 @@ object CoresProbe {
     * the one profile where the full build produces real shards),
     * s02 on the 100x embedding corpus (50k vectors), q60 on the 100x
     * events corpus. Emits metric `cores_probe_100x`. */
-  private val FedDocSubset = Seq("t28_corpus_build")
+  private val FedDocSubset = Seq("t28_corpus_build",
+    // round-11: the incremental corpus build on the same fed corpus —
+    // the batch topology (t28) and its micro-batch twin (st16) answer
+    // the cores question side by side (expected reading: t28 scales
+    // with compute, st16 sits nearer ~1.0 on commit machinery)
+    "st16_stream_corpus_build")
   private val FedEmbSubset = Seq("s02_ann_lsh")
   private val FedEventSubset = Seq("q60_cohort_retention")
 

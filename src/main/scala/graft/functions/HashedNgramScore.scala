@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.Shim
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Linear classifier scoring over hashed n-gram features — the
+  * fastText-style (Joulin et al. 2016, public knowledge) serving path
+  * of a trained document-quality model, as ONE native codegen
+  * expression: for token array `t_1..t_n`,
+  *
+  *   raw = Σ_i w[h(t_i) mod D]  +  Σ_i w[h(t_i + " " + t_{i+1}) mod D]
+  *
+  * summed LEFT TO RIGHT, unigrams first then bigrams, so any engine
+  * replaying the same order reproduces the double bit-for-bit. `h` is
+  * [[PolyHash64]] — the engine-neutral hash every shingle oracle
+  * already mirrors in DuckDB SQL — so the full scoring arithmetic
+  * (hash, bucket, weight lookup, ordered dot product) is replayable
+  * cross-engine.
+  *
+  * The weight vector rides along as a plan reference object
+  * (`ctx.addReferenceObj`), i.e. it is broadcast to executors with the
+  * serialized plan once per stage — never a join, never a shuffle: the
+  * scoring scan stays a pure map at full scan speed, which is the
+  * property that matters when the gate runs over a 100 TB documents
+  * table. Generated code is ONE static call with runtime loops (the
+  * [[LshBucketHash]] lesson: unrolled per-feature code blows the JVM
+  * huge-method JIT limit and drops the stage to the bytecode
+  * interpreter).
+  *
+  * Empty token arrays score 0.0; NULL input propagates NULL
+  * (standard UnaryExpression null handling).
+  */
+case class HashedNgramScore(child: Expression, weights: Array[Double])
+  extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "hashed_ngram_score"
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashedNgramScore.score(input.asInstanceOf[ArrayData], weights)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val w = ctx.addReferenceObj("ngramWeights", weights, "double[]")
+      s"${ev.value} = graft.functions.HashedNgramScore.score($v, $w);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HashedNgramScore {
+
+  /** JVM-side scoring shared by eval and the generated code: ordered
+    * unigram pass, then ordered bigram pass. */
+  def score(tokens: ArrayData, weights: Array[Double]): Double = {
+    val n = tokens.numElements()
+    val dim = weights.length
+    var sum = 0.0
+    var i = 0
+    while (i < n) {
+      sum += weights((PolyHash64.hash(tokens.getUTF8String(i).toString)
+        % dim).toInt)
+      i += 1
+    }
+    i = 0
+    while (i < n - 1) {
+      val bg = tokens.getUTF8String(i).toString + " " +
+        tokens.getUTF8String(i + 1).toString
+      sum += weights((PolyHash64.hash(bg) % dim).toInt)
+      i += 1
+    }
+    sum
+  }
+
+  /** Column entry point over a token array column. */
+  def apply(tokens: Column, weights: Array[Double]): Column =
+    Shim.column(HashedNgramScore(Shim.expression(tokens), weights))
+}

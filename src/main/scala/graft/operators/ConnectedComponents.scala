@@ -16,17 +16,27 @@ import org.apache.spark.sql.functions._
   * representative.
   *
   * Scale shape: each round is one co-partitioned join (edges x labels,
-  * both hashed on node id) + one partial-aggregated min — no driver
-  * state, label frontier only. Rounds needed = the longest shortest
-  * path in any component; near-dup clusters are dense and shallow
-  * (diameter 2-4), so convergence is a handful of rounds. Lineage is
-  * truncated every round with a lazy localCheckpoint whose partitions
-  * the convergence probe materializes — ONE driver action per round —
-  * so the plan doesn't grow with iterations (swap in `checkpoint()` with a reliable
-  * checkpoint dir when running on a real cluster where executor loss
-  * must be survivable mid-computation). For graphs with long chains
-  * (diameter >> log n) prefer a star-contraction variant; that is not
-  * the dedup-cluster regime this serves.
+  * both hashed on node id) + one partial-aggregated min, followed by a
+  * POINTER-JUMPING shortcut (each node also adopts the label of the
+  * node its label points to — the "shortcutting" step of
+  * Shiloach–Vishkin-style CC, the same doubling idea as
+  * large-star/small-star in Kiveris et al. 2014): label reach roughly
+  * DOUBLES per round instead of growing by one hop, so rounds are
+  * O(log diameter), not O(diameter). No driver state, label frontier
+  * only. Near-dup clusters are dense and shallow (diameter 2–4) and
+  * converge in a handful of rounds either way; the doubling is what
+  * keeps a CHAIN-shaped duplicate topology (doc A ~ B ~ C ~ ...,
+  * diameter = n) from turning the one-bounded-action-per-round loop
+  * into n driver round-trips — measured in the `cc_chain_probe` row: a
+  * 4096-node chain converges in ~11 rounds, not ~4096. The jump join
+  * touches only the |nodes|-row label table (small vs the edge join),
+  * so dense shallow graphs pay one cheap extra hash join per round for
+  * the logarithmic worst-case guarantee. Lineage is truncated every
+  * round with lazy localCheckpoints whose partitions the convergence
+  * probe materializes — ONE driver action per round — so the plan
+  * doesn't grow with iterations (swap in `checkpoint()` with a
+  * reliable checkpoint dir when running on a real cluster where
+  * executor loss must be survivable mid-computation).
   */
 object ConnectedComponents {
 
@@ -38,7 +48,14 @@ object ConnectedComponents {
     *         their own id if the caller needs full coverage.
     */
   def run(pairs: DataFrame, a: String = "a", b: String = "b",
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50): DataFrame =
+    runWithRounds(pairs, a, b, maxIter)._1
+
+  /** [[run]] plus the number of rounds it took to converge — the
+    * measurable the chain-topology probe gates on (rounds must grow
+    * logarithmically with chain length, never linearly). */
+  def runWithRounds(pairs: DataFrame, a: String = "a", b: String = "b",
+      maxIter: Int = 50): (DataFrame, Int) = {
     // Materialize the pair list ONCE before fanning it out: sym + the
     // self-loop branch reference it several times, and an unpersisted
     // upstream (e.g. a near-dup candidate pipeline) would be recomputed
@@ -84,10 +101,30 @@ object ConnectedComponents {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val next = und
+      // hop: min label over neighbors (self-loop includes own label)
+      val prop = und
         .join(labels.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
         .agg(min("label").as("label"))
+        .localCheckpoint(false)
+      // jump (pointer doubling): also adopt the label of the node the
+      // label points to. Labels are always ids of same-component nodes
+      // (own id at start; mins of neighbors' labels thereafter), so the
+      // jump stays inside the component and only ever lowers labels —
+      // monotonicity, the sum convergence probe and the final
+      // min-id-per-component labels are all unchanged; only the ROUND
+      // COUNT drops from O(diameter) to O(log diameter). The self-join
+      // reads prop twice, but prop is lazily checkpointed: the round's
+      // one action computes its partitions once and both sides reuse
+      // them. An unchanged sum still implies a hop fixpoint (the jump
+      // can only change labels the hop would eventually change), which
+      // is exactly component-min convergence.
+      val next = prop
+        .join(prop.select(col("node").as("jn"), col("label").as("jl")),
+          col("label") === col("jn"), "left")
+        .select(col("node"),
+          coalesce(least(col("label"), col("jl")), col("label"))
+            .as("label"))
         .localCheckpoint(false)
       val s = labelSum(next)
       labels = next
@@ -98,8 +135,8 @@ object ConnectedComponents {
     und.unpersist()
     require(converged,
       s"connected components did not converge in $maxIter rounds - " +
-        "the graph has longer chains than min-label propagation should " +
-        "serve; raise maxIter or use a star-contraction variant")
-    labels
+        "the graph has longer chains than doubling min-label " +
+        s"propagation should serve (diameter > ~2^$maxIter); raise maxIter")
+    (labels, iter)
   }
 }

@@ -136,6 +136,49 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // trained quality-classifier GATE (fastText-style serving): linear
+    // score over hashed unigram+bigram features, ONE native codegen
+    // expression with the checked-in weight vector shipped as a plan
+    // reference object — scan -> project -> filter, zero shuffles
+    // (PlanSpec-pinned). The oracle replays the IDENTICAL arithmetic:
+    // same PolyHash64 fold per feature, same 1-based weight lookup into
+    // the same literal weight list (exact integer-thousandth decimals),
+    // same left-to-right unigrams-then-bigrams summation order via
+    // list_reduce, same mean + round(6) + threshold.
+    "t31_classifier_gate" -> Q {
+      import graft.text.QualityClassifier.{Dim, Threshold, weightsSqlList}
+      def ph(v: String) =
+        s"""list_reduce(list_transform(string_split($v, ''),
+           |             c -> CAST(ascii(c) AS BIGINT)),
+           |           (acc, x) -> (acc * 31 + x) % 1073741789) * 1073741824 +
+           |         list_reduce(list_transform(string_split($v, ''),
+           |             c -> CAST(ascii(c) AS BIGINT)),
+           |           (acc, x) -> (acc * 131 + x) % 1073741783)""".stripMargin
+      s"""WITH w AS (SELECT doc_id, string_split($norm, ' ') AS ws
+         |           FROM documents),
+         |f AS (SELECT doc_id, CAST(len(ws) * 2 - 1 AS BIGINT) AS n_feat,
+         |        list_concat(ws, list_transform(range(1, len(ws)),
+         |          i -> ws[i] || ' ' || ws[i+1])) AS feats
+         |      FROM w),
+         |s AS (SELECT doc_id, n_feat,
+         |        round(list_reduce(list_transform(feats, t ->
+         |          (CAST($weightsSqlList AS DOUBLE[]))[1 + CAST((
+         |         ${ph("t")}
+         |          ) % $Dim AS BIGINT)]),
+         |          (a, b) -> a + b) / n_feat, 6) AS score
+         |      FROM f)
+         |SELECT doc_id, n_feat, score FROM s
+         |WHERE score > $Threshold ORDER BY doc_id""".stripMargin
+    } { (s, d) =>
+      import graft.text.QualityClassifier
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          QualityClassifier.nFeatures(col("text")).as("n_feat"),
+          QualityClassifier.score(col("text")).as("score"))
+        .filter(col("score") > QualityClassifier.Threshold)
+        .orderBy("doc_id")
+    },
+
     // keyword-profile language/domain ID: left-fold argmax, first
     // profile wins ties — fold mirrored literally in SQL.
     "t03_profile_id" -> Q(

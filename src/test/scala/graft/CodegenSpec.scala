@@ -47,7 +47,9 @@ class CodegenSpec extends SparkSpec {
                 .probe(PolyHash64.hash("cafe docs and"), j, 64).toLong)
                 .toArray, 64),
             64, PolyHash64(lit("cafe docs and"))).as("bloom"),
-          CdcChunks($"text", 8, 64).as("cdc"))
+          CdcChunks($"text", 8, 64).as("cdc"),
+          graft.functions.HashedNgramScore(split($"text", " "),
+            graft.text.QualityClassifier.Weights).as("ngs"))
         .head
       row.getLong(0) should not be 0L
       row.getString(1) shouldBe "cafe docs and more docs here"
@@ -57,6 +59,12 @@ class CodegenSpec extends SparkSpec {
       new String(row.getAs[Array[Byte]](5)) shouldBe "c sdroh" // every 4th
       row.getBoolean(6) shouldBe true // its own 3 probes are set
       row.getSeq[String](7).mkString shouldBe "cafe docs and more docs here"
+      // ordered unigrams-then-bigrams feature sum over the same tokens
+      val toks = "cafe docs and more docs here".split(" ").toSeq
+      val feats = toks ++ toks.sliding(2).map(_.mkString(" "))
+      val w = graft.text.QualityClassifier.Weights
+      row.getDouble(8) shouldBe feats.foldLeft(0.0)((acc, f) =>
+        acc + w((PolyHash64.hash(f) % w.length).toInt))
     }
   }
 
@@ -71,9 +79,16 @@ class CodegenSpec extends SparkSpec {
       emb.select($"vec_id", Ann.lshBuckets($"embedding", 64, 7, 8).as("b"))
         .as[(Long, Seq[Long])].collect().toSeq.sortBy(_._1)
     val gen = codegenOnly { buckets() }
+    // disable WHOLE-STAGE codegen too: with it on, the stage still runs
+    // doGenCode and the factoryMode knob never reaches nullSafeEval —
+    // gen and "interp" would compare the same generated path
     spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
     val interp = try buckets()
-      finally spark.conf.unset("spark.sql.codegen.factoryMode")
+      finally {
+        spark.conf.unset("spark.sql.codegen.factoryMode")
+        spark.conf.unset("spark.sql.codegen.wholeStage")
+      }
     gen shouldBe interp
     // reference semantics: explicit per-plane DotProduct fold
     val ref = emb.select($"vec_id",

@@ -172,6 +172,18 @@ class OperatorsSpec extends SparkSpec {
       .foreach { case (_, label) => label shouldBe 1L }
   }
 
+  test("connected components: pointer jumping keeps chain rounds logarithmic") {
+    // a 128-link chain has diameter 127; plain min-label propagation
+    // needs ~127 rounds (one driver action each — the scale hazard the
+    // doubling step removes), pointer jumping needs ~log2(127)+slack
+    val chain = (0L until 127L).map(i => (i, i + 1)).toDF("a", "b")
+    val (labels, rounds) = ConnectedComponents.runWithRounds(chain)
+    rounds should be <= 13 // ceil(log2(128)) + convergence-probe slack
+    labels.as[(Long, Long)].collect()
+      .foreach { case (_, label) => label shouldBe 0L }
+    labels.count() shouldBe 128L
+  }
+
   // ---- PII redaction -----------------------------------------------
 
   test("redactPii masks emails, phones and IPs with typed tags") {

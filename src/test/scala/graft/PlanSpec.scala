@@ -286,6 +286,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("t31 classifier gate scores shuffle-free: scan -> filter, zero exchanges") {
+    // the weight vector rides as a plan reference object, never a join:
+    // the gate must stay a pure map over the scan at any corpus size
+    // (the registered query only adds the presentation sort on top)
+    val df = graft.text.QualityClassifier.gate(
+      graft.sources.Tables.documents(spark, SfDir))
+    df.collect()
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    plan should not include "Exchange"
+    plan should not include "Join"
+    // formatted mode renders whole-stage codegen as "[codegen id : N]"
+    // per operator (not a WholeStageCodegen node line)
+    plan should include("[codegen id :")
+  }
+
   test("t29 temperature mix broadcasts the per-source rate table") {
     val plan = formattedPlan("t29_temperature_mix")
     plan should include ("BroadcastHashJoin")

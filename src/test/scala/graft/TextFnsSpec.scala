@@ -133,4 +133,56 @@ class TextFnsSpec extends SparkSpec {
       .select("id").as[Long].collect()
     keptHeavy should contain(2L)
   }
+
+  test("quality classifier: checked-in weights are exact thousandths " +
+    "and the SQL literal round-trips bit-identically") {
+    import graft.text.QualityClassifier
+    QualityClassifier.Weights.length shouldBe QualityClassifier.Dim
+    QualityClassifier.WeightsMilli.zip(QualityClassifier.Weights)
+      .foreach { case (m, d) => d shouldBe m / 1000.0 }
+    // every embedded decimal literal parses back to the served double
+    val lits = QualityClassifier.weightsSqlList
+      .stripPrefix("[").stripSuffix("]").split(", ").map(_.toDouble)
+    lits.toSeq shouldBe QualityClassifier.Weights.toSeq
+  }
+
+  test("quality classifier separates prose from boilerplate and gates on it") {
+    import graft.text.QualityClassifier
+    // a doc of curated prose markers must outscore a doc of curated
+    // boilerplate markers — the +0.6/-0.3 curated mass dominates the
+    // [-0.2, 0.2] hash noise on marker-dense documents
+    val prose = QualityClassifier.ProseMarkers.mkString(" ")
+    val junk = QualityClassifier.BoilerplateMarkers.mkString(" ")
+    val scores = Seq((1L, prose), (2L, junk)).toDF("doc_id", "text")
+      .select(col("doc_id"), QualityClassifier.score(col("text")).as("s"))
+      .as[(Long, Double)].collect().toMap
+    scores(1L) should be > scores(2L)
+    val gated = QualityClassifier.gate(
+      Seq((1L, prose), (2L, junk)).toDF("doc_id", "text"))
+      .select("doc_id").as[Long].collect()
+    gated shouldBe Array(1L)
+  }
+
+  test("quality classifier scoring: codegen and interpreted agree") {
+    import graft.text.QualityClassifier
+    val docs = Seq("the data table is fast", "scan merge batch row part",
+      "a of and to in", "one").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    def run(): Seq[(Long, Double)] = docs
+      .select(col("doc_id"), QualityClassifier.rawScore(col("text")).as("s"))
+      .as[(Long, Double)].collect().toSeq.sortBy(_._1)
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    val gen = try run() finally {
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+      spark.conf.unset("spark.sql.codegen.fallback")
+    }
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val interp = try run() finally {
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+      spark.conf.unset("spark.sql.codegen.wholeStage")
+    }
+    gen shouldBe interp
+  }
 }
