@@ -53,8 +53,10 @@ object CodegenAbProbe {
     // expression dominates the stage cost at 10x corpus size
     val workloads: Seq[(String, () => Unit)] = Seq(
       "poly_hash64" -> (() => {
-        docs.select(PolyHash64(col("text")).as("h"))
-          .agg(sum("h")).collect(); ()
+        // reduce each ~2^60 hash before the sum sink: summing raw
+        // hashes over 50k docs overflows ANSI bigint addition
+        docs.select(pmod(PolyHash64(col("text")), lit(1000000007L))
+          .as("h")).agg(sum("h")).collect(); ()
       }),
       "nfc_normalize" -> (() => {
         docs.select(length(NfcNormalize(col("text"))).as("l"))
@@ -69,7 +71,8 @@ object CodegenAbProbe {
           .agg(sum("n")).collect(); ()
       }),
       "regexp_extract_all_negate" -> (() => {
-        docs.select(size(RegexpExtractAllNegate(col("text"),
+        // the expression returns the joined STRING of matches
+        docs.select(length(RegexpExtractAllNegate(col("text"),
           lit("[a-z]+"), lit(0))).as("n")).agg(sum("n")).collect(); ()
       }),
       "byte_stride" -> (() => {

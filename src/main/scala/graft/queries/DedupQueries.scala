@@ -657,6 +657,75 @@ object DedupQueries {
           sum(col("len") * (col("cnt") - 1)).as("dup_chars"))
     },
 
+    // quality-aware canonical keep — d13 keeps min doc_id per near-dup
+    // cluster (deterministic but quality-blind); the real pipeline
+    // policy keeps the HIGHEST-QUALITY member, scored by the t31
+    // trained classifier. Selection is an argmax AGGREGATE
+    // (max(struct(score, -doc_id))) over cluster keys, never a rank
+    // window — a 10^9-member mega-cluster costs one combiner cell per
+    // task, no straggler sort. Ties (exact duplicates score
+    // identically) break to the smaller doc_id in both engines. The
+    // oracle composes d07's recursive-CTE clustering with t31's
+    // scoring arithmetic verbatim.
+    "d15_quality_keep" -> Q(
+      hashedShingleCtes.replaceFirst("WITH w AS", "WITH RECURSIVE w AS") +
+        s"""sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+          |rare AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY 1)
+          |         WHERE df <= 50),
+          |blocked AS (SELECT doc_id, s.sh FROM sh s JOIN rare USING (sh)),
+          |cand AS (
+          |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+          |  FROM blocked a JOIN blocked b ON a.sh = b.sh AND a.doc_id < b.doc_id),
+          |inter AS (
+          |  SELECT c.a, c.b, count(*) AS i
+          |  FROM cand c JOIN sh x ON x.doc_id = c.a
+          |  JOIN sh y ON y.doc_id = c.b AND y.sh = x.sh
+          |  GROUP BY 1, 2),
+          |pairs AS (
+          |  SELECT a, b
+          |  FROM inter JOIN sizes x ON a = x.doc_id JOIN sizes y ON b = y.doc_id
+          |  WHERE round(i * 1.0 / (x.n_sh + y.n_sh - i), 4) >= 0.8),
+          |und AS (SELECT a AS src, b AS dst FROM pairs
+          |        UNION SELECT b, a FROM pairs),
+          |cc AS (
+          |  SELECT src AS node, src AS label FROM und
+          |  UNION
+          |  SELECT u.dst, cc.label FROM cc JOIN und u ON cc.node = u.src),
+          |labels AS (SELECT node, min(label) AS cluster_id FROM cc GROUP BY 1),
+          |q AS (SELECT doc_id, ${TextQueries.classifierScoreSql} AS score
+          |      FROM w),
+          |keyed AS (
+          |  SELECT q.doc_id, coalesce(l.cluster_id, q.doc_id) AS cluster_id,
+          |         q.score
+          |  FROM q LEFT JOIN labels l ON q.doc_id = l.node),
+          |ranked AS (
+          |  SELECT doc_id, cluster_id, score,
+          |         row_number() OVER (PARTITION BY cluster_id
+          |           ORDER BY score DESC, doc_id) AS rn,
+          |         CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+          |           AS n_members
+          |  FROM keyed)
+          |SELECT doc_id, cluster_id, n_members, score FROM ranked
+          |WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import graft.text.QualityClassifier
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.ngramJaccardPairs(docs, maxDF = 50, minJaccard = 0.8)
+      val labels = graft.operators.ConnectedComponents.run(pairs)
+        .withColumnRenamed("node", "doc_id")
+      docs.select(col("doc_id"),
+          QualityClassifier.score(col("text")).as("score"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("cluster_id"),
+          col("score"))
+        .groupBy("cluster_id")
+        .agg(max(struct(col("score"), (-col("doc_id")).as("nid"))).as("top"),
+          count(lit(1)).as("n_members"))
+        .select((-col("top.nid")).as("doc_id"), col("cluster_id"),
+          col("n_members"), col("top.score").as("score"))
+        .orderBy("doc_id")
+    },
+
     // d06 at the SCALE configuration: planes per table sized to the
     // corpus with Ann.planesFor (greatest(3, ceil(log2(n/target))),
     // target 25 here so the sizing actually engages at test scale —

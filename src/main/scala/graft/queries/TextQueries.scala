@@ -36,6 +36,32 @@ object TextQueries {
   private[queries] val stopList =
     TextFns.Stopwords.map(w => s"'$w'").mkString("(", ",", ")")
 
+  /** DuckDB mirror of [[graft.functions.PolyHash64]] over a SQL string
+    * expression — the documented two-fold hash every shingle oracle
+    * replays; shared by t31 and d15. */
+  private[queries] def polyHashSql(v: String): String =
+    s"""list_reduce(list_transform(string_split($v, ''),
+       |             c -> CAST(ascii(c) AS BIGINT)),
+       |           (acc, x) -> (acc * 31 + x) % 1073741789) * 1073741824 +
+       |         list_reduce(list_transform(string_split($v, ''),
+       |             c -> CAST(ascii(c) AS BIGINT)),
+       |           (acc, x) -> (acc * 131 + x) % 1073741783)""".stripMargin
+
+  /** DuckDB mirror of [[graft.text.QualityClassifier.score]] over a
+    * `ws` word-list column: ordered unigrams-then-bigrams weight sum
+    * (list_reduce = left-to-right), mean, round(6) — shared by t31's
+    * scoring CTE and d15's quality-keep oracle. */
+  private[queries] def classifierScoreSql: String = {
+    import graft.text.QualityClassifier.{Dim, weightsSqlList}
+    s"""round(list_reduce(list_transform(
+       |          list_concat(ws, list_transform(range(1, len(ws)),
+       |            i -> ws[i] || ' ' || ws[i+1])), t ->
+       |          (CAST($weightsSqlList AS DOUBLE[]))[1 + CAST((
+       |         ${polyHashSql("t")}
+       |          ) % $Dim AS BIGINT)]),
+       |          (a, b) -> a + b) / (len(ws) * 2 - 1), 6)""".stripMargin
+  }
+
   /** Profiles for t03: argmax over marker-vocab hit counts. */
   val Profiles: Seq[(String, Seq[String])] = Seq(
     "storage" -> Seq("table", "scan", "merge", "part", "batch", "row"),
@@ -146,27 +172,12 @@ object TextQueries {
     // same left-to-right unigrams-then-bigrams summation order via
     // list_reduce, same mean + round(6) + threshold.
     "t31_classifier_gate" -> Q {
-      import graft.text.QualityClassifier.{Dim, Threshold, weightsSqlList}
-      def ph(v: String) =
-        s"""list_reduce(list_transform(string_split($v, ''),
-           |             c -> CAST(ascii(c) AS BIGINT)),
-           |           (acc, x) -> (acc * 31 + x) % 1073741789) * 1073741824 +
-           |         list_reduce(list_transform(string_split($v, ''),
-           |             c -> CAST(ascii(c) AS BIGINT)),
-           |           (acc, x) -> (acc * 131 + x) % 1073741783)""".stripMargin
+      import graft.text.QualityClassifier.Threshold
       s"""WITH w AS (SELECT doc_id, string_split($norm, ' ') AS ws
          |           FROM documents),
-         |f AS (SELECT doc_id, CAST(len(ws) * 2 - 1 AS BIGINT) AS n_feat,
-         |        list_concat(ws, list_transform(range(1, len(ws)),
-         |          i -> ws[i] || ' ' || ws[i+1])) AS feats
-         |      FROM w),
-         |s AS (SELECT doc_id, n_feat,
-         |        round(list_reduce(list_transform(feats, t ->
-         |          (CAST($weightsSqlList AS DOUBLE[]))[1 + CAST((
-         |         ${ph("t")}
-         |          ) % $Dim AS BIGINT)]),
-         |          (a, b) -> a + b) / n_feat, 6) AS score
-         |      FROM f)
+         |s AS (SELECT doc_id, CAST(len(ws) * 2 - 1 AS BIGINT) AS n_feat,
+         |        $classifierScoreSql AS score
+         |      FROM w)
          |SELECT doc_id, n_feat, score FROM s
          |WHERE score > $Threshold ORDER BY doc_id""".stripMargin
     } { (s, d) =>

@@ -302,6 +302,15 @@ class PlanSpec extends SparkSpec {
     plan should include("[codegen id :")
   }
 
+  test("d15 quality keep selects per-cluster argmax with zero windows") {
+    // the keep decision is max(struct(score,-id)) per cluster key — a
+    // partial-aggregable combiner, so a mega-cluster never funnels
+    // through one sorted window partition
+    val plan = formattedPlan("d15_quality_keep")
+    plan should not include "WindowExec"
+    "Window\\b".r.findAllIn(plan).size shouldBe 0
+  }
+
   test("t29 temperature mix broadcasts the per-source rate table") {
     val plan = formattedPlan("t29_temperature_mix")
     plan should include ("BroadcastHashJoin")
