@@ -37,6 +37,9 @@ object ScaleProbe {
     "d14_soft_dedup", // per-row ppm gate vs broadcast rate table — the
     // mega-group claim: a saturated corpus multiplies every dup_count
     // by `copies` and the keep decision must stay rank-window-free
+    "d15_quality_keep", // classifier-argmax keep: the saturated corpus
+    // multiplies cluster membership, the adversarial direction for a
+    // per-cluster selection that must stay a combiner, not a sort
     "s14_ivf_nprobe_sweep", // ONE shared index build + candidate pass
     // across the sweep — per-nprobe cost must never multiply the build
     "s02_ann_lsh", // sized planes + cap derive in-operator — the production row

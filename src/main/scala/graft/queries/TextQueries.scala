@@ -190,6 +190,35 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // classifier threshold CALIBRATION — the operational step between
+    // training a quality model and gating on it: the score
+    // distribution per source, as fixed-width histogram buckets
+    // (floor(score*50): 0.02-wide, the gate threshold is exactly one
+    // bucket edge). Buckets + counts + per-bucket min/max are all
+    // integer or order-independent arithmetic over the bit-identical
+    // t31 scores, so the report is cross-engine exact (no avg — a
+    // float SUM's addend order differs between engines). Map-side
+    // scan + one partial-aggregated groupBy; no row survives to the
+    // driver but the histogram.
+    "t33_score_calibration" -> Q(
+      s"""WITH w AS (SELECT doc_id, source, string_split($norm, ' ') AS ws
+         |           FROM documents),
+         |q AS (SELECT doc_id, source, $classifierScoreSql AS score FROM w)
+         |SELECT source, CAST(floor(score * 50) AS BIGINT) AS bucket,
+         |       count(*) AS n_docs,
+         |       min(score) AS min_score, max(score) AS max_score
+         |FROM q GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+      import graft.text.QualityClassifier
+      Tables.documents(s, d)
+        .select(col("source"),
+          QualityClassifier.score(col("text")).as("score"))
+        .groupBy(col("source"),
+          floor(col("score") * 50).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min("score").as("min_score"), max("score").as("max_score"))
+        .orderBy("source", "bucket")
+    },
+
     // keyword-profile language/domain ID: left-fold argmax, first
     // profile wins ties — fold mirrored literally in SQL.
     "t03_profile_id" -> Q(
