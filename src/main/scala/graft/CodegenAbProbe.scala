@@ -102,15 +102,32 @@ object CodegenAbProbe {
           .agg(sum("bucket")).collect(); ()
       }))
 
+    // per-workload input row counts: two workloads scan embeddings,
+    // not documents — the recorded rows must say which
+    val nEmb = emb.count()
+    val inputRows = Map("dot_product" -> nEmb, "lsh_bucket_hash" -> nEmb)
+      .withDefaultValue(nDocs)
+
     def run(wsc: Boolean): Seq[(String, Double, Long)] = {
+      // the interpreted leg disables BOTH codegen layers: whole-stage
+      // (the stage consume method — round 10's pathology) AND the
+      // expression/projection factory. An expression whose OWN
+      // doGenCode emits a huge method would fall out of JIT on both
+      // legs if factoryMode stayed FALLBACK, and the inversion check
+      // would read ~1.0 while production scans crawl — the same
+      // independence the CodegenSpec interpreted leg fixes.
       spark.conf.set("spark.sql.codegen.wholeStage", wsc)
+      if (!wsc) spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
       try workloads.map { case (name, body) =>
         System.err.println(s"[probe] $name codegen=$wsc")
         body() // untimed warm-up: JIT + codegen compile + scan cache
         val t0 = System.nanoTime()
         body()
-        (name, (System.nanoTime() - t0) / 1e9, nDocs)
-      } finally spark.conf.set("spark.sql.codegen.wholeStage", true)
+        (name, (System.nanoTime() - t0) / 1e9, inputRows(name))
+      } finally {
+        spark.conf.set("spark.sql.codegen.wholeStage", true)
+        spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
     }
 
     val interp = run(wsc = false)

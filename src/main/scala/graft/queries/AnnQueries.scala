@@ -579,18 +579,24 @@ object AnnQueries {
       val emb = Tables.embeddings(s, d)
       val qs = emb.filter(col("vec_id") % 25 === 0)
       val ex = Ann.bruteForceTopK(qs, emb, k = 10).select(col("q"), col("b"))
+      // ONE definition of the sweep's operating points, feeding both
+      // the candidate generator and the output axis — a second literal
+      // nine lines down silently drops (or phantoms) sweep rows the
+      // moment someone extends the sweep. The ORACLE's unnest([1,2,4])
+      // must still be edited in lockstep.
+      val nps = Seq(1, 2, 4)
       // ONE index build + ONE candidate pass shared across the sweep —
       // not |sweep| independent ivfTopK calls re-running k-means
-      val sweeps = Ann.ivfTopKSweep(qs, emb, k = 10, nProbes = Seq(1, 2, 4))
+      val sweeps = Ann.ivfTopKSweep(qs, emb, k = 10, nProbes = nps)
         .select(col("np"), col("q").as("iq"), col("b").as("ib"))
       // the sweep axis gets its own column name so the join below can
       // never collapse to a trivially-true self-reference — and it is
       // built from the LITERAL operating points, not from observed
       // candidate rows: an nprobe that yields zero candidates for every
       // query must still emit its (zero-recall) sweep row, exactly as
-      // the oracle's unnest([1,2,4]) axis does
+      // the oracle's unnest axis does
       import s.implicits._
-      val exNp = ex.crossJoin(broadcast(Seq(1L, 2L, 4L).toDF("enp")))
+      val exNp = ex.crossJoin(broadcast(nps.map(_.toLong).toDF("enp")))
       exNp.join(sweeps,
           col("enp") === col("np") && col("q") === col("iq") &&
             col("b") === col("ib"), "left")

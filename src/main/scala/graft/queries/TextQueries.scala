@@ -38,14 +38,20 @@ object TextQueries {
 
   /** DuckDB mirror of [[graft.functions.PolyHash64]] over a SQL string
     * expression — the documented two-fold hash every shingle oracle
-    * replays; shared by t31 and d15. */
+    * replays; shared by t31/t33/d15. TOTAL on the empty string: the
+    * JVM side returns 0 for "", but DuckDB's list_reduce ERRORS on the
+    * empty char list — and unlike the shingle oracles (guarded by
+    * `len(ws) >= 3`), the classifier oracles hash every word of every
+    * document, including the one empty token a whitespace-only text
+    * normalizes to. The CASE arm keeps both engines at hash("") = 0. */
   private[queries] def polyHashSql(v: String): String =
-    s"""list_reduce(list_transform(string_split($v, ''),
+    s"""CASE WHEN $v = '' THEN 0 ELSE
+       |         list_reduce(list_transform(string_split($v, ''),
        |             c -> CAST(ascii(c) AS BIGINT)),
        |           (acc, x) -> (acc * 31 + x) % 1073741789) * 1073741824 +
        |         list_reduce(list_transform(string_split($v, ''),
        |             c -> CAST(ascii(c) AS BIGINT)),
-       |           (acc, x) -> (acc * 131 + x) % 1073741783)""".stripMargin
+       |           (acc, x) -> (acc * 131 + x) % 1073741783) END""".stripMargin
 
   /** DuckDB mirror of [[graft.text.QualityClassifier.score]] over a
     * `ws` word-list column: ordered unigrams-then-bigrams weight sum
