@@ -42,6 +42,9 @@ object ScaleProbe {
     // per-cluster selection that must stay a combiner, not a sort
     "s14_ivf_nprobe_sweep", // ONE shared index build + candidate pass
     // across the sweep — per-nprobe cost must never multiply the build
+    "s15_topic_balance", // bounded corpus x 16 assignment + broadcast
+    // rates: per-topic token mass grows with the corpus, the keep
+    // stays per-row hash arithmetic
     "s02_ann_lsh", // sized planes + cap derive in-operator — the production row
     "s12_ann_lsh_fixed3", // labeled fixed-plane contrast (excluded above 10x)
     "s03_ann_ivf",

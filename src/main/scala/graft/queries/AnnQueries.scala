@@ -543,6 +543,81 @@ object AnnQueries {
     // the exact ranking. Recall is integer hit-count arithmetic (one
     // exact division at the end), so the sweep is cross-engine exact —
     // no order-dependent double summation.
+    // topic-BALANCED corpus mixing (the SemDeDup/DCLM-style rebalance
+    // stage): k-means topic clusters over the embeddings (the IVF
+    // centroid machinery, exact-decimal Lloyd passes both engines
+    // replay), per-cluster token totals, then a deterministic ppm-hash
+    // keep whose per-cluster rate targets an EQUAL token share per
+    // topic — the head topic is downsampled, tail topics keep
+    // everything (rate clamps at 10^6). Scale shape: one bounded
+    // |corpus| x 16 assignment pass, two 16-row aggregates broadcast
+    // back over one corpus scan, keep decision per-row hash arithmetic
+    // — no window, no per-topic sort, no RNG. Output is the 16-row
+    // per-topic plan (sizes, rate, kept sizes), integer-exact.
+    "s15_topic_balance" -> Q(
+      ivfAssignCte +
+        s"""tok AS (SELECT doc_id,
+           |          CAST(len(string_split($docNorm, ' ')) AS BIGINT) AS n_tok
+           |        FROM documents),
+           |j AS (SELECT a.id AS doc_id, a.cid, t.n_tok
+           |      FROM assign a JOIN tok t ON a.id = t.doc_id),
+           |stats AS (SELECT cid, count(*) AS n_docs,
+           |            CAST(sum(n_tok) AS BIGINT) AS n_tokens
+           |          FROM j GROUP BY 1),
+           |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           |          count(*) AS n_clusters FROM stats),
+           |rates AS (
+           |  SELECT cid, n_docs, n_tokens,
+           |         least(1000000, CAST(floor(1000000.0 *
+           |           (CAST(total_tokens AS DOUBLE) /
+           |            CAST(n_clusters AS DOUBLE)) /
+           |           CAST(n_tokens AS DOUBLE)) AS BIGINT)) AS rate_ppm
+           |  FROM stats, tot),
+           |kept AS (
+           |  SELECT j.cid, count(*) AS kept_docs,
+           |         CAST(sum(j.n_tok) AS BIGINT) AS kept_tokens
+           |  FROM j JOIN rates r USING (cid)
+           |  WHERE list_reduce(list_transform(
+           |          string_split(md5(CAST(j.doc_id AS VARCHAR) || ':' ||
+           |                           CAST(j.cid AS VARCHAR)), ''),
+           |          c -> CAST(ascii(c) AS BIGINT)),
+           |          (acc, x) -> (acc * 31 + x) % 1000000007) % 1000000
+           |        < r.rate_ppm
+           |  GROUP BY 1)
+           |SELECT r.cid, r.n_docs, r.n_tokens, r.rate_ppm,
+           |       coalesce(k.kept_docs, 0) AS kept_docs,
+           |       coalesce(k.kept_tokens, 0) AS kept_tokens
+           |FROM rates r LEFT JOIN kept k USING (cid)
+           |ORDER BY r.cid""".stripMargin) { (s, d) =>
+      import graft.text.TextFns
+      val assign = Ann.ivfAssign(Tables.embeddings(s, d))
+        .select(col("id").as("doc_id"), col("cid"))
+      val tok = Tables.documents(s, d).select(col("doc_id"),
+        TextFns.tokenCount(col("text")).as("n_tok"))
+      val j = assign.join(tok, "doc_id")
+      val stats = j.groupBy("cid")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      val tot = stats.agg(sum("n_tokens").as("total_tokens"),
+        count(lit(1)).as("n_clusters"))
+      val rates = stats.crossJoin(broadcast(tot))
+        .withColumn("rate_ppm", least(lit(1000000L),
+          floor(lit(1000000.0) *
+            (col("total_tokens").cast("double") /
+              col("n_clusters").cast("double")) /
+            col("n_tokens").cast("double")).cast("long")))
+        .select("cid", "n_docs", "n_tokens", "rate_ppm")
+      val kept = j.join(broadcast(rates.select("cid", "rate_ppm")), "cid")
+        .where(TextFns.keepPpm(col("doc_id"), col("cid").cast("string"),
+          col("rate_ppm")))
+        .groupBy("cid")
+        .agg(count(lit(1)).as("kept_docs"), sum("n_tok").as("kept_tokens"))
+      rates.join(kept, Seq("cid"), "left")
+        .select(col("cid"), col("n_docs"), col("n_tokens"), col("rate_ppm"),
+          coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
+          coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
+        .orderBy("cid")
+    },
+
     "s14_ivf_nprobe_sweep" -> Q(
       ivfAssignCte +
         s"""sweep AS (SELECT CAST(unnest([1, 2, 4]) AS BIGINT) AS np),

@@ -189,7 +189,8 @@ class PlanSpec extends SparkSpec {
       "q53_triangles", // joins four 1-ROW graph-stat aggregates
       "s13_matryoshka_recall", // embeds TWO s01-style exact baselines (the measuring instrument)
       "t29_temperature_mix", // broadcasts a 1-ROW share normalizer (z)
-      "s14_ivf_nprobe_sweep") // embeds the s01 exact baseline + a broadcast 3-ROW sweep axis
+      "s14_ivf_nprobe_sweep", // embeds the s01 exact baseline + a broadcast 3-ROW sweep axis
+      "s15_topic_balance") // the bounded 16-centroid assignment pass + a 1-ROW token-total side
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, SfDir)
       withClue(s"$name: ") {
