@@ -554,6 +554,13 @@ object AnnQueries {
     // back over one corpus scan, keep decision per-row hash arithmetic
     // — no window, no per-topic sort, no RNG. Output is the 16-row
     // per-topic plan (sizes, rate, kept sizes), integer-exact.
+    // PLAN NOTE: the assignment subtree feeds both the stats leg and
+    // the keep leg, so it computes twice here (probe rows stay
+    // sub-linear: 1.66x at 10x, 2.72x at 100x). A long-lived caller at
+    // cluster scale should persist the (doc_id, cid, n_tok) frame and
+    // release it after the keep materializes — the Managed pattern the
+    // LSH entry points use; a registered one-shot query must not leak
+    // an unmanaged cache.
     "s15_topic_balance" -> Q(
       ivfAssignCte +
         s"""tok AS (SELECT doc_id,
