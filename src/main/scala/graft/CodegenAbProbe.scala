@@ -91,6 +91,13 @@ object CodegenAbProbe {
         docs.select(graft.text.QualityClassifier.rawScore(col("text"))
           .as("s")).agg(sum("s")).collect(); ()
       }),
+      "hashed_ngram_product" -> (() => {
+        // the DSIR weight kernel: ~1.0-centered ratio table keeps the
+        // summed products finite at any doc length
+        val ratios = (0 until 64).map(b => 0.75 + (b % 8) * 0.0625)
+        docs.select(graft.text.Dsir.importanceWeight(col("text"), ratios)
+          .as("w")).agg(sum("w")).collect(); ()
+      }),
       "dot_product" -> (() => {
         emb.select(DotProduct(col("embedding").cast("array<double>"),
           vector.Ann.planeLitPublic(0, 64)).as("d"))
@@ -108,34 +115,62 @@ object CodegenAbProbe {
     val inputRows = Map("dot_product" -> nEmb, "lsh_bucket_hash" -> nEmb)
       .withDefaultValue(nDocs)
 
-    def run(wsc: Boolean): Seq[(String, Double, Long)] = {
-      // the interpreted leg disables BOTH codegen layers: whole-stage
-      // (the stage consume method — round 10's pathology) AND the
-      // expression/projection factory. An expression whose OWN
-      // doGenCode emits a huge method would fall out of JIT on both
-      // legs if factoryMode stayed FALLBACK, and the inversion check
-      // would read ~1.0 while production scans crawl — the same
-      // independence the CodegenSpec interpreted leg fixes.
+    // the interpreted leg disables BOTH codegen layers: whole-stage
+    // (the stage consume method — round 10's pathology) AND the
+    // expression/projection factory. An expression whose OWN
+    // doGenCode emits a huge method would fall out of JIT on both
+    // legs if factoryMode stayed FALLBACK, and the inversion check
+    // would read ~1.0 while production scans crawl — the same
+    // independence the CodegenSpec interpreted leg fixes.
+    def setLeg(wsc: Boolean): Unit = {
       spark.conf.set("spark.sql.codegen.wholeStage", wsc)
       if (!wsc) spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
-      try workloads.map { case (name, body) =>
-        System.err.println(s"[probe] $name codegen=$wsc")
-        body() // untimed warm-up: JIT + codegen compile + scan cache
-        val t0 = System.nanoTime()
-        body()
-        (name, (System.nanoTime() - t0) / 1e9, inputRows(name))
-      } finally {
-        spark.conf.set("spark.sql.codegen.wholeStage", true)
-        spark.conf.unset("spark.sql.codegen.factoryMode")
-      }
+      else spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+    def timeLeg(body: () => Unit, reps: Int): Double = {
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < reps) { body(); i += 1 }
+      (System.nanoTime() - t0) / 1e9
     }
 
-    val interp = run(wsc = false)
-    val gen = run(wsc = true)
+    // legs INTERLEAVE per workload, and which leg goes first alternates
+    // by workload index — running all ten interpreted legs before any
+    // codegen leg handed the gen side every workload's page-cache and
+    // JIT warmth, one-directionally flattering the recorded ratios.
+    // Each workload is then REP-SIZED so its FASTER leg still measures
+    // >= ~1.2 s: a 0.15 s leg is scan-bound noise, and the inversion
+    // gate's +1 s absolute slack exceeded several legs' total runtime —
+    // a real JIT-class inversion on a cheap expression could hide there.
+    val measured: Seq[(String, Double, Double, Long, Int)] =
+      workloads.zipWithIndex.map { case ((name, body), idx) =>
+        System.err.println(s"[probe] $name")
+        val order = if (idx % 2 == 0) Seq(false, true) else Seq(true, false)
+        // calibration pass: per-leg untimed warm-up (JIT + codegen
+        // compile + scan cache), then one timed single run
+        val single = order.map { wsc =>
+          setLeg(wsc); body()
+          wsc -> timeLeg(body, 1)
+        }.toMap
+        val fast = math.max(math.min(single(false), single(true)), 1e-3)
+        val reps =
+          if (fast >= 1.2) 1
+          else math.min(256, math.ceil(1.2 / fast).toInt)
+        val (iSec, gSec) =
+          if (reps == 1) (single(false), single(true))
+          else {
+            val timed = order.map { wsc =>
+              setLeg(wsc); wsc -> timeLeg(body, reps)
+            }.toMap
+            (timed(false), timed(true))
+          }
+        (name, iSec, gSec, inputRows(name), reps)
+      }
+    setLeg(wsc = true) // restore session defaults
 
-    val iMap = interp.map(r => r._1 -> r._2).toMap
-    val inversions = gen.flatMap { case (name, gSec, _) =>
-      val iSec = iMap(name)
+    val interp = measured.map(m => (m._1, m._2, m._4))
+    val gen = measured.map(m => (m._1, m._3, m._4))
+    val inversions = measured.flatMap { case (name, iSec, gSec, _, _) =>
       if (gSec > 2.0 * iSec + 1.0)
         Some(s"$name: codegen ${ProbeLog.fmt(gSec, 2)}s vs interpreted " +
           s"${ProbeLog.fmt(iSec, 2)}s — the JIT-limit inversion class")
@@ -143,8 +178,10 @@ object CodegenAbProbe {
     }
 
     import ProbeLog.js
+    val repsJson = measured.map(m => s""""${m._1}":${m._5}""")
+      .mkString("{", ",", "}")
     val line = s"""{"metric":"codegen_ab","copies":$copies,""" +
-      s""""interp":${js(interp)},"gen":${js(gen)},""" +
+      s""""interp":${js(interp)},"gen":${js(gen)},"reps":$repsJson,""" +
       s""""ratios":${ProbeLog.ratios(interp, gen)},"sf":"$src"}"""
     println(line)
     val regressions = ProbeLog.recordGated("codegen_ab", line) ++ inversions

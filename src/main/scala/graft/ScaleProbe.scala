@@ -45,6 +45,13 @@ object ScaleProbe {
     "s15_topic_balance", // bounded corpus x 16 assignment + broadcast
     // rates: per-topic token mass grows with the corpus, the keep
     // stays per-row hash arithmetic
+    "t31_classifier_gate", // scan-family: native-scorer map + filter —
+    // the row pins the claim that the gate stays scan-bound
+    "t33_score_calibration", // scan + 64-cell partial agg — same claim
+    "t34_dsir_resample", // two 64-cell LM count scans + map-side weight
+    // product + 1-row normalizer broadcast: every leg linear, and the
+    // saturated corpus multiplies every bucket count by `copies`
+    // without changing the ratio table's size
     "s02_ann_lsh", // sized planes + cap derive in-operator — the production row
     "s12_ann_lsh_fixed3", // labeled fixed-plane contrast (excluded above 10x)
     "s03_ann_ivf",
@@ -979,7 +986,10 @@ object CoresProbe {
     // the batch topology (t28) and its micro-batch twin (st16) answer
     // the cores question side by side (expected reading: t28 scales
     // with compute, st16 sits nearer ~1.0 on commit machinery)
-    "st16_stream_corpus_build")
+    "st16_stream_corpus_build",
+    // round-12: d15 composes the two known cores-sensitive profiles —
+    // CC driver rounds (pair graph) + the full-scan classifier scoring
+    "d15_quality_keep")
   private val FedEmbSubset = Seq("s02_ann_lsh")
   private val FedEventSubset = Seq("q60_cohort_retention")
 

@@ -32,20 +32,25 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * interpreter).
   *
   * Empty token arrays score 0.0; NULL input propagates NULL
-  * (standard UnaryExpression null handling).
+  * (standard UnaryExpression null handling). Weights are held as an
+  * immutable Seq — an Array-typed case-class field compares by
+  * reference, which silently breaks semanticEquals/canonicalization
+  * (two identical scoring expressions would never dedup in the plan).
   */
-case class HashedNgramScore(child: Expression, weights: Array[Double])
+case class HashedNgramScore(child: Expression, weights: Seq[Double])
   extends UnaryExpression {
+
+  @transient private lazy val weightArr: Array[Double] = weights.toArray
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "hashed_ngram_score"
 
   override protected def nullSafeEval(input: Any): Any =
-    HashedNgramScore.score(input.asInstanceOf[ArrayData], weights)
+    HashedNgramScore.score(input.asInstanceOf[ArrayData], weightArr)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v => {
-      val w = ctx.addReferenceObj("ngramWeights", weights, "double[]")
+      val w = ctx.addReferenceObj("ngramWeights", weightArr, "double[]")
       s"${ev.value} = graft.functions.HashedNgramScore.score($v, $w);"
     })
 
@@ -78,6 +83,6 @@ object HashedNgramScore {
   }
 
   /** Column entry point over a token array column. */
-  def apply(tokens: Column, weights: Array[Double]): Column =
+  def apply(tokens: Column, weights: Seq[Double]): Column =
     Shim.column(HashedNgramScore(Shim.expression(tokens), weights))
 }

@@ -6,7 +6,7 @@ import java.util.Comparator
 import org.apache.spark.sql.functions._
 import graft.sinks.KeyedUpsert
 import graft.sources.Tables
-import graft.vector.Ann
+import graft.vector.{Ann, TopicBalance}
 
 /** Similarity-search suite over the embeddings table. The oracle ranks
   * with full-precision doubles (both engines fold the dot product in
@@ -554,13 +554,11 @@ object AnnQueries {
     // back over one corpus scan, keep decision per-row hash arithmetic
     // — no window, no per-topic sort, no RNG. Output is the 16-row
     // per-topic plan (sizes, rate, kept sizes), integer-exact.
-    // PLAN NOTE: the assignment subtree feeds both the stats leg and
-    // the keep leg, so it computes twice here (probe rows stay
-    // sub-linear: 1.66x at 10x, 2.72x at 100x). A long-lived caller at
-    // cluster scale should persist the (doc_id, cid, n_tok) frame and
-    // release it after the keep materializes — the Managed pattern the
-    // LSH entry points use; a registered one-shot query must not leak
-    // an unmanaged cache.
+    // The (doc_id, cid, n_tok) assignment frame feeds both the stats
+    // leg and the keep leg; TopicBalance.planManaged persists it (the
+    // round-11 two-pass trade, closed), and this registered one-shot
+    // path uses the unmanaged per-session one-live-frame wrapper so it
+    // cannot leak the cache across bench iterations.
     "s15_topic_balance" -> Q(
       ivfAssignCte +
         s"""tok AS (SELECT doc_id,
@@ -601,28 +599,7 @@ object AnnQueries {
         .select(col("id").as("doc_id"), col("cid"))
       val tok = Tables.documents(s, d).select(col("doc_id"),
         TextFns.tokenCount(col("text")).as("n_tok"))
-      val j = assign.join(tok, "doc_id")
-      val stats = j.groupBy("cid")
-        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
-      val tot = stats.agg(sum("n_tokens").as("total_tokens"),
-        count(lit(1)).as("n_clusters"))
-      val rates = stats.crossJoin(broadcast(tot))
-        .withColumn("rate_ppm", least(lit(1000000L),
-          floor(lit(1000000.0) *
-            (col("total_tokens").cast("double") /
-              col("n_clusters").cast("double")) /
-            col("n_tokens").cast("double")).cast("long")))
-        .select("cid", "n_docs", "n_tokens", "rate_ppm")
-      val kept = j.join(broadcast(rates.select("cid", "rate_ppm")), "cid")
-        .where(TextFns.keepPpm(col("doc_id"), col("cid").cast("string"),
-          col("rate_ppm")))
-        .groupBy("cid")
-        .agg(count(lit(1)).as("kept_docs"), sum("n_tok").as("kept_tokens"))
-      rates.join(kept, Seq("cid"), "left")
-        .select(col("cid"), col("n_docs"), col("n_tokens"), col("rate_ppm"),
-          coalesce(col("kept_docs"), lit(0L)).as("kept_docs"),
-          coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"))
-        .orderBy("cid")
+      TopicBalance.plan(assign, tok).orderBy("cid")
     },
 
     "s14_ivf_nprobe_sweep" -> Q(

@@ -225,6 +225,69 @@ object TextQueries {
         .orderBy("source", "bucket")
     },
 
+    // DSIR-style importance RESAMPLING (Xie et al. 2023) — the
+    // corpus-curation family's third knob after the quality gate (t31)
+    // and topic balance (s15): reshape the multilingual pool toward
+    // the English-domain hashed n-gram distribution. Per-bucket
+    // add-one-smoothed probability ratios come from two linear
+    // feature-count scans (64-cell partial aggs); the per-doc
+    // importance weight is the ORDERED product of per-feature ratios
+    // (one native codegen expression, left-to-right IEEE multiply —
+    // the oracle's seedless list_reduce replays it bit-for-bit); the
+    // keep decision is min(1, budget·w/Σw) through the deterministic
+    // ppm hash gate. The Σw normalizer caps then sums DECIMAL(30,15)
+    // — order-independent, never raw doubles (the t29 lesson).
+    "t34_dsir_resample" -> Q {
+      import graft.text.Dsir.{Budget, Dim}
+      s"""WITH w AS (SELECT doc_id, lang, string_split($norm, ' ') AS ws
+         |           FROM documents),
+         |f AS (SELECT doc_id, lang,
+         |        list_concat(ws, list_transform(range(1, len(ws)),
+         |          i -> ws[i] || ' ' || ws[i+1])) AS fs
+         |      FROM w),
+         |b AS (SELECT lang, unnest(list_transform(fs, t ->
+         |        CAST((${polyHashSql("t")}) % $Dim AS BIGINT))) AS bucket
+         |      FROM f),
+         |cr AS (SELECT bucket, count(*) AS c FROM b GROUP BY 1),
+         |ct AS (SELECT bucket, count(*) AS c FROM b WHERE lang = 'en'
+         |       GROUP BY 1),
+         |tr AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM cr),
+         |tt AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM ct),
+         |rt AS (SELECT g.range AS bucket,
+         |         (CAST(coalesce(ct.c, 0) + 1 AS DOUBLE)
+         |            / CAST(tt.tot + $Dim AS DOUBLE)) /
+         |         (CAST(coalesce(cr.c, 0) + 1 AS DOUBLE)
+         |            / CAST(tr.tot + $Dim AS DOUBLE)) AS ratio
+         |       FROM range($Dim) g
+         |       LEFT JOIN ct ON ct.bucket = g.range
+         |       LEFT JOIN cr ON cr.bucket = g.range, tt, tr),
+         |rl AS (SELECT list(ratio ORDER BY bucket) AS rl FROM rt),
+         |dw AS (SELECT doc_id, lang, CAST(len(fs) AS BIGINT) AS n_feat,
+         |         list_reduce(list_transform(fs, t ->
+         |           rl.rl[1 + CAST((${polyHashSql("t")}) % $Dim AS BIGINT)]),
+         |           (a, b) -> a * b) AS w
+         |       FROM f, rl),
+         |tw AS (SELECT CAST(sum(CAST(least(w, 1000000.0)
+         |                 AS DECIMAL(30,15))) AS DOUBLE) AS tw FROM dw),
+         |r AS (SELECT doc_id, lang, n_feat, w,
+         |        CAST(floor(least(1.0, $Budget * w / tw.tw)
+         |          * 1000000.0) AS BIGINT) AS rate_ppm
+         |      FROM dw, tw)
+         |SELECT doc_id, lang, n_feat, round(w, 6) AS weight, rate_ppm
+         |FROM r
+         |WHERE list_reduce(list_transform(
+         |        string_split(md5(CAST(doc_id AS VARCHAR) || ':dsir'), ''),
+         |        c -> CAST(ascii(c) AS BIGINT)),
+         |        (acc, x) -> (acc * 31 + x) % 1000000007) % 1000000
+         |      < rate_ppm
+         |ORDER BY doc_id""".stripMargin
+    } { (s, d) =>
+      graft.text.Dsir.resample(Tables.documents(s, d), col("lang") === "en")
+        .select(col("doc_id"), col("lang"), col("n_feat"),
+          round(col("w"), 6).as("weight"), col("rate_ppm"))
+        .orderBy("doc_id")
+    },
+
     // keyword-profile language/domain ID: left-fold argmax, first
     // profile wins ties — fold mirrored literally in SQL.
     "t03_profile_id" -> Q(

@@ -1,0 +1,137 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.functions.{HashedNgramProduct, PolyHash64}
+
+/** DSIR-style importance resampling (Data Selection via Importance
+  * Resampling — Xie et al. 2023, public knowledge): reweight a raw
+  * document pool toward a TARGET domain's hashed n-gram distribution,
+  * then resample with probability proportional to the importance
+  * weight. The third knob of the corpus-curation family — the engine
+  * can already GATE on quality ([[QualityClassifier]]) and BALANCE
+  * topics (s15); this RESHAPES the mixture toward a domain.
+  *
+  * Per-bucket hashed-ngram "language models" for target and raw pool
+  * are bag-of-features counts over [[Dim]] buckets with add-one
+  * smoothing; the importance weight of a document is the product of
+  * per-feature probability ratios
+  *
+  *   w(doc) = Π_f  p_target[h(f) mod D] / p_raw[h(f) mod D]
+  *
+  * over its ordered unigram-then-bigram features ([[HashedNgramProduct]]
+  * — one native codegen expression, left-to-right IEEE multiplication,
+  * bit-reproducible cross-engine). The resample keeps each document
+  * with probability min(1, budget · w / Σw) through the deterministic
+  * [[TextFns.keepPpm]] hash gate — zero RNG, identical keep set at any
+  * partitioning.
+  *
+  * Everything is engine-replayable integer or IEEE arithmetic: bucket
+  * counts are exact BIGINTs, each ratio is two exact int→double
+  * conversions and two correctly-rounded divisions, the weight is an
+  * ordered product, and the cross-corpus normalizer Σ min(w, 10^6)
+  * sums DECIMAL(30,15) (order-independent — never raw doubles, the
+  * t29 lesson).
+  *
+  * Scale shape: two linear feature-count scans that partial-aggregate
+  * map-side into ≤ [[Dim]] cells (the shuffle moves D rows per task,
+  * not data), one bounded ≤ Dim-row driver collect for the ratio table
+  * (same audited-bounded class as the IVF ≤16-centroid collect), and
+  * the ratio table then rides to executors as a plan reference object —
+  * the scoring scan is a pure map with no join at any corpus size. The
+  * weight-sum side is a 1-row broadcast, t29's zRow shape.
+  */
+object Dsir {
+
+  /** Hashed LM bucket count. Real DSIR uses 10k; 64 keeps the oracle's
+    * ratio CTE reviewable while exercising identical collision,
+    * smoothing and fold arithmetic. */
+  val Dim = 64
+
+  /** Default resample budget (expected kept docs ≈ budget when weights
+    * concentrate; the per-doc rate is capped at 1). */
+  val Budget = 200.0
+
+  /** Ordered unigrams-then-bigrams feature list of a text column —
+    * the same feature definition [[QualityClassifier]] scores (and the
+    * same `list_concat(ws, bigrams)` the DuckDB oracle folds).
+    * Spark's `sequence(1, 0)` counts DOWN, so the bigram leg guards
+    * single-token docs explicitly. */
+  def features(text: Column): Column = {
+    val ws = TextFns.words(text)
+    val bigrams = transform(sequence(lit(1), size(ws) - 1),
+      i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1)))
+    concat(ws, when(size(ws) >= 2, bigrams)
+      .otherwise(array().cast("array<string>")))
+  }
+
+  /** Per-bucket feature counts of a corpus: one linear scan, explode,
+    * map-side partial agg into ≤ Dim cells. */
+  def bucketCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(explode(features(col(textCol))).as("f"))
+      .groupBy(pmod(PolyHash64(col("f")), lit(Dim.toLong)).as("bucket"))
+      .agg(count(lit(1)).as("c"))
+
+  /** The per-bucket probability-ratio table, ordered by bucket: for
+    * each of the Dim buckets,
+    *
+    *   ratio[b] = ((ct[b]+1) / (totT+Dim)) / ((cr[b]+1) / (totR+Dim))
+    *
+    * with exact BIGINT counts and IEEE divisions — bit-identical in
+    * any engine replaying the same expression. Bounded driver action:
+    * collects exactly Dim rows. */
+  def ratioTable(raw: DataFrame, target: DataFrame,
+      textCol: String = "text"): IndexedSeq[Double] = {
+    val spark = raw.sparkSession
+    val grid = spark.range(Dim).select(col("id").as("bucket"))
+    val rows = grid
+      .join(bucketCounts(raw, textCol).withColumnRenamed("c", "cr"),
+        Seq("bucket"), "left")
+      .join(bucketCounts(target, textCol).withColumnRenamed("c", "ct"),
+        Seq("bucket"), "left")
+      .na.fill(0L, Seq("cr", "ct"))
+      .orderBy("bucket")
+      .select("bucket", "cr", "ct")
+      .collect() // bounded: exactly Dim rows
+    val totR = rows.map(_.getLong(1)).sum
+    val totT = rows.map(_.getLong(2)).sum
+    rows.map { r =>
+      ((r.getLong(2) + 1).toDouble / (totT + Dim).toDouble) /
+        ((r.getLong(1) + 1).toDouble / (totR + Dim).toDouble)
+    }.toIndexedSeq
+  }
+
+  /** Importance weight column over a text column given a ratio table. */
+  def importanceWeight(text: Column, ratios: Seq[Double]): Column =
+    HashedNgramProduct(TextFns.words(text), ratios)
+
+  /** The full resample: fit both hashed LMs, weight every document,
+    * keep with probability min(1, budget·w/Σw) via the deterministic
+    * ppm hash gate (salt "dsir" decorrelates from split/sampling
+    * gates). Returns the kept rows of `docs` with `n_feat`, `w` and
+    * `rate_ppm` appended; `idCol` must be stable across runs (it seeds
+    * the keep hash). */
+  def resample(docs: DataFrame, isTarget: Column,
+      budget: Double = Budget, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val ratios = ratioTable(docs, docs.filter(isTarget), textCol)
+    val weighted = docs
+      .withColumn("n_feat",
+        (size(TextFns.words(col(textCol))).cast("long") * 2 - 1)
+          .cast("long"))
+      .withColumn("w", importanceWeight(col(textCol), ratios))
+    // order-independent normalizer: cap (an +Inf overflow would poison
+    // the sum), then exact DECIMAL accumulation — never raw doubles
+    val wSum = weighted
+      .agg(sum(least(col("w"), lit(1000000.0)).cast(DecimalType(30, 15)))
+        .as("twd"))
+      .select(col("twd").cast("double").as("tw"))
+    weighted.crossJoin(broadcast(wSum))
+      .withColumn("rate_ppm",
+        floor(least(lit(1.0), lit(budget) * col("w") / col("tw"))
+          * 1000000.0).cast("long"))
+      .where(TextFns.keepPpm(col(idCol), lit("dsir"), col("rate_ppm")))
+      .drop("tw")
+  }
+}

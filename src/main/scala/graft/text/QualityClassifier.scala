@@ -52,19 +52,22 @@ object QualityClassifier {
     * FROZEN — a trained model ships its operating point the same way. */
   val Threshold = 0.02
 
-  /** Weight vector in integer thousandths (the checked-in artifact). */
-  val WeightsMilli: Array[Long] = {
+  /** Weight vector in integer thousandths (the checked-in artifact).
+    * Exposed as an immutable IndexedSeq so the checked-in values cannot
+    * be mutated at runtime and drift from [[weightsSqlList]]'s frozen
+    * SQL literals. */
+  val WeightsMilli: IndexedSeq[Long] = {
     val w = Array.tabulate(Dim)(b => (PolyHash64.hash(s"w:$b") % 401L) - 200L)
     ProseMarkers.foreach { t => w((PolyHash64.hash(t) % Dim).toInt) += 600L }
     BoilerplateMarkers.foreach { t =>
       w((PolyHash64.hash(t) % Dim).toInt) -= 300L
     }
-    w
+    w.toIndexedSeq
   }
 
   /** The serving weights: one correctly-rounded division per bucket, so
     * `k/1000.0` here and the SQL literal `0.00k` are the same double. */
-  val Weights: Array[Double] = WeightsMilli.map(_ / 1000.0)
+  val Weights: IndexedSeq[Double] = WeightsMilli.map(_ / 1000.0)
 
   /** DuckDB literal for the weight list (exact decimal strings). */
   def weightsSqlList: String =

@@ -49,7 +49,9 @@ class CodegenSpec extends SparkSpec {
             64, PolyHash64(lit("cafe docs and"))).as("bloom"),
           CdcChunks($"text", 8, 64).as("cdc"),
           graft.functions.HashedNgramScore(split($"text", " "),
-            graft.text.QualityClassifier.Weights).as("ngs"))
+            graft.text.QualityClassifier.Weights).as("ngs"),
+          graft.functions.HashedNgramProduct(split($"text", " "),
+            (0 until 64).map(b => 0.5 + (b % 7) * 0.25)).as("ngp"))
         .head
       row.getLong(0) should not be 0L
       row.getString(1) shouldBe "cafe docs and more docs here"
@@ -65,6 +67,10 @@ class CodegenSpec extends SparkSpec {
       val w = graft.text.QualityClassifier.Weights
       row.getDouble(8) shouldBe feats.foldLeft(0.0)((acc, f) =>
         acc + w((PolyHash64.hash(f) % w.length).toInt))
+      // same feature order, multiplicative fold (the DSIR weight kernel)
+      val r = (0 until 64).map(b => 0.5 + (b % 7) * 0.25)
+      row.getDouble(9) shouldBe feats.foldLeft(1.0)((acc, f) =>
+        acc * r((PolyHash64.hash(f) % 64).toInt))
     }
   }
 

@@ -190,7 +190,8 @@ class PlanSpec extends SparkSpec {
       "s13_matryoshka_recall", // embeds TWO s01-style exact baselines (the measuring instrument)
       "t29_temperature_mix", // broadcasts a 1-ROW share normalizer (z)
       "s14_ivf_nprobe_sweep", // embeds the s01 exact baseline + a broadcast 3-ROW sweep axis
-      "s15_topic_balance") // the bounded 16-centroid assignment pass + a 1-ROW token-total side
+      "s15_topic_balance", // the bounded 16-centroid assignment pass + a 1-ROW token-total side
+      "t34_dsir_resample") // broadcasts a 1-ROW weight-sum normalizer (t29's zRow shape)
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, SfDir)
       withClue(s"$name: ") {
@@ -310,6 +311,19 @@ class PlanSpec extends SparkSpec {
     val plan = formattedPlan("d15_quality_keep")
     plan should not include "WindowExec"
     "Window\\b".r.findAllIn(plan).size shouldBe 0
+  }
+
+  test("t34 DSIR resample: ratio table rides as a literal, weight scan " +
+      "joins nothing but the 1-row normalizer, zero windows") {
+    // the per-bucket ratio table is a bounded Dim-row driver collect
+    // inlined as a plan reference object — the scoring scan must stay
+    // a pure map: no ratio-table join, no window, no sort-merge; the
+    // only join is the broadcast of the 1-row Σw normalizer
+    val plan = formattedPlan("t34_dsir_resample")
+    "Window\\b".r.findAllIn(plan).size shouldBe 0
+    plan should not include "SortMergeJoin"
+    "\\(\\d+\\) BroadcastNestedLoopJoin".r.findAllIn(plan).size shouldBe 1
+    plan should include("[codegen id :") // weight kernel stays codegen'd
   }
 
   test("t29 temperature mix broadcasts the per-source rate table") {

@@ -185,4 +185,94 @@ class TextFnsSpec extends SparkSpec {
     }
     gen shouldBe interp
   }
+
+  test("DSIR features: ordered unigrams then bigrams, single-token safe") {
+    import graft.text.Dsir
+    val out = Seq("The quick  Fox", "one", "").toDF("text")
+      .select(Dsir.features(col("text")).as("fs"))
+      .as[Seq[String]].collect().toSeq
+    out(0) shouldBe Seq("the", "quick", "fox", "the quick", "quick fox")
+    out(1) shouldBe Seq("one") // sequence(1,0) counts DOWN — guarded
+    out(2) shouldBe Seq("")    // whitespace-only normalizes to one empty token
+  }
+
+  test("DSIR ratio table: Dim buckets, target-exclusive vocab ratios > 1 " +
+      "> raw-exclusive, smoothing keeps every bucket finite and positive") {
+    import graft.functions.PolyHash64
+    import graft.text.Dsir
+    // vocab chosen so the asserted buckets are collision-free at Dim=64:
+    // alpha=8, gamma=11, "alpha alpha"=43 — no other feature shares them
+    val docs = Seq(
+      (1L, "alpha alpha alpha", "en"), (2L, "alpha alpha beta", "en"),
+      (3L, "gamma gamma gamma", "de"), (4L, "gamma omega gamma", "de"))
+      .toDF("doc_id", "text", "lang")
+    val r = Dsir.ratioTable(docs, docs.filter($"lang" === "en"))
+    r.length shouldBe Dsir.Dim
+    all(r) should be > 0.0
+    def bucket(f: String) = (PolyHash64.hash(f) % Dsir.Dim).toInt
+    r(bucket("alpha")) should be > 1.0   // target-heavy feature
+    r(bucket("gamma")) should be < 1.0   // raw-only feature
+    r(bucket("alpha alpha")) should be > 1.0 // bigrams count too
+  }
+
+  test("DSIR importance weight is the hand-computed ordered ratio product; " +
+      "codegen and interpreted agree") {
+    import graft.functions.PolyHash64
+    import graft.text.Dsir
+    val ratios = IndexedSeq.tabulate(Dsir.Dim)(b => 0.5 + (b % 7) * 0.25)
+    val docs = Seq((1L, "the data table is fast"),
+      (2L, "scan merge batch row part scan"), (3L, "one"))
+      .toDF("doc_id", "text")
+    def run(): Seq[(Long, Double)] = docs
+      .select($"doc_id", Dsir.importanceWeight($"text", ratios).as("w"))
+      .as[(Long, Double)].collect().toSeq.sortBy(_._1)
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    val gen = try run() finally {
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+      spark.conf.unset("spark.sql.codegen.fallback")
+    }
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val interp = try run() finally {
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+      spark.conf.unset("spark.sql.codegen.wholeStage")
+    }
+    gen shouldBe interp
+    def expected(text: String): Double = {
+      val toks = text.split(" ").toSeq
+      val feats = toks ++ (if (toks.size >= 2) toks.sliding(2).map(_.mkString(" ")).toSeq
+                           else Seq.empty)
+      feats.foldLeft(1.0)((acc, f) =>
+        acc * ratios((PolyHash64.hash(f) % Dsir.Dim).toInt))
+    }
+    gen.toMap shouldBe Map(1L -> expected("the data table is fast"),
+      2L -> expected("scan merge batch row part scan"), 3L -> expected("one"))
+  }
+
+  test("DSIR resample: target-domain docs systematically upweighted, keep " +
+      "set partition-invariant, rates derived not quantized to death") {
+    import graft.text.Dsir
+    // target vocab vs off-domain vocab, enough docs for the gate to bite
+    val docs = (0 until 40).map { i =>
+      if (i % 2 == 0) (i.toLong, "alpha beta alpha gamma beta", "en")
+      else (i.toLong, "delta omega delta sigma omega", "de")
+    }.toDF("doc_id", "text", "lang")
+    val kept = Dsir.resample(docs, $"lang" === "en", budget = 10.0)
+    val rows = kept.select($"doc_id", $"lang", $"w", $"rate_ppm")
+      .as[(Long, String, Double, Long)].collect().toSeq.sortBy(_._1)
+    rows should not be empty
+    val (en, de) = rows.partition(_._2 == "en")
+    // every en doc shares one weight, every de doc another; en >> de
+    if (en.nonEmpty && de.nonEmpty) en.head._3 should be > de.head._3
+    // partition invariance: the keep decision hashes ids, not partitions
+    val rows7 = Dsir.resample(docs.repartition(7), $"lang" === "en",
+        budget = 10.0)
+      .select($"doc_id", $"lang", $"w", $"rate_ppm")
+      .as[(Long, String, Double, Long)].collect().toSeq.sortBy(_._1)
+    rows7 shouldBe rows
+    // rates are real ppm values, not collapsed to 0 or 10^6
+    all(rows.map(_._4)) should be >= 0L
+    all(rows.map(_._4)) should be <= 1000000L
+  }
 }
