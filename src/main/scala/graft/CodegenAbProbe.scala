@@ -152,10 +152,12 @@ object CodegenAbProbe {
           setLeg(wsc); body()
           wsc -> timeLeg(body, 1)
         }.toMap
+        // target 1.8 s: rep-scaled runs land faster than single × reps
+        // (warm caches), and the floor must hold at >= 1 s per leg
         val fast = math.max(math.min(single(false), single(true)), 1e-3)
         val reps =
-          if (fast >= 1.2) 1
-          else math.min(256, math.ceil(1.2 / fast).toInt)
+          if (fast >= 1.8) 1
+          else math.min(256, math.ceil(1.8 / fast).toInt)
         val (iSec, gSec) =
           if (reps == 1) (single(false), single(true))
           else {
