@@ -51,6 +51,24 @@ import graft.text.{Dedup, TextFns}
   * invariant in the sub-cap regime; overlap deltas sum to the batch
   * count — so the published manifest equals [[batchReference]] (the
   * same topology computed in one shot) for ANY slicing of the stream.
+  *
+  * COMMIT STRUCTURE (why the ~6 writes per micro-batch do NOT share
+  * one manifest commit): five of the six stores are read back WITHIN
+  * the batch that writes them — `index` must exist before candidate
+  * generation reads the stored signatures (the compute-once + crash
+  * contract), `evalsh` before the d1/d2 delta joins (the
+  * count-once-at-the-later-arrival contract), `trainsh` before d1 —
+  * i.e. they are materialization barriers for exactly-once
+  * accounting, not mere sinks; deferring them into a shared
+  * end-of-batch commit would re-open the double-count window a crash
+  * between compute and commit creates. The only foldable pair is
+  * `meta` into `index` (one commit of ~7 per batch, and it would
+  * thread n_tok through the oracle-mirrored signature aggregation
+  * five gates pin). The per-batch commit count is therefore the
+  * PRICED cost of the crash-isolation contract, not accidental
+  * overhead — st16's bench wall-clock (~15 s, the registry's slowest)
+  * is this machinery, measured flat on the cores axis and sub-linear
+  * on the data axis (PROBES stream_scale_probe).
   */
 object StreamingCorpusBuild {
 
