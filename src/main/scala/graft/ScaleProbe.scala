@@ -52,6 +52,8 @@ object ScaleProbe {
     // product + 1-row normalizer broadcast: every leg linear, and the
     // saturated corpus multiplies every bucket count by `copies`
     // without changing the ratio table's size
+    "s16_embedding_outliers", // bounded x16 assignment + 16-row stats
+    // broadcast: per-cluster moments are partial aggs, never a sort
     "s02_ann_lsh", // sized planes + cap derive in-operator — the production row
     "s12_ann_lsh_fixed3", // labeled fixed-plane contrast (excluded above 10x)
     "s03_ann_ivf",

@@ -602,6 +602,39 @@ object AnnQueries {
       TopicBalance.plan(assign, tok).orderBy("cid")
     },
 
+    // embedding-space OUTLIER detection — flag likely-mislabeled or
+    // corrupt vectors before they poison an index or a training mix:
+    // cohesion = cosine to the vector's OWN IVF centroid; per-cluster
+    // mean/sd from DECIMAL(30,15) sums (order-independent); outlier =
+    // cohesion more than 1.5 sd below the cluster mean. Downstream of
+    // the exact-decimal centroid build everything is fixed-shape IEEE
+    // arithmetic, so the flagged set is bit-identical cross-engine.
+    // Scale shape: bounded corpus x 16 assignment + one 16-row stats
+    // broadcast — no window, no sort, no quantile sketch.
+    "s16_embedding_outliers" -> Q(
+      ivfAssignCte +
+        s"""wc AS (SELECT a.id, a.cid, list_dot_product(a.vn, c.cv) AS cos
+           |      FROM assign a JOIN cent c USING (cid)),
+           |st AS (SELECT cid, count(*) AS n,
+           |        CAST(sum(CAST(cos AS DECIMAL(30,15))) AS DOUBLE) AS sc,
+           |        CAST(sum(CAST(cos * cos AS DECIMAL(30,15))) AS DOUBLE)
+           |          AS sq
+           |       FROM wc GROUP BY 1),
+           |th AS (SELECT cid,
+           |        sc / CAST(n AS DOUBLE) AS mean_cos,
+           |        sqrt(greatest(sq / CAST(n AS DOUBLE)
+           |          - (sc / CAST(n AS DOUBLE)) * (sc / CAST(n AS DOUBLE)),
+           |          0.0)) AS sd
+           |       FROM st)
+           |SELECT wc.id AS vec_id, wc.cid, round(wc.cos, 6) AS cos,
+           |       round(th.mean_cos, 6) AS mean_cos, round(th.sd, 6) AS sd
+           |FROM wc JOIN th USING (cid)
+           |WHERE wc.cos < th.mean_cos - 1.5 * th.sd
+           |ORDER BY vec_id""".stripMargin) { (s, d) =>
+      Ann.centroidOutliers(Tables.embeddings(s, d), factor = 1.5)
+        .orderBy("vec_id")
+    },
+
     "s14_ivf_nprobe_sweep" -> Q(
       ivfAssignCte +
         s"""sweep AS (SELECT CAST(unnest([1, 2, 4]) AS BIGINT) AS np),

@@ -229,8 +229,9 @@ object TextQueries {
     // corpus-curation family's third knob after the quality gate (t31)
     // and topic balance (s15): reshape the multilingual pool toward
     // the English-domain hashed n-gram distribution. Per-bucket
-    // add-one-smoothed probability ratios come from two linear
-    // feature-count scans (64-cell partial aggs); the per-doc
+    // add-one-smoothed probability ratios come from ONE linear
+    // feature-count scan (target membership is a predicate, so both
+    // LMs are 64-cell partial aggs of the same explode); the per-doc
     // importance weight is the ORDERED product of per-feature ratios
     // (one native codegen expression, left-to-right IEEE multiply —
     // the oracle's seedless list_reduce replays it bit-for-bit); the

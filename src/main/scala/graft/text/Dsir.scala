@@ -34,9 +34,11 @@ import graft.functions.{HashedNgramProduct, PolyHash64}
   * sums DECIMAL(30,15) (order-independent — never raw doubles, the
   * t29 lesson).
   *
-  * Scale shape: two linear feature-count scans that partial-aggregate
-  * map-side into ≤ [[Dim]] cells (the shuffle moves D rows per task,
-  * not data), one bounded ≤ Dim-row driver collect for the ratio table
+  * Scale shape: ONE linear feature-count scan builds both LMs (target
+  * membership is a predicate, so the target count is a conditional
+  * sum in the same partial agg) into ≤ [[Dim]] cells (the shuffle
+  * moves D rows per task, not data), one bounded ≤ Dim-row driver
+  * collect for the ratio table
   * (same audited-bounded class as the IVF ≤16-centroid collect), and
   * the ratio table then rides to executors as a plan reference object —
   * the scoring scan is a pure map with no join at any corpus size. The
@@ -79,17 +81,21 @@ object Dsir {
     *   ratio[b] = ((ct[b]+1) / (totT+Dim)) / ((cr[b]+1) / (totR+Dim))
     *
     * with exact BIGINT counts and IEEE divisions — bit-identical in
-    * any engine replaying the same expression. Bounded driver action:
-    * collects exactly Dim rows. */
-  def ratioTable(raw: DataFrame, target: DataFrame,
+    * any engine replaying the same expression. Because the target is
+    * a PREDICATE over the raw pool, both LMs count in ONE exploded
+    * scan (raw count + conditional target count per bucket) instead
+    * of two. Bounded driver action: collects exactly Dim rows. */
+  def ratioTable(docs: DataFrame, isTarget: Column,
       textCol: String = "text"): IndexedSeq[Double] = {
-    val spark = raw.sparkSession
+    val spark = docs.sparkSession
+    val counts = docs
+      .select(explode(features(col(textCol))).as("f"), isTarget.as("t"))
+      .groupBy(pmod(PolyHash64(col("f")), lit(Dim.toLong)).as("bucket"))
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("t"), 1L).otherwise(0L)).as("ct"))
     val grid = spark.range(Dim).select(col("id").as("bucket"))
     val rows = grid
-      .join(bucketCounts(raw, textCol).withColumnRenamed("c", "cr"),
-        Seq("bucket"), "left")
-      .join(bucketCounts(target, textCol).withColumnRenamed("c", "ct"),
-        Seq("bucket"), "left")
+      .join(counts, Seq("bucket"), "left")
       .na.fill(0L, Seq("cr", "ct"))
       .orderBy("bucket")
       .select("bucket", "cr", "ct")
@@ -115,7 +121,7 @@ object Dsir {
   def resample(docs: DataFrame, isTarget: Column,
       budget: Double = Budget, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val ratios = ratioTable(docs, docs.filter(isTarget), textCol)
+    val ratios = ratioTable(docs, isTarget, textCol)
     val weighted = docs
       .withColumn("n_feat",
         (size(TextFns.words(col(textCol))).cast("long") * 2 - 1)

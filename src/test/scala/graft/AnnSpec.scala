@@ -306,4 +306,41 @@ class AnnSpec extends SparkSpec {
       df.count() should be > 0L
     }
   }
+  test("centroidOutliers equals an independent driver-side recomputation; " +
+      "partition-invariant") {
+    // recompute the whole rule from the public centroid + assignment
+    // APIs with driver-side decimal sums (valueOf = Spark's double →
+    // DECIMAL(30,15) cast semantics) — an independent check of the
+    // cohesion/stats/threshold arithmetic, not a replay of the plan
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val cents = Ann.ivfCentroids(emb).as[(Long, Seq[Double])].collect().toMap
+    val assign = Ann.ivfAssign(emb).select("id", "vn", "cid")
+      .as[(Long, Seq[Double], Long)].collect().toSeq
+    def dot(a: Seq[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def dec(x: Double) = JBD.valueOf(x).setScale(15, RoundingMode.HALF_UP)
+    val coh = assign.map { case (id, vn, cid) => (id, cid, dot(vn, cents(cid))) }
+    val expected = coh.groupBy(_._2).flatMap { case (_, rows) =>
+      val n = rows.length.toDouble
+      val sc = rows.map(r => dec(r._3)).reduce(_.add(_)).doubleValue
+      val sq = rows.map(r => dec(r._3 * r._3)).reduce(_.add(_)).doubleValue
+      val mean = sc / n
+      val sd = math.sqrt(math.max(sq / n - mean * mean, 0.0))
+      rows.filter(_._3 < mean - 1.5 * sd).map(_._1)
+    }.toSeq.sorted
+    expected should not be empty // the 1.5-sd rule bites on this corpus
+    val actual = Ann.centroidOutliers(emb)
+      .select("vec_id").as[Long].collect().toSeq.sorted
+    actual shouldBe expected
+    // every flagged row sits strictly below its cluster's mean cohesion
+    Ann.centroidOutliers(emb).filter($"cos" >= $"mean_cos")
+      .count() shouldBe 0L
+    // the flagged set depends on ids and exact sums, never partitioning
+    val actual7 = Ann.centroidOutliers(emb.repartition(7))
+      .select("vec_id").as[Long].collect().toSeq.sorted
+    actual7 shouldBe actual
+  }
+
 }

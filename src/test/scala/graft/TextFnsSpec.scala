@@ -206,7 +206,7 @@ class TextFnsSpec extends SparkSpec {
       (1L, "alpha alpha alpha", "en"), (2L, "alpha alpha beta", "en"),
       (3L, "gamma gamma gamma", "de"), (4L, "gamma omega gamma", "de"))
       .toDF("doc_id", "text", "lang")
-    val r = Dsir.ratioTable(docs, docs.filter($"lang" === "en"))
+    val r = Dsir.ratioTable(docs, $"lang" === "en")
     r.length shouldBe Dsir.Dim
     all(r) should be > 0.0
     def bucket(f: String) = (PolyHash64.hash(f) % Dsir.Dim).toInt
