@@ -37,6 +37,9 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class HashedNgramProduct(child: Expression, ratios: Seq[Double])
   extends UnaryExpression {
 
+  require(ratios.nonEmpty,
+    "hashed_ngram_product: ratio table must be non-empty (mod-0 bucket)")
+
   @transient private lazy val ratioArr: Array[Double] = ratios.toArray
 
   override def dataType: DataType = DoubleType

@@ -40,6 +40,9 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class HashedNgramScore(child: Expression, weights: Seq[Double])
   extends UnaryExpression {
 
+  require(weights.nonEmpty,
+    "hashed_ngram_score: weight vector must be non-empty (mod-0 bucket)")
+
   @transient private lazy val weightArr: Array[Double] = weights.toArray
 
   override def dataType: DataType = DoubleType
