@@ -143,7 +143,7 @@ object CodegenAbProbe {
     // gate's +1 s absolute slack exceeded several legs' total runtime —
     // a real JIT-class inversion on a cheap expression could hide there.
     val measured: Seq[(String, Double, Double, Long, Int)] =
-      workloads.zipWithIndex.map { case ((name, body), idx) =>
+      try workloads.zipWithIndex.map { case ((name, body), idx) =>
         System.err.println(s"[probe] $name")
         val order = if (idx % 2 == 0) Seq(false, true) else Seq(true, false)
         // calibration pass: per-leg untimed warm-up (JIT + codegen
@@ -153,11 +153,14 @@ object CodegenAbProbe {
           wsc -> timeLeg(body, 1)
         }.toMap
         // target 1.8 s: rep-scaled runs land faster than single × reps
-        // (warm caches), and the floor must hold at >= 1 s per leg
+        // (warm caches), and the floor must hold at >= 1 s per leg.
+        // The 1024 cap is a runaway guard only — a single run is one
+        // collect() job (>= tens of ms), so the cap is unreachable for
+        // any real workload and the floor genuinely holds
         val fast = math.max(math.min(single(false), single(true)), 1e-3)
         val reps =
           if (fast >= 1.8) 1
-          else math.min(256, math.ceil(1.8 / fast).toInt)
+          else math.min(1024, math.ceil(1.8 / fast).toInt)
         val (iSec, gSec) =
           if (reps == 1) (single(false), single(true))
           else {
@@ -167,8 +170,7 @@ object CodegenAbProbe {
             (timed(false), timed(true))
           }
         (name, iSec, gSec, inputRows(name), reps)
-      }
-    setLeg(wsc = true) // restore session defaults
+      } finally setLeg(wsc = true) // restore even if a workload throws
 
     val interp = measured.map(m => (m._1, m._2, m._4))
     val gen = measured.map(m => (m._1, m._3, m._4))

@@ -15,13 +15,17 @@ import org.apache.spark.sql.SparkSession
   * on both cap branches — and the last closure pinned its frame AND
   * its SparkSession until the next call or JVM exit.
   *
-  * This registry keys the predecessor by session identity in a
-  * `WeakHashMap`: calls from different sessions never release each
-  * other's frames, and a stopped-and-dereferenced session's entry is
-  * collected with the session instead of pinning it (nothing cached
-  * survives a stopped session anyway). Releases of predecessors from
-  * already-stopped sessions are NonFatal-swallowed — their unpersist
-  * throws on the dead driver endpoint.
+  * This registry keys the predecessor by session identity: calls from
+  * different sessions never release each other's frames. Because a
+  * release closure captures a DataFrame — which strongly references
+  * its SparkSession — weak-reference collection can never fire (the
+  * value would pin the key), so staleness is handled EXPLICITLY:
+  * every swap first sweeps entries whose session's SparkContext is
+  * stopped (nothing cached survives a stopped session, and its
+  * unpersist would only throw on the dead driver endpoint). The one
+  * remaining pin is inherent to unmanaged one-live-frame semantics:
+  * the most recent LIVE session's closure stays registered until the
+  * next call on this registry or JVM exit.
   *
   * Instantiate ONE registry per call site (per operator family): two
   * operators sharing a registry would release each other's frames
@@ -29,7 +33,8 @@ import org.apache.spark.sql.SparkSession
   */
 final class SessionRelease {
 
-  private val last = new java.util.WeakHashMap[SparkSession, () => Unit]()
+  private val last =
+    new java.util.HashMap[SparkSession, () => Unit]()
 
   /** Register `release` as this session's live release handle and run
     * the session's previous one (if any). Within one session this
@@ -37,7 +42,19 @@ final class SessionRelease {
     * predecessor is correctness-safe — an unmaterialized predecessor
     * recomputes. */
   def swap(spark: SparkSession, release: () => Unit): Unit = {
-    val prev = last.synchronized { last.put(spark, release) }
+    val prev = last.synchronized {
+      // sweep dead sessions so their closures (and the frames +
+      // sessions they capture) never outlive the session they served
+      val it = last.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val dead = try e.getKey.sparkContext.isStopped catch {
+          case scala.util.control.NonFatal(_) => true
+        }
+        if (dead) it.remove()
+      }
+      last.put(spark, release)
+    }
     if (prev != null) try prev() catch {
       case scala.util.control.NonFatal(_) => ()
     }

@@ -241,7 +241,7 @@ object TextQueries {
     "t34_dsir_resample" -> Q {
       import graft.text.Dsir.{Budget, Dim}
       s"""WITH w AS (SELECT doc_id, lang, string_split($norm, ' ') AS ws
-         |           FROM documents),
+         |           FROM documents WHERE text IS NOT NULL),
          |f AS (SELECT doc_id, lang,
          |        list_concat(ws, list_transform(range(1, len(ws)),
          |          i -> ws[i] || ' ' || ws[i+1])) AS fs

@@ -112,32 +112,58 @@ object Dsir {
   def importanceWeight(text: Column, ratios: Seq[Double]): Column =
     HashedNgramProduct(TextFns.words(text), ratios)
 
+  /** See [[graft.functions.SessionRelease]]: the unmanaged
+    * [[resample]] keeps at most one cached weight frame alive per
+    * session. */
+  private val lastUnmanagedRelease = new graft.functions.SessionRelease
+
   /** The full resample: fit both hashed LMs, weight every document,
     * keep with probability min(1, budget·w/Σw) via the deterministic
     * ppm hash gate (salt "dsir" decorrelates from split/sampling
     * gates). Returns the kept rows of `docs` with `n_feat`, `w` and
-    * `rate_ppm` appended; `idCol` must be stable across runs (it seeds
-    * the keep hash). */
+    * `rate_ppm` appended (those names must be free in `docs`); `idCol`
+    * must be stable across runs (it seeds the keep hash). NULL-text
+    * rows are dropped up front — `least(NULL, cap)` null-skips to the
+    * full cap in both engines, so an unfiltered null row would inflate
+    * the Σw normalizer by 10^6 while never reaching the output. */
   def resample(docs: DataFrame, isTarget: Column,
       budget: Double = Budget, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val ratios = ratioTable(docs, isTarget, textCol)
-    val weighted = docs
+    val (out, release) = resampleManaged(docs, isTarget, budget, idCol,
+      textCol)
+    lastUnmanagedRelease.swap(docs.sparkSession, release)
+    out
+  }
+
+  /** [[resample]] plus a release handle for the cached weight frame —
+    * the scoring scan (2n−1 hashed features per doc) feeds BOTH the
+    * Σw normalizer and the output leg, so it persists instead of
+    * computing twice (the same shared-subtree contract the LSH and
+    * topic-balance entry points carry). Release strictly AFTER
+    * materializing the result; safe to call twice. */
+  def resampleManaged(docs: DataFrame, isTarget: Column,
+      budget: Double = Budget, idCol: String = "doc_id",
+      textCol: String = "text"): (DataFrame, () => Unit) = {
+    val pool = docs.filter(col(textCol).isNotNull)
+    val ratios = ratioTable(pool, isTarget, textCol)
+    val weighted = pool
       .withColumn("n_feat",
         (size(TextFns.words(col(textCol))).cast("long") * 2 - 1)
           .cast("long"))
       .withColumn("w", importanceWeight(col(textCol), ratios))
+      .persist()
     // order-independent normalizer: cap (an +Inf overflow would poison
     // the sum), then exact DECIMAL accumulation — never raw doubles
     val wSum = weighted
       .agg(sum(least(col("w"), lit(1000000.0)).cast(DecimalType(30, 15)))
         .as("twd"))
       .select(col("twd").cast("double").as("tw"))
-    weighted.crossJoin(broadcast(wSum))
+    val out = weighted.crossJoin(broadcast(wSum))
       .withColumn("rate_ppm",
         floor(least(lit(1.0), lit(budget) * col("w") / col("tw"))
           * 1000000.0).cast("long"))
       .where(TextFns.keepPpm(col(idCol), lit("dsir"), col("rate_ppm")))
       .drop("tw")
+    (out, () => { weighted.unpersist(); () })
   }
 }

@@ -274,5 +274,14 @@ class TextFnsSpec extends SparkSpec {
     // rates are real ppm values, not collapsed to 0 or 10^6
     all(rows.map(_._4)) should be >= 0L
     all(rows.map(_._4)) should be <= 1000000L
+    // a NULL-text row is dropped BEFORE the Σw normalizer: least(NULL,
+    // cap) null-skips to the full cap in both engines, so an
+    // unfiltered null would deflate every real doc's rate
+    val withNull = docs.unionByName(
+      Seq((999L, Option.empty[String], "de")).toDF("doc_id", "text", "lang"))
+    val rowsN = Dsir.resample(withNull, $"lang" === "en", budget = 10.0)
+      .select($"doc_id", $"lang", $"w", $"rate_ppm")
+      .as[(Long, String, Double, Long)].collect().toSeq.sortBy(_._1)
+    rowsN shouldBe rows
   }
 }
