@@ -528,7 +528,10 @@ object StreamScaleProbe {
     * per-key-density events corpus cannot exercise. Through round 10
     * its scale claim was st11's row as a proxy; this gives the slowest
     * query in the engine its own measured, gated verdict. */
-  private val DocSubset = Seq("st16_stream_corpus_build")
+  private val DocSubset = Seq("st16_stream_corpus_build",
+    // round-12: the drift monitor's per-batch cost is the t31 scoring
+    // scan + a <=51-cell agg — the row pins it scan-bound per batch
+    "st17_stream_drift")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

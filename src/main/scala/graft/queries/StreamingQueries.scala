@@ -822,6 +822,62 @@ object StreamingQueries {
         graft.streaming.StreamingCorpusBuild.run(s, Tables.documents(s, d),
           root.toString, nFiles = 4, maxFilesPerTrigger = 1)
       }
+    },
+
+    // streaming score-DRIFT monitor — the ingest guard that catches a
+    // source going bad before its documents pollute the corpus: each
+    // micro-batch's trained-classifier score histogram (t33's 0.02
+    // buckets of t31's bit-exact scores) is compared against the
+    // ACCUMULATED histogram of all earlier batches. Drift is an exact
+    // integer cross-multiplied L1 distance (no division in state or
+    // numerator); the presented ratio is ONE IEEE division. Batches
+    // are doc_id-mod-4 arrival waves with mtime-forced order, so the
+    // oracle replays the same membership in plain SQL; the first
+    // batch has no prior and reports 0.
+    "st17_stream_drift" -> Q(
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |    string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
+         |      'g')), ' ') AS ws
+         |  FROM documents),
+         |d AS (SELECT CAST(doc_id % 4 AS BIGINT) AS batch,
+         |        ${TextQueries.classifierScoreSql} AS score
+         |      FROM w),
+         |h AS (SELECT batch, CAST(floor(score * 50) AS BIGINT) AS bucket,
+         |        count(*) AS cnt
+         |      FROM d GROUP BY 1, 2),
+         |bn AS (SELECT batch, CAST(sum(cnt) AS BIGINT) AS n
+         |       FROM h GROUP BY 1),
+         |pn AS (SELECT b.batch,
+         |         CAST(coalesce(sum(p.n), 0) AS BIGINT) AS prev_n
+         |       FROM bn b LEFT JOIN bn p ON p.batch < b.batch GROUP BY 1),
+         |ph AS (SELECT b.batch, h.bucket, CAST(sum(h.cnt) AS BIGINT) AS pcnt
+         |       FROM bn b JOIN h ON h.batch < b.batch GROUP BY 1, 2),
+         |keys AS (SELECT batch, bucket FROM h
+         |         UNION SELECT batch, bucket FROM ph),
+         |j AS (SELECT k.batch, k.bucket, coalesce(c.cnt, 0) AS ccnt,
+         |        coalesce(p.pcnt, 0) AS pcnt
+         |      FROM keys k
+         |      LEFT JOIN h c ON c.batch = k.batch AND c.bucket = k.bucket
+         |      LEFT JOIN ph p ON p.batch = k.batch AND p.bucket = k.bucket),
+         |dr AS (SELECT j.batch,
+         |         CAST(sum(abs(j.ccnt * pn.prev_n - j.pcnt * bn.n))
+         |           AS BIGINT) AS drift_num
+         |       FROM j JOIN bn USING (batch) JOIN pn USING (batch)
+         |       GROUP BY 1)
+         |SELECT bn.batch, bn.n AS n_docs, pn.prev_n AS prev_docs,
+         |       dr.drift_num,
+         |       CASE WHEN pn.prev_n > 0
+         |         THEN round(CAST(dr.drift_num AS DOUBLE) /
+         |           (CAST(bn.n AS DOUBLE) * CAST(pn.prev_n AS DOUBLE)), 6)
+         |         ELSE 0.0 END AS drift
+         |FROM bn JOIN pn USING (batch) JOIN dr USING (batch)
+         |ORDER BY bn.batch""".stripMargin) { (s, d) =>
+      val root = freshDir(s"st17-${d.replaceAll("[^0-9a-zA-Z.]", "_")}")
+      withShufflePartitions(s, 8) {
+        graft.streaming.StreamDrift.run(s, Tables.documents(s, d),
+          root.toString, nSlices = 4)
+      }
     }
   )
 }

@@ -1,0 +1,138 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.sources.Topic
+import graft.text.QualityClassifier
+
+/** Streaming distribution-drift monitor for an ingest pipeline (st17)
+  * — the production guard that catches a source going bad (scraper
+  * drift, encoding breakage, a provider swap) BEFORE its documents
+  * pollute the curated corpus: per micro-batch, the arriving batch's
+  * quality-score histogram is compared against the ACCUMULATED
+  * histogram of everything that arrived before it.
+  *
+  * Drift is an exact integer L1 distance between the two score
+  * distributions, cross-multiplied so no division ever enters the
+  * state or the metric numerator:
+  *
+  *   drift_num(batch) = Σ_buckets |cnt_b · N_prev − prev_cnt_b · N_batch|
+  *
+  * over the t33 histogram buckets (`floor(score·50)`, 0.02-wide, of
+  * the t31 trained-classifier score — bit-identical cross-engine).
+  * The presented ratio `drift_num / (N_batch · N_prev)` is one exact
+  * IEEE division, so any engine replays the report bit-for-bit; a
+  * first batch has no prior and reports 0.
+  *
+  * Per-batch state is ONE compact `hist/batch=<id>` store (bucket,
+  * cnt — at most 51 rows per batch at any corpus size), written
+  * overwrite-idempotent; the report derives everything else from the
+  * accumulated store (the st16 publish pattern). Scale shape: the
+  * per-batch work is the t31 scoring scan plus a ≤51-cell partial
+  * agg; the report joins frames of |batches| × |buckets| rows —
+  * broadcast-sized forever.
+  */
+object StreamDrift {
+
+  /** Publish `docs` as `nSlices` arrival waves (slice k = doc_id mod
+    * nSlices = k), one file each, mtimes forced strictly increasing so
+    * the file source replays them as ordered micro-batches — the
+    * membership rule an oracle can replay exactly. */
+  def publishSliced(docs: DataFrame, topicDir: String,
+      nSlices: Int): Unit = {
+    val dir = new java.io.File(topicDir)
+    var mtime = System.currentTimeMillis()
+    for (k <- 0 until nSlices) {
+      val slice = docs.filter(pmod(col("doc_id"), lit(nSlices.toLong))
+        === k.toLong)
+      val before = Option(dir.listFiles())
+        .map(_.map(_.getName).toSet).getOrElse(Set.empty[String])
+      Topic.publish(slice, topicDir, tsMicros = col("doc_id"),
+        keyCol = Some("doc_id"), nFiles = 1, append = k > 0)
+      mtime += 60000L
+      dir.listFiles().filter(f => !before.contains(f.getName))
+        .foreach(_.setLastModified(mtime))
+    }
+  }
+
+  /** One micro-batch's work: the batch's score histogram, written
+    * idempotently to its own subdirectory. */
+  def processBatch(batch: DataFrame, batchId: Long, root: String): Unit =
+    batch
+      .select(floor(QualityClassifier.score(col("text")) * 50)
+        .cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(s"$root/hist/batch=$batchId")
+
+  /** The drift report from the accumulated histogram store: one row
+    * per batch with exact integer counts and the one-division ratio. */
+  def report(spark: SparkSession, root: String): DataFrame =
+    reportFromHist(spark.read.parquet(s"$root/hist")
+      .select(col("batch").cast("long").as("batch"),
+        col("bucket"), col("cnt")))
+
+  /** Publish, stream, report — the registered st17 entry. */
+  def run(spark: SparkSession, docs: DataFrame, root: String,
+      nSlices: Int = 4): DataFrame = {
+    Files.createDirectories(Paths.get(root))
+    publishSliced(docs, s"$root/topic", nSlices)
+    val src = Topic.decodeDocuments(
+      Topic.readStream(spark, s"$root/topic", maxFilesPerTrigger = 1))
+    val q = src.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, root)
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    report(spark, root)
+  }
+
+  /** The same report computed in one batch pass (batch = doc_id mod
+    * nSlices) — the spec's invariance reference. */
+  def batchReference(docs: DataFrame, nSlices: Int = 4): DataFrame = {
+    val d = docs.select(
+      pmod(col("doc_id"), lit(nSlices.toLong)).as("batch"),
+      floor(QualityClassifier.score(col("text")) * 50)
+        .cast("long").as("bucket"))
+    val hist = d.groupBy("batch", "bucket").agg(count(lit(1)).as("cnt"))
+    reportFromHist(hist)
+  }
+
+  /** Shared derivation for [[report]]'s spec reference. */
+  private def reportFromHist(hist: DataFrame): DataFrame = {
+    val bn = hist.groupBy("batch").agg(sum("cnt").cast("long").as("n"))
+    val pn = bn.as("b").join(bn.as("p"),
+        col("p.batch") < col("b.batch"), "left")
+      .groupBy(col("b.batch").as("batch"))
+      .agg(coalesce(sum(col("p.n")), lit(0L)).cast("long").as("prev_n"))
+    val ph = bn.select(col("batch").as("cb")).join(hist,
+        col("batch") < col("cb"))
+      .groupBy(col("cb").as("batch"), col("bucket"))
+      .agg(sum("cnt").cast("long").as("pcnt"))
+    val keys = hist.select("batch", "bucket")
+      .union(ph.select("batch", "bucket")).distinct()
+    val j = keys
+      .join(hist.withColumnRenamed("cnt", "ccnt"),
+        Seq("batch", "bucket"), "left")
+      .join(ph, Seq("batch", "bucket"), "left")
+      .na.fill(0L, Seq("ccnt", "pcnt"))
+      .join(broadcast(bn), "batch").join(broadcast(pn), "batch")
+    val dr = j.groupBy("batch")
+      .agg(sum(abs(col("ccnt") * col("prev_n") - col("pcnt") * col("n")))
+        .cast("long").as("drift_num"))
+    bn.join(pn, "batch").join(dr, "batch")
+      .select(col("batch"), col("n").as("n_docs"),
+        col("prev_n").as("prev_docs"), col("drift_num"),
+        when(col("prev_n") > 0,
+          round(col("drift_num").cast("double") /
+            (col("n").cast("double") * col("prev_n").cast("double")), 6))
+          .otherwise(lit(0.0)).as("drift"))
+      .orderBy("batch")
+  }
+}

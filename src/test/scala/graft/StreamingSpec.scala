@@ -394,4 +394,22 @@ class StreamingSpec extends SparkSpec {
       s"$root/ckpt")
     dimRows() shouldBe expect
   }
+
+  test("st17 drift monitor: stream report equals the one-shot batch " +
+      "reference; per-batch store replay is idempotent") {
+    import graft.streaming.StreamDrift
+    val docs = graft.sources.Tables.documents(spark, SfDir)
+    val root = java.nio.file.Files
+      .createTempDirectory("st17spec").toString
+    val streamed = StreamDrift.run(spark, docs, root, nSlices = 4)
+      .collect().toSeq
+    val ref = StreamDrift.batchReference(docs, nSlices = 4)
+      .collect().toSeq
+    streamed shouldBe ref
+    // crash/replay contract: rewriting one batch's store overwrites
+    // identical content, so the report is unchanged
+    StreamDrift.processBatch(
+      docs.filter(pmod($"doc_id", lit(4L)) === 2L), 2L, root)
+    StreamDrift.report(spark, root).collect().toSeq shouldBe ref
+  }
 }
