@@ -70,6 +70,26 @@ object AnnQueries {
          |    FROM n CROSS JOIN cent c) WHERE rn = 1),
          |""".stripMargin
 
+  /** Shared cohesion prefix of s16/s17: per-vector cosine to its OWN
+    * centroid plus per-cluster mean/sd from order-independent
+    * DECIMAL(30,15) sums. */
+  private val cohesionCte =
+    ivfAssignCte +
+      s"""wc AS (SELECT a.id, a.cid, list_dot_product(a.vn, c.cv) AS cos
+         |      FROM assign a JOIN cent c USING (cid)),
+         |st AS (SELECT cid, count(*) AS n,
+         |        CAST(sum(CAST(cos AS DECIMAL(30,15))) AS DOUBLE) AS sc,
+         |        CAST(sum(CAST(cos * cos AS DECIMAL(30,15))) AS DOUBLE)
+         |          AS sq
+         |       FROM wc GROUP BY 1),
+         |th AS (SELECT cid,
+         |        sc / CAST(n AS DOUBLE) AS mean_cos,
+         |        sqrt(greatest(sq / CAST(n AS DOUBLE)
+         |          - (sc / CAST(n AS DOUBLE)) * (sc / CAST(n AS DOUBLE)),
+         |          0.0)) AS sd
+         |       FROM st)
+         |""".stripMargin
+
   /** Shared oracle for s04/s06: per-list occupancy of the IVF index
     * after a base build + frozen-centroid delta assignment (s06 reaches
     * the same state through streamed micro-batch upserts). */
@@ -612,27 +632,38 @@ object AnnQueries {
     // Scale shape: bounded corpus x 16 assignment + one 16-row stats
     // broadcast — no window, no sort, no quantile sketch.
     "s16_embedding_outliers" -> Q(
-      ivfAssignCte +
-        s"""wc AS (SELECT a.id, a.cid, list_dot_product(a.vn, c.cv) AS cos
-           |      FROM assign a JOIN cent c USING (cid)),
-           |st AS (SELECT cid, count(*) AS n,
-           |        CAST(sum(CAST(cos AS DECIMAL(30,15))) AS DOUBLE) AS sc,
-           |        CAST(sum(CAST(cos * cos AS DECIMAL(30,15))) AS DOUBLE)
-           |          AS sq
-           |       FROM wc GROUP BY 1),
-           |th AS (SELECT cid,
-           |        sc / CAST(n AS DOUBLE) AS mean_cos,
-           |        sqrt(greatest(sq / CAST(n AS DOUBLE)
-           |          - (sc / CAST(n AS DOUBLE)) * (sc / CAST(n AS DOUBLE)),
-           |          0.0)) AS sd
-           |       FROM st)
-           |SELECT wc.id AS vec_id, wc.cid, round(wc.cos, 6) AS cos,
+      cohesionCte +
+        s"""SELECT wc.id AS vec_id, wc.cid, round(wc.cos, 6) AS cos,
            |       round(th.mean_cos, 6) AS mean_cos, round(th.sd, 6) AS sd
            |FROM wc JOIN th USING (cid)
            |WHERE wc.cos < th.mean_cos - 1.5 * th.sd
            |ORDER BY vec_id""".stripMargin) { (s, d) =>
       Ann.centroidOutliers(Tables.embeddings(s, d), factor = 1.5)
         .orderBy("vec_id")
+    },
+
+    // outlier-threshold SWEEP — s16 certifies one operating point;
+    // this measures the flag-rate KNOB the way s14 sweeps nprobe: ONE
+    // centroid build + ONE cohesion pass serve every factor (the
+    // instrument is never rebuilt per point), the factor axis is a
+    // broadcast 3-row side, and every output is an exact integer
+    // count — cross-engine exact with zero float aggregation.
+    "s17_outlier_sweep" -> Q(
+      cohesionCte +
+        s""", fs AS (SELECT unnest([1.0, 1.5, 2.0]) AS factor),
+           |fl AS (SELECT f.factor, count(*) AS n_flagged,
+           |         count(DISTINCT wc.cid) AS n_clusters
+           |       FROM wc JOIN th USING (cid) CROSS JOIN fs f
+           |       WHERE wc.cos < th.mean_cos - f.factor * th.sd
+           |       GROUP BY 1)
+           |SELECT f.factor, CAST(coalesce(fl.n_flagged, 0) AS BIGINT)
+           |         AS n_flagged,
+           |       CAST(coalesce(fl.n_clusters, 0) AS BIGINT) AS n_clusters
+           |FROM fs f LEFT JOIN fl USING (factor)
+           |ORDER BY f.factor""".stripMargin) { (s, d) =>
+      Ann.centroidOutlierSweep(Tables.embeddings(s, d),
+          factors = Seq(1.0, 1.5, 2.0))
+        .orderBy("factor")
     },
 
     "s14_ivf_nprobe_sweep" -> Q(

@@ -343,4 +343,18 @@ class AnnSpec extends SparkSpec {
     actual7 shouldBe actual
   }
 
+  test("outlier sweep: factors ordered, flag counts non-increasing, " +
+      "swept point equals the single-factor rule") {
+    val sw = Ann.centroidOutlierSweep(emb, Seq(1.0, 1.5, 2.0))
+      .orderBy("factor").as[(Double, Long, Long)].collect().toSeq
+    sw.map(_._1) shouldBe Seq(1.0, 1.5, 2.0)
+    // a stricter threshold can only flag fewer vectors and clusters
+    sw.sliding(2).foreach { case Seq(a, b) =>
+      a._2 should be >= b._2
+      a._3 should be >= b._3
+    }
+    // the 1.5 operating point is exactly s16's flagged set size
+    sw.find(_._1 == 1.5).get._2 shouldBe Ann.centroidOutliers(emb).count()
+  }
+
 }

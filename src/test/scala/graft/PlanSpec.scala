@@ -192,7 +192,8 @@ class PlanSpec extends SparkSpec {
       "s14_ivf_nprobe_sweep", // embeds the s01 exact baseline + a broadcast 3-ROW sweep axis
       "s15_topic_balance", // the bounded 16-centroid assignment pass + a 1-ROW token-total side
       "t34_dsir_resample", // broadcasts a 1-ROW weight-sum normalizer (t29's zRow shape)
-      "s16_embedding_outliers") // the bounded 16-centroid assignment pass + a 16-ROW stats side
+      "s16_embedding_outliers", // the bounded 16-centroid assignment pass + a 16-ROW stats side
+      "s17_outlier_sweep") // same cohesion pass + a broadcast 3-ROW factor axis
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, SfDir)
       withClue(s"$name: ") {
