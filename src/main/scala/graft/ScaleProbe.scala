@@ -54,6 +54,8 @@ object ScaleProbe {
     // without changing the ratio table's size
     "s16_embedding_outliers", // bounded x16 assignment + 16-row stats
     // broadcast: per-cluster moments are partial aggs, never a sort
+    "s17_outlier_sweep", // the same cohesion pass x a 3-row factor
+    // axis — swept thresholds must not multiply the instrument build
     "s02_ann_lsh", // sized planes + cap derive in-operator — the production row
     "s12_ann_lsh_fixed3", // labeled fixed-plane contrast (excluded above 10x)
     "s03_ann_ivf",
