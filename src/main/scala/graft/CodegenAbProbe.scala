@@ -169,15 +169,25 @@ object CodegenAbProbe {
             }.toMap
             (timed(false), timed(true))
           }
-        (name, iSec, gSec, inputRows(name), reps)
+        // record PER-REP seconds: reps recalibrate per host/run, so
+        // raw rep-scaled totals are not comparable across committed
+        // rows — a reps flip would read as a 2x time change to anyone
+        // consuming the sec fields. time_ratio (what the gate reads)
+        // is invariant either way; the reps field keeps totals
+        // recoverable as sec x reps.
+        (name, iSec / reps, gSec / reps, inputRows(name), reps)
       } finally setLeg(wsc = true) // restore even if a workload throws
 
     val interp = measured.map(m => (m._1, m._2, m._4))
     val gen = measured.map(m => (m._1, m._3, m._4))
-    val inversions = measured.flatMap { case (name, iSec, gSec, _, _) =>
-      if (gSec > 2.0 * iSec + 1.0)
-        Some(s"$name: codegen ${ProbeLog.fmt(gSec, 2)}s vs interpreted " +
-          s"${ProbeLog.fmt(iSec, 2)}s — the JIT-limit inversion class")
+    val inversions = measured.flatMap { case (name, iSec, gSec, _, reps) =>
+      // the inversion check runs on the REP-SCALED totals: its +1.0 s
+      // absolute slack is calibrated against >= ~1 s legs and would be
+      // unreachable against per-rep seconds
+      if (gSec * reps > 2.0 * iSec * reps + 1.0)
+        Some(s"$name: codegen ${ProbeLog.fmt(gSec * reps, 2)}s vs " +
+          s"interpreted ${ProbeLog.fmt(iSec * reps, 2)}s total over " +
+          s"$reps reps — the JIT-limit inversion class")
       else None
     }
 

@@ -29,6 +29,10 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
+      // progress marker BEFORE the run: Spark WARN lines (e.g.
+      // CacheManager double-persist notices) become attributable to a
+      // query by position in the log instead of needing a rerun
+      System.err.println(s"[verify] $name")
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.scheduler.{SparkListener, SparkListenerApplicationEnd}
 import org.apache.spark.sql.SparkSession
 
 /** One-live-frame release registry, scoped PER SparkSession.
@@ -22,10 +23,14 @@ import org.apache.spark.sql.SparkSession
   * value would pin the key), so staleness is handled EXPLICITLY:
   * every swap first sweeps entries whose session's SparkContext is
   * stopped (nothing cached survives a stopped session, and its
-  * unpersist would only throw on the dead driver endpoint). The one
-  * remaining pin is inherent to unmanaged one-live-frame semantics:
-  * the most recent LIVE session's closure stays registered until the
-  * next call on this registry or JVM exit.
+  * unpersist would only throw on the dead driver endpoint), AND a
+  * SparkListener registered on first use per session drops the entry
+  * the moment that session's context ends — so a stopped session's
+  * closure (which pins a DataFrame lineage and the session itself)
+  * never waits for the next swap on this operator family or JVM exit.
+  * The only remaining pin is the most recent LIVE session's closure,
+  * inherent to unmanaged one-live-frame semantics; long-lived hosts
+  * should prefer the Managed forms.
   *
   * Instantiate ONE registry per call site (per operator family): two
   * operators sharing a registry would release each other's frames
@@ -36,13 +41,17 @@ final class SessionRelease {
   private val last =
     new java.util.HashMap[SparkSession, () => Unit]()
 
+  /** Sessions that already carry this registry's end-of-application
+    * listener (guarded by `last`'s monitor). */
+  private val seen = new java.util.HashSet[SparkSession]()
+
   /** Register `release` as this session's live release handle and run
     * the session's previous one (if any). Within one session this
     * bounds the unmanaged path to one live cached frame; releasing the
     * predecessor is correctness-safe — an unmaterialized predecessor
     * recomputes. */
   def swap(spark: SparkSession, release: () => Unit): Unit = {
-    val prev = last.synchronized {
+    val (prev, firstSeen) = last.synchronized {
       // sweep dead sessions so their closures (and the frames +
       // sessions they capture) never outlive the session they served
       val it = last.entrySet().iterator()
@@ -53,7 +62,20 @@ final class SessionRelease {
         }
         if (dead) it.remove()
       }
-      last.put(spark, release)
+      (last.put(spark, release), !seen.contains(spark))
+    }
+    if (firstSeen) {
+      // entries only ever re-appear for LIVE sessions (the sweep and
+      // the listener both remove dead ones), so one listener per
+      // (registry, session) suffices: when the context ends, drop the
+      // entry WITHOUT running it — nothing cached survives a stopped
+      // session, and unpersist would only throw on the dead endpoint
+      seen.add(spark)
+      try spark.sparkContext.addSparkListener(new SparkListener {
+        override def onApplicationEnd(
+            end: SparkListenerApplicationEnd): Unit =
+          last.synchronized { last.remove(spark); seen.remove(spark); () }
+      }) catch { case scala.util.control.NonFatal(_) => () }
     }
     if (prev != null) try prev() catch {
       case scala.util.control.NonFatal(_) => ()

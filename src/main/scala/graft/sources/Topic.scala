@@ -40,6 +40,28 @@ object Topic {
       .write.mode(if (append) "append" else "overwrite").json(topicDir)
   }
 
+  /** Publish a topic as `nSlices` ordered arrival waves:
+    * `publishSlice(k, append)` writes wave k's files, and each wave's
+    * NEW files get a forced strictly-increasing mtime (+60 s per wave)
+    * so the file stream source replays the waves as ordered
+    * micro-batches. ONE definition of the ordering trick — the SCD2
+    * change-log publisher and the drift monitors all ride this; two
+    * hand-rolled copies of the listFiles-diff + setLastModified loop
+    * would drift independently. */
+  def publishOrderedSlices(topicDir: String, nSlices: Int)(
+      publishSlice: (Int, Boolean) => Unit): Unit = {
+    val dir = new java.io.File(topicDir)
+    var mtime = System.currentTimeMillis()
+    for (k <- 0 until nSlices) {
+      val before = Option(dir.listFiles())
+        .map(_.map(_.getName).toSet).getOrElse(Set.empty[String])
+      publishSlice(k, k > 0)
+      mtime += 60000L
+      dir.listFiles().filter(f => !before.contains(f.getName))
+        .foreach(_.setLastModified(mtime))
+    }
+  }
+
   /** Tail the topic as a stream (S1). */
   def readStream(spark: SparkSession, topicDir: String,
       maxFilesPerTrigger: Int = 1): DataFrame =

@@ -55,25 +55,15 @@ object Dsir {
     * concentrate; the per-doc rate is capped at 1). */
   val Budget = 200.0
 
-  /** Ordered unigrams-then-bigrams feature list of a text column —
-    * the same feature definition [[QualityClassifier]] scores (and the
-    * same `list_concat(ws, bigrams)` the DuckDB oracle folds).
-    * Spark's `sequence(1, 0)` counts DOWN, so the bigram leg guards
-    * single-token docs explicitly. */
-  def features(text: Column): Column = {
-    val ws = TextFns.words(text)
-    val bigrams = transform(sequence(lit(1), size(ws) - 1),
-      i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1)))
-    concat(ws, when(size(ws) >= 2, bigrams)
-      .otherwise(array().cast("array<string>")))
-  }
+  /** Columns [[resample]] appends to its passthrough of the input —
+    * guarded free at construction time. */
+  val ReservedCols: Seq[String] = Seq("n_feat", "w", "rate_ppm")
 
-  /** Per-bucket feature counts of a corpus: one linear scan, explode,
-    * map-side partial agg into ≤ Dim cells. */
-  def bucketCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
-    docs.select(explode(features(col(textCol))).as("f"))
-      .groupBy(pmod(PolyHash64(col("f")), lit(Dim.toLong)).as("bucket"))
-      .agg(count(lit(1)).as("c"))
+  /** Ordered unigrams-then-bigrams feature list of a text column —
+    * [[TextFns.ngramFeatures]] over [[TextFns.words]], the family-wide
+    * feature definition. */
+  def features(text: Column): Column =
+    TextFns.ngramFeatures(TextFns.words(text))
 
   /** The per-bucket probability-ratio table, ordered by bucket: for
     * each of the Dim buckets,
@@ -144,6 +134,14 @@ object Dsir {
   def resampleManaged(docs: DataFrame, isTarget: Column,
       budget: Double = Budget, idCol: String = "doc_id",
       textCol: String = "text"): (DataFrame, () => Unit) = {
+    // the appended columns are fixed names on a PASSTHROUGH of `docs`;
+    // withColumn would silently REPLACE a caller column of the same
+    // name, so the contract fails loudly at construction instead
+    ReservedCols.foreach { c =>
+      require(!docs.columns.contains(c),
+        s"Dsir.resample: input already has a '$c' column — the output " +
+          s"appends ${ReservedCols.mkString("/")}; rename it first")
+    }
     val pool = docs.filter(col(textCol).isNotNull)
     val ratios = ratioTable(pool, isTarget, textCol)
     val weighted = pool

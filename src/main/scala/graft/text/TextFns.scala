@@ -71,6 +71,20 @@ object TextFns {
     (nSymbols - nSpaces).cast("long")
   }
 
+  /** Ordered unigrams-then-bigrams feature list of a TOKEN ARRAY — the
+    * one feature definition the whole hashed-ngram family shares
+    * ([[graft.text.QualityClassifier]] scoring, [[graft.text.Dsir]]
+    * LMs, [[graft.text.ClassifierTrain]] gradients) and the same
+    * `list_concat(ws, bigrams)` every DuckDB oracle folds. Spark's
+    * `sequence(1, 0)` counts DOWN, so the bigram leg guards
+    * single-token docs explicitly. */
+  def ngramFeatures(ws: Column): Column = {
+    val bigrams = transform(sequence(lit(1), size(ws) - 1),
+      i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1)))
+    concat(ws, when(size(ws) >= 2, bigrams)
+      .otherwise(array().cast("array<string>")))
+  }
+
   /** Count of tokens that appear in `vocab`. */
   def vocabHits(text: Column, vocab: Seq[String]): Column =
     size(filter(words(text), w => w.isin(vocab.map(lit(_)): _*))).cast("long")

@@ -33,6 +33,15 @@ object TopicBalance {
     * `tok` (idCol, n_tok). */
   def planManaged(assign: DataFrame, tok: DataFrame,
       idCol: String = "doc_id"): (DataFrame, () => Unit) = {
+    // same fixed-name contract as Dsir.resample, checked loudly up
+    // front: a stray n_tok on `assign` (or cid on `tok`) would only
+    // surface as an ambiguous-reference error deep in the plan
+    require(!assign.columns.contains("n_tok"),
+      "TopicBalance.plan: `assign` must carry exactly (idCol, cid) — " +
+        "it already has an 'n_tok' column, which belongs on `tok`")
+    require(!tok.columns.contains("cid"),
+      "TopicBalance.plan: `tok` must carry exactly (idCol, n_tok) — " +
+        "it already has a 'cid' column, which belongs on `assign`")
     // persisted: the assignment join feeds both the stats leg and the
     // keep leg, and the corpus×16 centroid assignment upstream of it
     // is the expensive subtree a two-pass plan evaluates twice

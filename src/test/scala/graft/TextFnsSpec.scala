@@ -284,4 +284,32 @@ class TextFnsSpec extends SparkSpec {
       .as[(Long, String, Double, Long)].collect().toSeq.sortBy(_._1)
     rowsN shouldBe rows
   }
+
+  test("fixed-name appenders fail loudly on reserved input columns " +
+      "instead of silently replacing them") {
+    import graft.text.Dsir
+    // Dsir.resample appends n_feat/w/rate_ppm to a PASSTHROUGH of the
+    // input — each must be rejected at construction time
+    Dsir.ReservedCols shouldBe Seq("n_feat", "w", "rate_ppm")
+    Dsir.ReservedCols.foreach { c =>
+      val docs = Seq((1L, "alpha beta", "en", 7L))
+        .toDF("doc_id", "text", "lang", c)
+      val e = intercept[IllegalArgumentException] {
+        Dsir.resample(docs, $"lang" === "en")
+      }
+      e.getMessage should include(s"'$c'")
+    }
+    // TopicBalance: a stray n_tok on assign (or cid on tok) would only
+    // surface as an ambiguous-reference error deep in the plan
+    val assignBad = Seq((1L, 0L, 5L)).toDF("doc_id", "cid", "n_tok")
+    val tok = Seq((1L, 5L)).toDF("doc_id", "n_tok")
+    intercept[IllegalArgumentException] {
+      graft.vector.TopicBalance.plan(assignBad, tok)
+    }.getMessage should include("n_tok")
+    val assign = Seq((1L, 0L)).toDF("doc_id", "cid")
+    val tokBad = Seq((1L, 5L, 0L)).toDF("doc_id", "n_tok", "cid")
+    intercept[IllegalArgumentException] {
+      graft.vector.TopicBalance.plan(assign, tokBad)
+    }.getMessage should include("cid")
+  }
 }
