@@ -56,6 +56,15 @@ object ScaleProbe {
     // broadcast: per-cluster moments are partial aggs, never a sort
     "s17_outlier_sweep", // the same cohesion pass x a 3-row factor
     // axis — swept thresholds must not multiply the instrument build
+    "t35_classifier_train", // k fixed perceptron iterations = k linear
+    // scans + <=64-cell aggs: time must track the corpus, never the
+    // (fixed) iteration x bucket state
+    "t36_vocab_coverage", // explode -> vocab agg -> range-partitioned
+    // prefix sum: the saturated corpus multiplies token mass per term
+    // but barely grows the vocab — the range shuffle moves the VOCAB
+    // table, not the corpus
+    "t37_trained_gate", // fit on the train split + map-side serve of
+    // the val split: both legs linear scans, weights stay 64 longs
     "s02_ann_lsh", // sized planes + cap derive in-operator — the production row
     "s12_ann_lsh_fixed3", // labeled fixed-plane contrast (excluded above 10x)
     "s03_ann_ivf",
@@ -533,7 +542,10 @@ object StreamScaleProbe {
   private val DocSubset = Seq("st16_stream_corpus_build",
     // round-12: the drift monitor's per-batch cost is the t31 scoring
     // scan + a <=51-cell agg — the row pins it scan-bound per batch
-    "st17_stream_drift")
+    "st17_stream_drift",
+    // round-13: the length-drift axis — cheaper per batch than st17
+    // (token count vs classifier scoring), same commit-floor claim
+    "st18_stream_len_drift")
 
   def main(args: Array[String]): Unit = {
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -60,4 +60,54 @@ object RangeRank {
     }
     spark.createDataFrame(ranked, schema)
   }
+
+  /** Append BOTH the 1-based global rank AND the INCLUSIVE global
+    * running sum of LongType `valueCol` under `sortCols` — i.e.
+    * `sum(value) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)` without
+    * the `Exchange SinglePartition` that window would plan. The
+    * zipWithIndex two-job pattern generalized: job 1 reads ONE
+    * (row count, value sum) pair per range-sorted partition (a bounded
+    * numPartitions-row driver collect — the prefix offsets fold from
+    * it for free, and so does the GRAND TOTAL, returned alongside so
+    * callers need no extra pass); job 2 re-reads the same shuffle map
+    * outputs and adds each partition's offsets to its local running
+    * rank/sum. Returns (frame with rankCol + prefixCol appended,
+    * total sum of valueCol). Same total-order caveat as
+    * [[withGlobalRank]]. */
+  def withRankAndPrefixSum(df: DataFrame, sortCols: Seq[Column],
+      valueCol: String, rankCol: String, prefixCol: String,
+      numPartitions: Int = 0): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val n =
+      if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val sorted = rangeSorted(df, sortCols, n)
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    val rdd = sorted.rdd
+    val parts = rdd.mapPartitionsWithIndex { (i, it) =>
+      var cnt = 0L; var sum = 0L
+      it.foreach { r => cnt += 1L; sum += r.getLong(vIdx) }
+      Iterator((i, cnt, sum))
+    }.collect() // bounded: one row per partition
+    val nParts = rdd.getNumPartitions
+    val rankOff = new Array[Long](nParts)
+    val sumOff = new Array[Long](nParts)
+    var rAcc = 0L; var sAcc = 0L
+    parts.sortBy(_._1).foreach { case (i, cnt, sum) =>
+      rankOff(i) = rAcc; sumOff(i) = sAcc
+      rAcc += cnt; sAcc += sum
+    }
+    val total = sAcc
+    val schema = sorted.schema
+      .add(rankCol, LongType, nullable = false)
+      .add(prefixCol, LongType, nullable = false)
+    val out = rdd.mapPartitionsWithIndex { (i, it) =>
+      var rank = rankOff(i); var cum = sumOff(i)
+      it.map { row =>
+        rank += 1L; cum += row.getLong(vIdx)
+        Row.fromSeq(row.toSeq :+ rank :+ cum)
+      }
+    }
+    (spark.createDataFrame(out, schema), total)
+  }
 }

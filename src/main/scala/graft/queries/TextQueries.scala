@@ -112,6 +112,62 @@ object TextQueries {
        |ORDER BY mrank""".stripMargin
   }
 
+  /** The chained-CTE replay of `iters` full-batch perceptron
+    * iterations, shared by t35's and t37's oracles: per-doc bucket
+    * counts once (`fx`, the same PolyHash64 fold +
+    * list_concat(ws, bigrams) every hashed-ngram oracle folds), then
+    * per iteration score → misclassified set → summed gradient →
+    * weight update, ALL integer arithmetic (sums CAST from DuckDB's
+    * HUGEINT back to BIGINT). Generated per iteration so the SQL and
+    * the Spark loop stay structurally identical (the t22
+    * bpeLearnOracle pattern). `poolWhere` restricts the training pool
+    * (t35 trains on the whole corpus, t37 on the t05 train split);
+    * final weights live in CTE `w<iters>`. Ends WITHOUT a trailing
+    * comma — the caller's tail adds its own. */
+  private def perceptronCtes(iters: Int, poolWhere: String): String = {
+    val D = graft.text.ClassifierTrain.Dim
+    val iterCtes = (1 to iters).map { r =>
+      s"""sc$r AS (SELECT fx.doc_id, CAST(sum(w.w * fx.x) AS BIGINT) AS s
+         |         FROM fx JOIN w${r - 1} w USING (bucket) GROUP BY 1),
+         |m$r AS (SELECT p.doc_id FROM pool p
+         |        LEFT JOIN sc$r s ON s.doc_id = p.doc_id
+         |        WHERE p.y * coalesce(s.s, 0) <= 0),
+         |g$r AS (SELECT fx.bucket, CAST(sum(fx.y * fx.x) AS BIGINT) AS g
+         |        FROM fx JOIN m$r m ON m.doc_id = fx.doc_id GROUP BY 1),
+         |w$r AS (SELECT w.bucket, CAST(w.w + coalesce(g.g, 0) AS BIGINT) AS w
+         |        FROM w${r - 1} w LEFT JOIN g$r g ON g.bucket = w.bucket)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""pool AS (
+       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+       |         string_split($norm, ' ') AS ws
+       |  FROM documents WHERE text IS NOT NULL$poolWhere),
+       |fx AS (
+       |  SELECT doc_id, y, bucket, CAST(count(*) AS BIGINT) AS x FROM (
+       |    SELECT doc_id, y, unnest(list_transform(
+       |        list_concat(ws, list_transform(range(1, len(ws)),
+       |          i -> ws[i] || ' ' || ws[i+1])),
+       |        t -> CAST((${polyHashSql("t")}) % $D AS BIGINT))) AS bucket
+       |    FROM pool) GROUP BY 1, 2, 3),
+       |w0 AS (SELECT CAST(g.range AS BIGINT) AS bucket,
+       |              CAST(0 AS BIGINT) AS w FROM range($D) g),
+       |$iterCtes""".stripMargin
+  }
+
+  /** Oracle for t35: the perceptron replay over the full pool, tailed
+    * with final-weight scoring and integer train accuracy. */
+  private def classifierTrainOracle(iters: Int): String =
+    s"""WITH ${perceptronCtes(iters, "")},
+       |scf AS (SELECT fx.doc_id, CAST(sum(w.w * fx.x) AS BIGINT) AS s
+       |        FROM fx JOIN w$iters w USING (bucket) GROUP BY 1),
+       |acc AS (SELECT CAST(count(*) FILTER (
+       |                 WHERE p.y * coalesce(s.s, 0) > 0) AS BIGINT)
+       |                 AS n_correct,
+       |               CAST(count(*) AS BIGINT) AS n_total
+       |        FROM pool p LEFT JOIN scf s ON s.doc_id = p.doc_id)
+       |SELECT w.bucket, w.w AS weight, acc.n_correct, acc.n_total
+       |FROM w$iters w, acc ORDER BY w.bucket""".stripMargin
+
   /** Ranked-retrieval query set for t23 (terms from the corpus's
     * marker vocabulary, so every query matches real documents). */
   val Searches: Seq[(String, Seq[String])] = Seq(
@@ -287,6 +343,115 @@ object TextQueries {
         .select(col("doc_id"), col("lang"), col("n_feat"),
           round(col("w"), 6).as("weight"), col("rate_ppm"))
         .orderBy("doc_id")
+    },
+
+    // in-engine classifier TRAINING (the curation arc's last verb —
+    // t31/t33/d15/t34 SERVE checked-in weights; this FITS them):
+    // deterministic full-batch perceptron over Dim=64 hashed
+    // unigram+bigram buckets, k=3 fixed iterations, label = lang='en'.
+    // Every quantity is exact integer arithmetic (features, gradients,
+    // weights, scores — w0=0 + constant rate makes the learning rate
+    // irrelevant to the decision sequence, so BIGINT weights ARE the
+    // canonical model), and the oracle unrolls the k iterations as
+    // chained CTEs over the same PolyHash64 fold. Per iteration: one
+    // scan of the persisted pool (misclassification = the native
+    // HashedNgramScore expression, weights as a plan reference
+    // object), explode -> <=64-cell agg, bounded <=64-row collect.
+    // Output = the trained 64-row weight table x the 1-row integer
+    // train-accuracy aggregate.
+    "t35_classifier_train" -> Q(
+      classifierTrainOracle(graft.text.ClassifierTrain.Iters)) { (s, d) =>
+      graft.text.ClassifierTrain.train(
+        Tables.documents(s, d), col("lang") === "en")
+    },
+
+    // fit -> serve OUT OF SAMPLE — the classifier lifecycle closed
+    // end-to-end: t35's deterministic perceptron fits on the t05
+    // TRAIN split only, then the VAL split is gated with the trained
+    // weights (the t31 serving shape: map-side native expression,
+    // weights as a plan reference object, no weight-table join). The
+    // held-out docs never influence the fit — t26's leakage-safety
+    // property, for the model instead of the split. Margins are exact
+    // BIGINTs; the oracle replays the train-split fit with the shared
+    // perceptron CTE chain and scores the val split under w_k.
+    "t37_trained_gate" -> Q {
+      val iters = graft.text.ClassifierTrain.Iters
+      val D = graft.text.ClassifierTrain.Dim
+      val splitFold =
+        """list_reduce(list_transform(
+          |              string_split(md5(CAST(doc_id AS VARCHAR)), ''),
+          |              c -> CAST(ascii(c) AS BIGINT)),
+          |              (acc, x) -> (acc * 31 + x) % 1000000007) % 100"""
+          .stripMargin
+      s"""WITH ${perceptronCtes(iters, s"\n    AND $splitFold < 80")},
+         |vd AS (SELECT doc_id, lang, string_split($norm, ' ') AS ws
+         |       FROM documents WHERE text IS NOT NULL
+         |         AND $splitFold >= 80),
+         |vx AS (
+         |  SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS x FROM (
+         |    SELECT doc_id, unnest(list_transform(
+         |        list_concat(ws, list_transform(range(1, len(ws)),
+         |          i -> ws[i] || ' ' || ws[i+1])),
+         |        t -> CAST((${polyHashSql("t")}) % $D AS BIGINT))) AS bucket
+         |    FROM vd) GROUP BY 1, 2),
+         |sv AS (SELECT vx.doc_id, CAST(sum(w.w * vx.x) AS BIGINT) AS margin
+         |       FROM vx JOIN w$iters w USING (bucket) GROUP BY 1)
+         |SELECT vd.doc_id, vd.lang, sv.margin,
+         |       CAST(CASE WHEN sv.margin > 0 THEN 1 ELSE 0 END AS BIGINT)
+         |         AS pred
+         |FROM vd JOIN sv USING (doc_id)
+         |ORDER BY vd.doc_id""".stripMargin
+    } { (s, d) =>
+      graft.text.ClassifierTrain.trainedGate(
+          Tables.documents(s, d), col("lang") === "en")
+        .select(col("doc_id"), col("lang"), col("margin"), col("pred"))
+        .orderBy("doc_id")
+    },
+
+    // vocabulary-coverage curve — the tokenizer/vocab sizing evidence
+    // that pairs with t22's BPE learner: rank distinct tokens by exact
+    // corpus frequency and report the rank (= vocab size) at which
+    // cumulative token mass first crosses 50/90/99% coverage. The
+    // running sum comes from RangeRank.withRankAndPrefixSum (X65: the
+    // zipWithIndex two-job pattern generalized to prefix sums — NO
+    // `Exchange SinglePartition` window at any vocabulary size; the
+    // grand total falls out of the same bounded per-partition offsets
+    // collect, so the thresholds are literals, not an extra scan or a
+    // 1-row join). Crossing test is integer cross-multiplied:
+    // (cum - cnt)·100 < pct·total <= cum·100 — exactly one row per
+    // threshold, no floats anywhere.
+    "t36_vocab_coverage" -> Q(
+      s"""WITH tok AS (SELECT unnest(string_split($norm, ' ')) AS term
+         |            FROM documents),
+         |tc AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt
+         |       FROM tok GROUP BY 1),
+         |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM tc),
+         |r AS (SELECT term, cnt,
+         |        CAST(row_number() OVER (ORDER BY cnt DESC, term)
+         |          AS BIGINT) AS rank,
+         |        CAST(sum(cnt) OVER (ORDER BY cnt DESC, term
+         |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |      FROM tc)
+         |SELECT CAST(p.pct AS BIGINT) AS pct, r.rank, r.term,
+         |       r.cum AS cum_tokens, t.tot AS total_tokens
+         |FROM r, t, (VALUES (50), (90), (99)) p(pct)
+         |WHERE (r.cum - r.cnt) * 100 < p.pct * t.tot
+         |  AND r.cum * 100 >= p.pct * t.tot
+         |ORDER BY pct""".stripMargin) { (s, d) =>
+      import graft.operators.RangeRank
+      val tc = Tables.documents(s, d)
+        .select(explode(TextFns.words(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+      val (ranked, total) = RangeRank.withRankAndPrefixSum(tc,
+        Seq(col("cnt").desc, col("term")), "cnt", "rank", "cum")
+      ranked
+        .select(explode(array(lit(50L), lit(90L), lit(99L))).as("pct"),
+          col("rank"), col("term"), col("cnt"), col("cum"))
+        .filter((col("cum") - col("cnt")) * 100 < col("pct") * total &&
+          col("cum") * 100 >= col("pct") * total)
+        .select(col("pct"), col("rank"), col("term"),
+          col("cum").as("cum_tokens"), lit(total).as("total_tokens"))
+        .orderBy("pct")
     },
 
     // keyword-profile language/domain ID: left-fold argmax, first

@@ -1,0 +1,175 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{HashedNgramScore, PolyHash64}
+
+/** In-engine TRAINING of the hashed n-gram linear classifier — the
+  * curation arc's last missing verb: t31/t33/d15/t34 all SERVE a
+  * checked-in weight vector ([[QualityClassifier.WeightsMilli]]); a
+  * real pipeline FITS those weights on labeled documents. This is the
+  * fastText-style full-batch fit (Joulin et al. 2016; the same loop
+  * DSIR's target model runs), made deterministic and cross-engine
+  * replayable:
+  *
+  *  - features: per-document counts over [[Dim]] hashed
+  *    unigram+bigram buckets ([[TextFns.ngramFeatures]] +
+  *    [[graft.functions.PolyHash64]] — the exact fold every oracle
+  *    already mirrors); Dim = 64, the Dsir trick: real models use
+  *    2^21 buckets, 64 keeps the oracle's unrolled CTE chain
+  *    reviewable while exercising identical collision arithmetic;
+  *  - model: full-batch perceptron, `k` FIXED iterations. Weights
+  *    start at zero and each iteration adds the summed gradient of
+  *    the misclassified set: `w_b += Σ_miscls y·x_b`. With w₀ = 0 and
+  *    a constant learning rate, the decision sequence is invariant to
+  *    the rate, so the canonical weights are plain BIGINTs and EVERY
+  *    quantity in the fit — features, gradients, weights, scores — is
+  *    exact integer arithmetic: stronger than order-independent
+  *    DECIMAL sums, because there is nothing to round at all. The
+  *    oracle replays the k iterations as chained CTEs over the same
+  *    PolyHash64 fold and integer sums, so the run is hash-exact by
+  *    construction, not by luck;
+  *  - output: the 64-row (bucket, weight) table after k iterations
+  *    plus integer train-set accuracy counts — what a real fit
+  *    publishes (swap these weights into the t31 serving path and the
+  *    lifecycle closes).
+  *
+  * Scale shape, per iteration: ONE linear scan of the persisted
+  * (y, tokens) pool — misclassification is the map-side
+  * [[graft.functions.HashedNgramScore]] native codegen expression
+  * with the current weights riding as a plan reference object (no
+  * weight-table join) — then explode → ≤ [[Dim]]-cell partial agg
+  * (the shuffle moves Dim rows per task, not data) → a bounded
+  * ≤ Dim-row driver collect (the audited-bounded class: IVF
+  * centroids, Dsir ratio rows). Zero windows, zero joins. k fixed
+  * iterations = k corpus scans; the driver holds 64 longs between
+  * them. Scores stay exact while |w|·n_feat < 2^53 — corpus feature
+  * mass ~2^40 per bucket before that bound even approaches.
+  */
+object ClassifierTrain {
+
+  /** Hashed feature space size (shared with [[Dsir.Dim]]'s rationale). */
+  val Dim = 64
+
+  /** Fixed full-batch iterations — a hyperparameter of the registered
+    * fit, not a convergence loop: determinism requires the iteration
+    * count be part of the model spec, exactly as the oracle unrolls. */
+  val Iters = 3
+
+  /** The persisted training frame: ±1 label and token array, NULL
+    * texts dropped (no features, no gradient — and a NULL token array
+    * would null-propagate the score). */
+  def pool(docs: DataFrame, label: Column,
+      textCol: String = "text"): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(when(label, 1L).otherwise(-1L).as("y"),
+        TextFns.words(col(textCol)).as("ws"))
+
+  /** Perceptron margin score of a token array under integer weights:
+    * [[HashedNgramScore]]'s ordered double sum is EXACT here because
+    * every addend is an integer (see class doc for the 2^53 bound). */
+  def score(ws: Column, w: IndexedSeq[Long]): Column =
+    HashedNgramScore(ws, w.map(_.toDouble))
+
+  /** One iteration's summed gradient over the misclassified set
+    * (y·score ≤ 0 — zero margin counts as a miss, the perceptron
+    * convention that also makes iteration 1 from w₀ = 0 a full-corpus
+    * gradient): one scan, ≤ [[Dim]] output rows. Exposed for the plan
+    * spec. */
+  def gradientFrame(p: DataFrame, w: IndexedSeq[Long]): DataFrame =
+    p.filter(col("y").cast("double") * score(col("ws"), w) <= 0.0)
+      .select(col("y"), explode(TextFns.ngramFeatures(col("ws"))).as("f"))
+      .groupBy(pmod(PolyHash64(col("f")), lit(Dim.toLong)).as("bucket"))
+      .agg(sum(col("y")).as("g"))
+
+  /** Run the fit and return the final integer weight vector — the
+    * artifact a serving path consumes. Bounded driver state: Dim longs
+    * between iterations. */
+  def fitWeights(p: DataFrame, iters: Int = Iters): IndexedSeq[Long] = {
+    var w = IndexedSeq.fill(Dim)(0L)
+    for (_ <- 1 to iters) {
+      val g = gradientFrame(p, w).collect() // bounded: <= Dim rows
+      val gm = g.map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+      w = IndexedSeq.tabulate(Dim)(b => w(b) + gm.getOrElse(b, 0L))
+    }
+    w
+  }
+
+  /** See [[graft.functions.SessionRelease]]: the unmanaged [[train]]
+    * keeps at most one cached pool frame alive per session. */
+  private val lastUnmanagedRelease = new graft.functions.SessionRelease
+
+  /** The registered query output: (bucket, weight, n_correct, n_total)
+    * — the trained table crossed with the 1-row train-accuracy
+    * aggregate (t29's zRow broadcast shape). The pool persists because
+    * it feeds k gradient scans plus the accuracy scan. */
+  def trainManaged(docs: DataFrame, label: Column, iters: Int = Iters,
+      textCol: String = "text"): (DataFrame, () => Unit) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val p = pool(docs, label, textCol).persist()
+    val w = fitWeights(p, iters)
+    val acc = p.agg(
+      count(when(col("y").cast("double") * score(col("ws"), w) > 0.0,
+        lit(1))).as("n_correct"),
+      count(lit(1)).as("n_total"))
+    val wdf = w.zipWithIndex
+      .map { case (wt, b) => (b.toLong, wt) }.toDF("bucket", "weight")
+    val out = wdf.crossJoin(broadcast(acc)).orderBy("bucket")
+    (out, () => { p.unpersist(); () })
+  }
+
+  /** Unmanaged convenience over [[trainManaged]]. */
+  def train(docs: DataFrame, label: Column, iters: Int = Iters,
+      textCol: String = "text"): DataFrame = {
+    val (out, release) = trainManaged(docs, label, iters, textCol)
+    lastUnmanagedRelease.swap(docs.sparkSession, release)
+    out
+  }
+
+  /** Columns [[trainedGate]] appends to its passthrough of the val
+    * split — guarded free at construction (the Dsir contract). */
+  val GateReservedCols: Seq[String] = Seq("margin", "pred")
+
+  /** See [[graft.functions.SessionRelease]]. */
+  private val gateUnmanagedRelease = new graft.functions.SessionRelease
+
+  /** Fit → serve, OUT OF SAMPLE — the end-to-end lifecycle t31 only
+    * serves: train on the [[TextFns.splitAssign]] TRAIN split, then
+    * gate the VAL split with the trained weights. Returns the val
+    * rows (NULL texts dropped) with the exact integer `margin`
+    * (Σ w_b·x_b under the fitted BIGINT weights) and `pred` = 1 when
+    * the margin is positive, appended. The serving scan is the same
+    * map-side native-expression shape as t31 — trained weights ride
+    * as a plan reference object, no weight-table join; the held-out
+    * docs never influence the fit (the leakage-safety property t26
+    * pins for splits, here for the model). */
+  def trainedGateManaged(docs: DataFrame, label: Column,
+      iters: Int = Iters, idCol: String = "doc_id",
+      textCol: String = "text"): (DataFrame, () => Unit) = {
+    GateReservedCols.foreach { c =>
+      require(!docs.columns.contains(c),
+        s"ClassifierTrain.trainedGate: input already has a '$c' column " +
+          s"— the output appends ${GateReservedCols.mkString("/")}")
+    }
+    val p = pool(docs.filter(TextFns.splitAssign(col(idCol)) === "train"),
+      label, textCol).persist()
+    val w = fitWeights(p, iters)
+    val out = docs
+      .filter(TextFns.splitAssign(col(idCol)) === "val" &&
+        col(textCol).isNotNull)
+      .withColumn("margin",
+        score(TextFns.words(col(textCol)), w).cast("long"))
+      .withColumn("pred", (col("margin") > 0).cast("long"))
+    (out, () => { p.unpersist(); () })
+  }
+
+  /** Unmanaged convenience over [[trainedGateManaged]]. */
+  def trainedGate(docs: DataFrame, label: Column, iters: Int = Iters,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val (out, release) =
+      trainedGateManaged(docs, label, iters, idCol, textCol)
+    gateUnmanagedRelease.swap(docs.sparkSession, release)
+    out
+  }
+}

@@ -193,7 +193,8 @@ class PlanSpec extends SparkSpec {
       "s15_topic_balance", // the bounded 16-centroid assignment pass + a 1-ROW token-total side
       "t34_dsir_resample", // broadcasts a 1-ROW weight-sum normalizer (t29's zRow shape)
       "s16_embedding_outliers", // the bounded 16-centroid assignment pass + a 16-ROW stats side
-      "s17_outlier_sweep") // same cohesion pass + a broadcast 3-ROW factor axis
+      "s17_outlier_sweep", // same cohesion pass + a broadcast 3-ROW factor axis
+      "t35_classifier_train") // 64-row trained weights x a 1-ROW accuracy aggregate
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, SfDir)
       withClue(s"$name: ") {

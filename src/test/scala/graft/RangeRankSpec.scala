@@ -52,6 +52,44 @@ class RangeRankSpec extends SparkSpec {
     df.count() shouldBe docs.count()
   }
 
+  test("rank + prefix sum equal the windows they replace, and the " +
+      "returned total is the column sum") {
+    import org.apache.spark.sql.expressions.Window
+    val keyed = docs.select($"doc_id",
+      md5($"doc_id".cast("string")).as("h"),
+      (pmod($"doc_id", lit(37L)) + 1L).as("v"))
+    val w = Window.orderBy($"h", $"doc_id")
+    val viaWindow = keyed
+      .withColumn("r", row_number().over(w).cast("long"))
+      .withColumn("c", sum($"v").over(w.rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)).cast("long"))
+      .select("doc_id", "r", "c")
+    val (ranked, total) = RangeRank.withRankAndPrefixSum(
+      keyed, Seq($"h", $"doc_id"), "v", "r", "c",
+      numPartitions = 7) // deliberately != shuffle.partitions
+    ranked.select("doc_id", "r", "c").collect().sortBy(_.getLong(0)) shouldBe
+      viaWindow.collect().sortBy(_.getLong(0))
+    total shouldBe keyed.agg(sum("v")).head.getLong(0)
+  }
+
+  test("t36_vocab_coverage plans no window/SinglePartition and crossings " +
+      "bracket the thresholds") {
+    val df = SparkEntry.queries("t36_vocab_coverage")(spark, SfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    plan should not include "Window"
+    plan should not include "SinglePartition"
+    val rows = df.collect()
+    rows.map(_.getLong(0)).toSeq shouldBe Seq(50L, 90L, 99L)
+    val total = rows.head.getLong(4)
+    rows.foreach { r =>
+      val (pct, cum) = (r.getLong(0), r.getLong(3))
+      cum * 100 should be >= pct * total
+      // rank at a crossing is monotone in pct by construction
+    }
+    rows.map(_.getLong(1)).toSeq shouldBe
+      rows.map(_.getLong(1)).toSeq.sorted
+  }
+
   test("t27 epoch-shard manifest: contiguous shards, no window, budgets add up") {
     val df = SparkEntry.queries("t27_epoch_shards")(spark, SfDir)
     val plan = df.queryExecution.executedPlan.toString
