@@ -44,19 +44,12 @@ object StreamingQueries {
       max(unix_timestamp(col("ts"))).as("hi")).head
     val loS = span.getLong(0)
     val step = math.max(1L, (span.getLong(1) - loS) / nSlices + 1)
-    val dir = new java.io.File(topicDir)
-    var mtime = System.currentTimeMillis()
-    for (k <- 0 until nSlices) {
+    Topic.publishOrderedSlices(topicDir, nSlices) { (k, append) =>
       val from = loS + k * step
-      val slice = ev.filter(unix_timestamp(col("ts")) >= from &&
-        unix_timestamp(col("ts")) < (from + step))
-      val before =
-        Option(dir.listFiles()).map(_.map(_.getName).toSet)
-          .getOrElse(Set.empty[String])
-      Topic.publishEvents(slice, topicDir, nFiles = 1, append = k > 0)
-      mtime += 60000L
-      dir.listFiles().filter(f => !before.contains(f.getName))
-        .foreach(_.setLastModified(mtime))
+      Topic.publishEvents(
+        ev.filter(unix_timestamp(col("ts")) >= from &&
+          unix_timestamp(col("ts")) < (from + step)),
+        topicDir, nFiles = 1, append = append)
     }
   }
 
@@ -877,6 +870,62 @@ object StreamingQueries {
       withShufflePartitions(s, 8) {
         graft.streaming.StreamDrift.run(s, Tables.documents(s, d),
           root.toString, nSlices = 4)
+      }
+    },
+
+    // streaming LENGTH-drift monitor — StreamDrift's second registered
+    // axis: the same per-batch-vs-accumulated-prior integer L1
+    // machinery as st17, but the histogram is over
+    // floor(log2(token count)) (~12 buckets). A scraper that starts
+    // TRUNCATING documents shifts the length distribution before any
+    // quality score moves — this is the axis that fires first. The
+    // bucket is integer bit-length arithmetic (length(bin(n)) - 1),
+    // never an IEEE log2 whose floor could straddle engine rounding at
+    // exact powers of two; both engines compute the identical unpadded
+    // binary string.
+    "st18_stream_len_drift" -> Q(
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |    string_split(trim(regexp_replace(lower(text), '\\s+', ' ',
+         |      'g')), ' ') AS ws
+         |  FROM documents),
+         |d AS (SELECT CAST(doc_id % 4 AS BIGINT) AS batch,
+         |        CAST(length(bin(len(ws))) - 1 AS BIGINT) AS bucket
+         |      FROM w),
+         |h AS (SELECT batch, bucket, count(*) AS cnt
+         |      FROM d GROUP BY 1, 2),
+         |bn AS (SELECT batch, CAST(sum(cnt) AS BIGINT) AS n
+         |       FROM h GROUP BY 1),
+         |pn AS (SELECT b.batch,
+         |         CAST(coalesce(sum(p.n), 0) AS BIGINT) AS prev_n
+         |       FROM bn b LEFT JOIN bn p ON p.batch < b.batch GROUP BY 1),
+         |ph AS (SELECT b.batch, h.bucket, CAST(sum(h.cnt) AS BIGINT) AS pcnt
+         |       FROM bn b JOIN h ON h.batch < b.batch GROUP BY 1, 2),
+         |keys AS (SELECT batch, bucket FROM h
+         |         UNION SELECT batch, bucket FROM ph),
+         |j AS (SELECT k.batch, k.bucket, coalesce(c.cnt, 0) AS ccnt,
+         |        coalesce(p.pcnt, 0) AS pcnt
+         |      FROM keys k
+         |      LEFT JOIN h c ON c.batch = k.batch AND c.bucket = k.bucket
+         |      LEFT JOIN ph p ON p.batch = k.batch AND p.bucket = k.bucket),
+         |dr AS (SELECT j.batch,
+         |         CAST(sum(abs(j.ccnt * pn.prev_n - j.pcnt * bn.n))
+         |           AS BIGINT) AS drift_num
+         |       FROM j JOIN bn USING (batch) JOIN pn USING (batch)
+         |       GROUP BY 1)
+         |SELECT bn.batch, bn.n AS n_docs, pn.prev_n AS prev_docs,
+         |       dr.drift_num,
+         |       CASE WHEN pn.prev_n > 0
+         |         THEN round(CAST(dr.drift_num AS DOUBLE) /
+         |           (CAST(bn.n AS DOUBLE) * CAST(pn.prev_n AS DOUBLE)), 6)
+         |         ELSE 0.0 END AS drift
+         |FROM bn JOIN pn USING (batch) JOIN dr USING (batch)
+         |ORDER BY bn.batch""".stripMargin) { (s, d) =>
+      val root = freshDir(s"st18-${d.replaceAll("[^0-9a-zA-Z.]", "_")}")
+      withShufflePartitions(s, 8) {
+        graft.streaming.StreamDrift.run(s, Tables.documents(s, d),
+          root.toString, nSlices = 4,
+          bucket = graft.streaming.StreamDrift.tokenLogBucket)
       }
     }
   )

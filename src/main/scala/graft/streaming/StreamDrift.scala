@@ -6,15 +6,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
-import graft.sources.Topic
-import graft.text.QualityClassifier
+import org.apache.spark.sql.Column
 
-/** Streaming distribution-drift monitor for an ingest pipeline (st17)
-  * — the production guard that catches a source going bad (scraper
-  * drift, encoding breakage, a provider swap) BEFORE its documents
-  * pollute the curated corpus: per micro-batch, the arriving batch's
-  * quality-score histogram is compared against the ACCUMULATED
-  * histogram of everything that arrived before it.
+import graft.sources.Topic
+import graft.text.{QualityClassifier, TextFns}
+
+/** Streaming distribution-drift monitor for an ingest pipeline (st17,
+  * st18) — the production guard that catches a source going bad
+  * (scraper drift, encoding breakage, a provider swap) BEFORE its
+  * documents pollute the curated corpus: per micro-batch, the arriving
+  * batch's histogram over a pluggable BUCKET AXIS is compared against
+  * the ACCUMULATED histogram of everything that arrived before it.
+  * Two registered axes: [[scoreBucket]] (st17 — the t33 histogram of
+  * t31 trained-classifier scores, 0.02-wide) catches quality-score
+  * breakage; [[tokenLogBucket]] (st18 — floor(log2(token count)), ~12
+  * buckets) catches LENGTH drift, the axis that shifts FIRST when a
+  * scraper starts truncating documents, before any score moves.
   *
   * Drift is an exact integer L1 distance between the two score
   * distributions, cross-multiplied so no division ever enters the
@@ -38,33 +45,39 @@ import graft.text.QualityClassifier
   */
 object StreamDrift {
 
-  /** Publish `docs` as `nSlices` arrival waves (slice k = doc_id mod
-    * nSlices = k), one file each, mtimes forced strictly increasing so
-    * the file source replays them as ordered micro-batches — the
-    * membership rule an oracle can replay exactly. */
-  def publishSliced(docs: DataFrame, topicDir: String,
-      nSlices: Int): Unit = {
-    val dir = new java.io.File(topicDir)
-    var mtime = System.currentTimeMillis()
-    for (k <- 0 until nSlices) {
-      val slice = docs.filter(pmod(col("doc_id"), lit(nSlices.toLong))
-        === k.toLong)
-      val before = Option(dir.listFiles())
-        .map(_.map(_.getName).toSet).getOrElse(Set.empty[String])
-      Topic.publish(slice, topicDir, tsMicros = col("doc_id"),
-        keyCol = Some("doc_id"), nFiles = 1, append = k > 0)
-      mtime += 60000L
-      dir.listFiles().filter(f => !before.contains(f.getName))
-        .foreach(_.setLastModified(mtime))
-    }
-  }
+  /** st17's axis: the t33 calibration histogram bucket of the t31
+    * trained-classifier score — bit-identical cross-engine. */
+  def scoreBucket: Column =
+    floor(QualityClassifier.score(col("text")) * 50).cast("long")
 
-  /** One micro-batch's work: the batch's score histogram, written
+  /** st18's axis: floor(log2(whitespace token count)), computed as
+    * `length(bin(n)) - 1` — INTEGER bit-length arithmetic, never an
+    * IEEE log2 whose floor could straddle an engine's rounding at
+    * exact powers of two. ~12 buckets at any corpus size; NULL text
+    * propagates to a NULL bucket (its own histogram cell, same as
+    * st17's NULL score). */
+  def tokenLogBucket: Column =
+    (length(bin(TextFns.tokenCount(col("text")))) - 1).cast("long")
+
+  /** Publish `docs` as `nSlices` arrival waves (slice k = doc_id mod
+    * nSlices = k), one file each, ordered via
+    * [[Topic.publishOrderedSlices]] — the membership rule an oracle
+    * can replay exactly. */
+  def publishSliced(docs: DataFrame, topicDir: String,
+      nSlices: Int): Unit =
+    Topic.publishOrderedSlices(topicDir, nSlices) { (k, append) =>
+      Topic.publish(
+        docs.filter(pmod(col("doc_id"), lit(nSlices.toLong)) === k.toLong),
+        topicDir, tsMicros = col("doc_id"), keyCol = Some("doc_id"),
+        nFiles = 1, append = append)
+    }
+
+  /** One micro-batch's work: the batch's bucket histogram, written
     * idempotently to its own subdirectory. */
-  def processBatch(batch: DataFrame, batchId: Long, root: String): Unit =
+  def processBatch(batch: DataFrame, batchId: Long, root: String,
+      bucket: Column = scoreBucket): Unit =
     batch
-      .select(floor(QualityClassifier.score(col("text")) * 50)
-        .cast("long").as("bucket"))
+      .select(bucket.as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
       .write.mode("overwrite").parquet(s"$root/hist/batch=$batchId")
 
@@ -75,16 +88,17 @@ object StreamDrift {
       .select(col("batch").cast("long").as("batch"),
         col("bucket"), col("cnt")))
 
-  /** Publish, stream, report — the registered st17 entry. */
+  /** Publish, stream, report — the registered st17/st18 entry
+    * (`bucket` selects the monitored axis). */
   def run(spark: SparkSession, docs: DataFrame, root: String,
-      nSlices: Int = 4): DataFrame = {
+      nSlices: Int = 4, bucket: Column = scoreBucket): DataFrame = {
     Files.createDirectories(Paths.get(root))
     publishSliced(docs, s"$root/topic", nSlices)
     val src = Topic.decodeDocuments(
       Topic.readStream(spark, s"$root/topic", maxFilesPerTrigger = 1))
     val q = src.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, batchId, root)
+        processBatch(batch, batchId, root, bucket)
       }
       .option("checkpointLocation", s"$root/ckpt")
       .trigger(Trigger.AvailableNow())
@@ -95,11 +109,11 @@ object StreamDrift {
 
   /** The same report computed in one batch pass (batch = doc_id mod
     * nSlices) — the spec's invariance reference. */
-  def batchReference(docs: DataFrame, nSlices: Int = 4): DataFrame = {
+  def batchReference(docs: DataFrame, nSlices: Int = 4,
+      bucket: Column = scoreBucket): DataFrame = {
     val d = docs.select(
       pmod(col("doc_id"), lit(nSlices.toLong)).as("batch"),
-      floor(QualityClassifier.score(col("text")) * 50)
-        .cast("long").as("bucket"))
+      bucket.as("bucket"))
     val hist = d.groupBy("batch", "bucket").agg(count(lit(1)).as("cnt"))
     reportFromHist(hist)
   }

@@ -412,4 +412,29 @@ class StreamingSpec extends SparkSpec {
       docs.filter(pmod($"doc_id", lit(4L)) === 2L), 2L, root)
     StreamDrift.report(spark, root).collect().toSeq shouldBe ref
   }
+
+  test("st18 length-drift axis: stream == batch reference, replay " +
+      "idempotent, and the bit-length bucket is exact at powers of 2") {
+    import graft.streaming.StreamDrift
+    // floor(log2(n)) via length(bin(n)) - 1: exact integer arithmetic
+    // exactly where an IEEE log2's floor could flip (n = 2^k)
+    Seq(1L, 2L, 3L, 4L, 7L, 8L, 1023L, 1024L).toDF("n")
+      .select(((org.apache.spark.sql.functions.length(bin($"n")) - 1)
+        .cast("long")).as("b"))
+      .collect().map(_.getLong(0)).toSeq shouldBe
+      Seq(0L, 1L, 1L, 2L, 2L, 3L, 9L, 10L)
+    val docs = graft.sources.Tables.documents(spark, SfDir)
+    val root = java.nio.file.Files
+      .createTempDirectory("st18spec").toString
+    val axis = StreamDrift.tokenLogBucket
+    val streamed = StreamDrift.run(spark, docs, root, nSlices = 4,
+      bucket = axis).collect().toSeq
+    val ref = StreamDrift.batchReference(docs, nSlices = 4,
+      bucket = axis).collect().toSeq
+    streamed shouldBe ref
+    // replay: rewriting one batch's store is overwrite-idempotent
+    StreamDrift.processBatch(
+      docs.filter(pmod($"doc_id", lit(4L)) === 1L), 1L, root, axis)
+    StreamDrift.report(spark, root).collect().toSeq shouldBe ref
+  }
 }
