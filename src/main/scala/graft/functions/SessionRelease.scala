@@ -62,7 +62,9 @@ final class SessionRelease {
         }
         if (dead) it.remove()
       }
-      (last.put(spark, release), !seen.contains(spark))
+      // seen.add INSIDE the lock: two concurrent first swaps from one
+      // session must elect exactly one listener registrar
+      (last.put(spark, release), seen.add(spark))
     }
     if (firstSeen) {
       // entries only ever re-appear for LIVE sessions (the sweep and
@@ -70,7 +72,6 @@ final class SessionRelease {
       // (registry, session) suffices: when the context ends, drop the
       // entry WITHOUT running it — nothing cached survives a stopped
       // session, and unpersist would only throw on the dead endpoint
-      seen.add(spark)
       try spark.sparkContext.addSparkListener(new SparkListener {
         override def onApplicationEnd(
             end: SparkListenerApplicationEnd): Unit =

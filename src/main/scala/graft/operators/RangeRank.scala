@@ -73,7 +73,10 @@ object RangeRank {
     * outputs and adds each partition's offsets to its local running
     * rank/sum. Returns (frame with rankCol + prefixCol appended,
     * total sum of valueCol). Same total-order caveat as
-    * [[withGlobalRank]]. */
+    * [[withGlobalRank]], and the same cost model: the offsets job and
+    * the output job each read the sorted shuffle map outputs, so the
+    * range exchange is paid once but the sorted data is deserialized
+    * twice. */
   def withRankAndPrefixSum(df: DataFrame, sortCols: Seq[Column],
       valueCol: String, rankCol: String, prefixCol: String,
       numPartitions: Int = 0): (DataFrame, Long) = {

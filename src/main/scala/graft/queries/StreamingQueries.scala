@@ -836,7 +836,8 @@ object StreamingQueries {
          |d AS (SELECT CAST(doc_id % 4 AS BIGINT) AS batch,
          |        ${TextQueries.classifierScoreSql} AS score
          |      FROM w),
-         |h AS (SELECT batch, CAST(floor(score * 50) AS BIGINT) AS bucket,
+         |h AS (SELECT batch,
+         |        coalesce(CAST(floor(score * 50) AS BIGINT), -999) AS bucket,
          |        count(*) AS cnt
          |      FROM d GROUP BY 1, 2),
          |bn AS (SELECT batch, CAST(sum(cnt) AS BIGINT) AS n
@@ -890,7 +891,8 @@ object StreamingQueries {
          |      'g')), ' ') AS ws
          |  FROM documents),
          |d AS (SELECT CAST(doc_id % 4 AS BIGINT) AS batch,
-         |        CAST(length(bin(len(ws))) - 1 AS BIGINT) AS bucket
+         |        coalesce(CAST(length(bin(len(ws))) - 1 AS BIGINT),
+         |          -999) AS bucket
          |      FROM w),
          |h AS (SELECT batch, bucket, count(*) AS cnt
          |      FROM d GROUP BY 1, 2),

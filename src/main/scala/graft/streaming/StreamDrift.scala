@@ -45,6 +45,15 @@ import graft.text.{QualityClassifier, TextFns}
   */
 object StreamDrift {
 
+  /** Sentinel histogram cell for rows whose bucket expression is NULL
+    * (a NULL-text document): without it, the NULL cell would count
+    * toward a batch's n_docs yet never match in the null-unsafe
+    * report joins — so a batch whose NULL-payload share spikes (a
+    * scraper emitting empty documents) could never register drift.
+    * Both oracles coalesce to the same value; changing either side
+    * alone goes hash-red. */
+  val NullBucket = -999L
+
   /** st17's axis: the t33 calibration histogram bucket of the t31
     * trained-classifier score — bit-identical cross-engine. */
   def scoreBucket: Column =
@@ -77,7 +86,7 @@ object StreamDrift {
   def processBatch(batch: DataFrame, batchId: Long, root: String,
       bucket: Column = scoreBucket): Unit =
     batch
-      .select(bucket.as("bucket"))
+      .select(coalesce(bucket, lit(NullBucket)).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
       .write.mode("overwrite").parquet(s"$root/hist/batch=$batchId")
 
@@ -113,7 +122,7 @@ object StreamDrift {
       bucket: Column = scoreBucket): DataFrame = {
     val d = docs.select(
       pmod(col("doc_id"), lit(nSlices.toLong)).as("batch"),
-      bucket.as("bucket"))
+      coalesce(bucket, lit(NullBucket)).as("bucket"))
     val hist = d.groupBy("batch", "bucket").agg(count(lit(1)).as("cnt"))
     reportFromHist(hist)
   }

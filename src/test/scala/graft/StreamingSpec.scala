@@ -436,5 +436,15 @@ class StreamingSpec extends SparkSpec {
     StreamDrift.processBatch(
       docs.filter(pmod($"doc_id", lit(4L)) === 1L), 1L, root, axis)
     StreamDrift.report(spark, root).collect().toSeq shouldBe ref
+    // NULL-text docs land in the SENTINEL cell, not an unjoinable
+    // NULL: batch1 = {NULL-text, "a"} has cells {-999:1, 0:1} vs
+    // prior {1:2} -> drift_num = |1*2-0| + |1*2-0| + |0-2*2| = 8
+    // (a silently unjoinable NULL cell would read 6)
+    val nd = Seq((0L, Option("a b c")), (1L, None),
+      (2L, Option("a b")), (3L, Option("a"))).toDF("doc_id", "text")
+    val drifts = StreamDrift.batchReference(nd, nSlices = 2,
+        bucket = axis)
+      .collect().map(r0 => r0.getLong(0) -> r0.getLong(3)).toMap
+    drifts(1L) shouldBe 8L
   }
 }
