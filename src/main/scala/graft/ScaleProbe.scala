@@ -65,6 +65,9 @@ object ScaleProbe {
     // table, not the corpus
     "t37_trained_gate", // fit on the train split + map-side serve of
     // the val split: both legs linear scans, weights stay 64 longs
+    "t38_learning_curve", // one fit + ONE aggregate scan per split
+    // evaluating all k snapshots side by side — time must track the
+    // corpus, never k x corpus
     "s02_ann_lsh", // sized planes + cap derive in-operator — the production row
     "s12_ann_lsh_fixed3", // labeled fixed-plane contrast (excluded above 10x)
     "s03_ann_ivf",

@@ -408,6 +408,70 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // the LEARNING CURVE — train AND held-out accuracy after EVERY
+    // perceptron iteration, the evidence that picks k (still improving
+    // out of sample, or only memorizing?). ONE fit yields all k weight
+    // snapshots (fitHistory); ONE aggregate scan per split evaluates
+    // every snapshot side by side (k scoring expressions in one
+    // projection — never k passes); the 2k-row curve assembles from
+    // two bounded 1-row collects. The oracle reuses the shared
+    // perceptron CTE chain (w1..wk are already all there) and tails a
+    // per-iteration FILTER count for each split.
+    "t38_learning_curve" -> Q {
+      val iters = graft.text.ClassifierTrain.Iters
+      val D = graft.text.ClassifierTrain.Dim
+      val splitFold =
+        """list_reduce(list_transform(
+          |              string_split(md5(CAST(doc_id AS VARCHAR)), ''),
+          |              c -> CAST(ascii(c) AS BIGINT)),
+          |              (acc, x) -> (acc * 31 + x) % 1000000007) % 100"""
+          .stripMargin
+      val accCtes = (1 to iters).map { r =>
+        s"""st$r AS (SELECT CAST(count(*) FILTER (
+           |           WHERE p.y * coalesce(s.s, 0) > 0) AS BIGINT) AS c
+           |         FROM pool p LEFT JOIN (
+           |           SELECT fx.doc_id, CAST(sum(w.w * fx.x) AS BIGINT) AS s
+           |           FROM fx JOIN w$r w USING (bucket) GROUP BY 1) s
+           |           ON s.doc_id = p.doc_id),
+           |sv$r AS (SELECT CAST(count(*) FILTER (
+           |           WHERE v.y * coalesce(s.s, 0) > 0) AS BIGINT) AS c
+           |         FROM vd v LEFT JOIN (
+           |           SELECT vx.doc_id, CAST(sum(w.w * vx.x) AS BIGINT) AS s
+           |           FROM vx JOIN w$r w USING (bucket) GROUP BY 1) s
+           |           ON s.doc_id = v.doc_id)""".stripMargin
+      }.mkString(",\n")
+      val unions = (1 to iters).flatMap { r =>
+        Seq(
+          s"""SELECT CAST($r AS BIGINT) AS iter, 'train' AS split,
+             |         st$r.c AS n_correct, tn.n AS n_total FROM st$r, tn"""
+            .stripMargin,
+          s"""SELECT CAST($r AS BIGINT), 'val', sv$r.c, vn.n
+             |  FROM sv$r, vn""".stripMargin)
+      }.mkString("\n  UNION ALL ")
+      s"""WITH ${perceptronCtes(iters, s"\n    AND $splitFold < 80")},
+         |vd AS (SELECT doc_id,
+         |         CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+         |         string_split($norm, ' ') AS ws
+         |       FROM documents WHERE text IS NOT NULL
+         |         AND $splitFold >= 80),
+         |vx AS (
+         |  SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS x FROM (
+         |    SELECT doc_id, unnest(list_transform(
+         |        list_concat(ws, list_transform(range(1, len(ws)),
+         |          i -> ws[i] || ' ' || ws[i+1])),
+         |        t -> CAST((${polyHashSql("t")}) % $D AS BIGINT))) AS bucket
+         |    FROM vd) GROUP BY 1, 2),
+         |tn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM pool),
+         |vn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM vd),
+         |$accCtes
+         |SELECT iter, split, n_correct, n_total FROM (
+         |  $unions)
+         |ORDER BY iter, split""".stripMargin
+    } { (s, d) =>
+      graft.text.ClassifierTrain.learningCurve(
+        Tables.documents(s, d), col("lang") === "en")
+    },
+
     // vocabulary-coverage curve — the tokenizer/vocab sizing evidence
     // that pairs with t22's BPE learner: rank distinct tokens by exact
     // corpus frequency and report the rank (= vocab size) at which

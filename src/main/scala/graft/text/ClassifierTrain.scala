@@ -82,18 +82,27 @@ object ClassifierTrain {
       .groupBy(pmod(PolyHash64(col("f")), lit(Dim.toLong)).as("bucket"))
       .agg(sum(col("y")).as("g"))
 
-  /** Run the fit and return the final integer weight vector — the
-    * artifact a serving path consumes. Bounded driver state: Dim longs
-    * between iterations. */
-  def fitWeights(p: DataFrame, iters: Int = Iters): IndexedSeq[Long] = {
+  /** Run the fit and return the weight vector AFTER EACH iteration —
+    * the per-iteration snapshots fall out of the one loop for free
+    * (element i = weights after iteration i+1), which is what the
+    * learning-curve query rides: never fit k times to see k models.
+    * Bounded driver state: iters × Dim longs. */
+  def fitHistory(p: DataFrame,
+      iters: Int = Iters): IndexedSeq[IndexedSeq[Long]] = {
     var w = IndexedSeq.fill(Dim)(0L)
+    val hist = IndexedSeq.newBuilder[IndexedSeq[Long]]
     for (_ <- 1 to iters) {
       val g = gradientFrame(p, w).collect() // bounded: <= Dim rows
       val gm = g.map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
       w = IndexedSeq.tabulate(Dim)(b => w(b) + gm.getOrElse(b, 0L))
+      hist += w
     }
-    w
+    hist.result()
   }
+
+  /** Final weight vector — the artifact a serving path consumes. */
+  def fitWeights(p: DataFrame, iters: Int = Iters): IndexedSeq[Long] =
+    fitHistory(p, iters).last
 
   /** See [[graft.functions.SessionRelease]]: the unmanaged [[train]]
     * keeps at most one cached pool frame alive per session. */
@@ -171,5 +180,42 @@ object ClassifierTrain {
       trainedGateManaged(docs, label, iters, idCol, textCol)
     gateUnmanagedRelease.swap(docs.sparkSession, release)
     out
+  }
+
+  /** The learning curve — train AND held-out accuracy after EVERY
+    * iteration, the evidence that picks k (is the fit still improving
+    * out of sample, or only memorizing?): ONE fit on the train split
+    * yields all k weight snapshots ([[fitHistory]]); then ONE
+    * aggregate scan per split computes every iteration's correctness
+    * count side by side (k scoring expressions in one projection —
+    * never k passes), and the 2k-row curve is assembled from the two
+    * bounded 1-row collects. Output: (iter, split, n_correct,
+    * n_total), integer-exact. */
+  def learningCurve(docs: DataFrame, label: Column, iters: Int = Iters,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val p = pool(docs.filter(TextFns.splitAssign(col(idCol)) === "train"),
+      label, textCol).persist()
+    val history = fitHistory(p, iters)
+    val v = pool(docs.filter(TextFns.splitAssign(col(idCol)) === "val"),
+      label, textCol)
+    def counts(df: DataFrame): Array[Long] = {
+      val aggs = count(lit(1)).as("n") +:
+        history.zipWithIndex.map { case (w, i) =>
+          count(when(col("y").cast("double") * score(col("ws"), w) > 0.0,
+            lit(1))).as(s"c$i")
+        }
+      val r = df.agg(aggs.head, aggs.tail: _*).head() // bounded: 1 row
+      Array.tabulate(history.size + 1)(r.getLong)
+    }
+    val (tc, vc) = (counts(p), counts(v))
+    p.unpersist()
+    val rows = (1 to iters).flatMap { i =>
+      Seq((i.toLong, "train", tc(i), tc(0)),
+        (i.toLong, "val", vc(i), vc(0)))
+    }
+    rows.toDF("iter", "split", "n_correct", "n_total")
+      .orderBy("iter", "split")
   }
 }

@@ -144,6 +144,36 @@ class ClassifierTrainSpec extends SparkSpec {
     }
   }
 
+  test("t38 learning curve: every iteration's train/val accuracy equals " +
+      "independent per-k driver fits (history = prefix property)") {
+    val docs = (0 until 80).map { i =>
+      i % 4 match {
+        case 0 => (i.toLong, "the cat sat on the mat and the dog", "en")
+        case 1 => (i.toLong, "der hund lief durch den wald heute", "de")
+        case 2 => (i.toLong, "a big dog ran to the red door", "en")
+        case _ => (i.toLong, "le chat dort sur le tapis rouge", "fr")
+      }
+    }
+    val (train, heldOut) = docs.partition(d => splitOf(d._1) == "train")
+    heldOut should not be empty
+    // the curve's row (k, split) must equal a FULL separate fit at k
+    // iterations — the deterministic perceptron makes the k-iteration
+    // fit a prefix of the (k+1)-iteration fit, so one history serves
+    val expected = (1 to ClassifierTrain.Iters).flatMap { k =>
+      val (w, tCorrect, tTotal) = referenceFit(train, k)
+      val vPairs = heldOut.map { case (_, text, lang) =>
+        ((if (lang == "en") 1L else -1L), scoreOf(w, featsOf(text)))
+      }
+      Seq((k.toLong, "train", tCorrect, tTotal),
+        (k.toLong, "val", vPairs.count { case (y, s) => y * s > 0L }.toLong,
+          heldOut.size.toLong))
+    }
+    val got = ClassifierTrain.learningCurve(
+        docs.toDF("doc_id", "text", "lang"), $"lang" === "en")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    got shouldBe expected.sortBy(r => (r._1, r._2))
+  }
+
   test("gradient pass plans as scan -> filter -> explode -> hash agg: " +
       "zero windows, zero joins, zero sorts") {
     val p = ClassifierTrain.pool(corpus.toDF("doc_id", "text", "lang"),
