@@ -1011,7 +1011,12 @@ object CoresProbe {
     "st16_stream_corpus_build",
     // round-12: d15 composes the two known cores-sensitive profiles —
     // CC driver rounds (pair graph) + the full-scan classifier scoring
-    "d15_quality_keep")
+    "d15_quality_keep",
+    // round-13: the trainer — k full-corpus scoring scans with
+    // <=64-cell aggs between bounded driver collects; on 500k docs the
+    // scans dominate, so this is the row that shows whether the
+    // iteration barrier (driver collect per iteration) caps speedup
+    "t35_classifier_train")
   private val FedEmbSubset = Seq("s02_ann_lsh")
   private val FedEventSubset = Seq("q60_cohort_retention")
 

@@ -174,6 +174,14 @@ class ClassifierTrainSpec extends SparkSpec {
     got shouldBe expected.sortBy(r => (r._1, r._2))
   }
 
+  test("t37 serving plan: the val-split gate is scan -> filter -> " +
+      "project — no join, no window (weights ride as a reference object)") {
+    val df = SparkEntry.queries("t37_trained_gate")(spark, SfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    plan should not include "Join"
+    plan should not include "Window"
+  }
+
   test("gradient pass plans as scan -> filter -> explode -> hash agg: " +
       "zero windows, zero joins, zero sorts") {
     val p = ClassifierTrain.pool(corpus.toDF("doc_id", "text", "lang"),
