@@ -4,17 +4,16 @@ import org.apache.spark.sql.functions._
 import graft.functions.PolyHash64
 import graft.text.ClassifierTrain
 
-class ClassifierTrainSpec extends SparkSpec {
-  import spark.implicits._
-
+/** Independent driver-side replay of the full fit — same features,
+  * same perceptron, plain Scala collections — so the distributed
+  * path is checked against arithmetic that shares none of its plan
+  * machinery (collision-proof: a Dim=64 bucket collision changes
+  * both sides identically, the COMPARISON stays exact). Shared with
+  * PropertySpec's randomized-corpus property. */
+private[graft] object PerceptronReference {
   private val Dim = ClassifierTrain.Dim
 
-  /** Independent driver-side replay of the full fit — same features,
-    * same perceptron, plain Scala collections — so the distributed
-    * path is checked against arithmetic that shares none of its plan
-    * machinery (collision-proof: a Dim=64 bucket collision changes
-    * both sides identically, the COMPARISON stays exact). */
-  private def featsOf(text: String): Map[Int, Long] = {
+  def featsOf(text: String): Map[Int, Long] = {
     val ws = text.toLowerCase.trim.replaceAll("\\s+", " ")
       .split(" ", -1).toSeq
     val fs = ws ++ ws.sliding(2).filter(_.size == 2).map(_.mkString(" "))
@@ -22,10 +21,10 @@ class ClassifierTrainSpec extends SparkSpec {
       .map { case (b, g) => b -> g.size.toLong }
   }
 
-  private def scoreOf(w: IndexedSeq[Long], x: Map[Int, Long]): Long =
+  def scoreOf(w: IndexedSeq[Long], x: Map[Int, Long]): Long =
     x.map { case (b, c) => w(b) * c }.sum
 
-  private def referenceFit(docs: Seq[(Long, String, String)], iters: Int)
+  def fit(docs: Seq[(Long, String, String)], iters: Int)
       : (IndexedSeq[Long], Long, Long) = {
     val feats = docs.map { case (_, text, lang) =>
       (if (lang == "en") 1L else -1L, featsOf(text))
@@ -42,6 +41,18 @@ class ClassifierTrainSpec extends SparkSpec {
     val correct = feats.count { case (y, x) => y * scoreOf(w, x) > 0L }
     (w, correct.toLong, feats.size.toLong)
   }
+}
+
+class ClassifierTrainSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Dim = ClassifierTrain.Dim
+
+  private def featsOf(text: String) = PerceptronReference.featsOf(text)
+  private def scoreOf(w: IndexedSeq[Long], x: Map[Int, Long]) =
+    PerceptronReference.scoreOf(w, x)
+  private def referenceFit(docs: Seq[(Long, String, String)], iters: Int) =
+    PerceptronReference.fit(docs, iters)
 
   private val corpus: Seq[(Long, String, String)] = (0 until 30).map { i =>
     i % 3 match {

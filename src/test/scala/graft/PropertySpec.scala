@@ -184,4 +184,27 @@ class PropertySpec extends SparkSpec {
     }
     check(prop, 15)
   }
+
+  test("classifier fit equals the driver perceptron on random corpora") {
+    import graft.text.ClassifierTrain
+    val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "omega",
+      "sigma", "kappa", "zeta", "theta", "lambda", "the", "und")
+    val docGen = Gen.zip(
+      Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, wordGen))
+        .map(_.mkString(" ")),
+      Gen.oneOf("en", "de"))
+    val corpusGen = Gen.nonEmptyListOf(docGen).map(_.take(25))
+    val prop = Prop.forAll(corpusGen) { docs0 =>
+      val docs = docs0.zipWithIndex
+        .map { case ((t, l), i) => (i.toLong, t, l) }
+      val (w, nCorrect, nTotal) =
+        PerceptronReference.fit(docs, ClassifierTrain.Iters)
+      val rows = ClassifierTrain.train(
+          docs.toDF("doc_id", "text", "lang"), $"lang" === "en")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      rows == (0 until ClassifierTrain.Dim).map(b =>
+        (b.toLong, w(b), nCorrect, nTotal))
+    }
+    check(prop, 6)
+  }
 }
