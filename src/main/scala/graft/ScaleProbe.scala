@@ -631,7 +631,13 @@ object ZipfScaleProbe {
     // train-eval overlap, and only the realistic-duplication profile
     // has a non-degenerate overlap at 100x — the row that proves the
     // argmax aggregate stays output-bound, not corpus-bound
-    "t30_contamination_attribution")
+    "t30_contamination_attribution",
+    // round-13: the trainer on the realistic profile — caesar-shifted
+    // copies multiply the VOCABULARY (every permuted alphabet mints
+    // new hashed features), the adversarial direction for a fixed
+    // 64-bucket feature space: gradients stay 64 cells, scans stay
+    // linear, whatever the feature cardinality
+    "t35_classifier_train")
 
   private val IdStride = 10000000L
 
