@@ -518,6 +518,69 @@ object TextQueries {
         .orderBy("pct")
     },
 
+    // LABEL-FREE LM quality scoring — the CCNet/Gopher-class
+    // perplexity filter (Wenzek et al. 2020), the curation step real
+    // pipelines run FIRST: fit an add-one-smoothed hashed-ngram bucket
+    // LM on a clean REFERENCE corpus (provenance-selected — the two
+    // trusted providers — no labels anywhere), then bucket every
+    // document head/middle/tail by its geometric-mean likelihood
+    // under that model. NO log/exp (transcendentals are not bit-exact
+    // cross-engine — the t34 lesson): "gm ≥ θ·uniform" is restated as
+    // the ordered product Π p[h(f)]·Dim/θ ≥ 1 — one native
+    // HashedNgramProduct per threshold, ratio table as a plan
+    // reference object, left-to-right IEEE multiply that DuckDB's
+    // seedless list_reduce replays bit-for-bit. lm_mass anchors the
+    // hash gate on exact integers (Σ smoothed counts, the t35
+    // integer-valued-double bound); thresholds are exact binary
+    // fractions (5/4, 19/16). Fit = one bounded ≤64-row collect;
+    // scoring = pure map-side scan, zero shuffles (PlanSpec-pinned).
+    "t39_lm_quality" -> Q {
+      import graft.text.LmQuality.{Dim, HeadGm, TailGm}
+      s"""WITH w AS (SELECT doc_id, lang, source,
+         |             string_split($norm, ' ') AS ws
+         |           FROM documents WHERE text IS NOT NULL),
+         |f AS (SELECT doc_id, lang, source,
+         |        list_concat(ws, list_transform(range(1, len(ws)),
+         |          i -> ws[i] || ' ' || ws[i+1])) AS fs
+         |      FROM w),
+         |rb AS (SELECT unnest(list_transform(fs, t ->
+         |         CAST((${polyHashSql("t")}) % $Dim AS BIGINT))) AS bucket
+         |       FROM f WHERE source IN ('src0', 'src1')),
+         |c AS (SELECT bucket, count(*) AS c FROM rb GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM c),
+         |lm AS (SELECT g.range AS bucket,
+         |         CAST(coalesce(c.c, 0) + 1 AS BIGINT) AS num,
+         |         CAST(coalesce(c.c, 0) + 1 AS DOUBLE)
+         |           / CAST(tot.tot + $Dim AS DOUBLE) * $Dim.0 AS r
+         |       FROM range($Dim) g LEFT JOIN c ON c.bucket = g.range, tot),
+         |pl AS (SELECT list(r / $HeadGm ORDER BY bucket) AS rh,
+         |              list(r / $TailGm ORDER BY bucket) AS rt,
+         |              list(num ORDER BY bucket) AS ml FROM lm),
+         |dw AS (SELECT doc_id, lang, CAST(len(fs) AS BIGINT) AS n_feat,
+         |         CAST(list_reduce(list_transform(fs, t ->
+         |           pl.ml[1 + CAST((${polyHashSql("t")}) % $Dim AS BIGINT)]),
+         |           (a, b) -> a + b) AS BIGINT) AS lm_mass,
+         |         list_reduce(list_transform(fs, t ->
+         |           pl.rh[1 + CAST((${polyHashSql("t")}) % $Dim AS BIGINT)]),
+         |           (a, b) -> a * b) AS wh,
+         |         list_reduce(list_transform(fs, t ->
+         |           pl.rt[1 + CAST((${polyHashSql("t")}) % $Dim AS BIGINT)]),
+         |           (a, b) -> a * b) AS wt
+         |       FROM f, pl)
+         |SELECT doc_id, lang, n_feat, lm_mass,
+         |       round(least(wh, 1000000000000.0), 6) AS lm_score,
+         |       CASE WHEN wh >= 1.0 THEN 'head'
+         |            WHEN wt >= 1.0 THEN 'middle'
+         |            ELSE 'tail' END AS lm_bucket
+         |FROM dw ORDER BY doc_id""".stripMargin
+    } { (s, d) =>
+      graft.text.LmQuality.scored(Tables.documents(s, d),
+          col("source").isin("src0", "src1"))
+        .select(col("doc_id"), col("lang"), col("n_feat"), col("lm_mass"),
+          col("lm_score"), col("lm_bucket"))
+        .orderBy("doc_id")
+    },
+
     // keyword-profile language/domain ID: left-fold argmax, first
     // profile wins ties — fold mirrored literally in SQL.
     "t03_profile_id" -> Q(

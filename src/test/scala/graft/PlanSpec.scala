@@ -329,6 +329,24 @@ class PlanSpec extends SparkSpec {
     plan should include("[codegen id :") // weight kernel stays codegen'd
   }
 
+  test("t39 LM quality scoring is a pure map-side scan: ratio tables " +
+      "ride as plan reference objects — zero joins, windows, exchanges " +
+      "beyond the presentation sort") {
+    // the CCNet-class filter must stay scan-bound at 100 TB: the fit
+    // is a bounded construction-time collect, and the scoring plan
+    // carries the LM as reference objects — never a ratio-table join
+    val df = graft.text.LmQuality.scored(
+      graft.sources.Tables.documents(spark, SfDir),
+      org.apache.spark.sql.functions.col("source").isin("src0", "src1"))
+    df.collect()
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    plan should not include "Join"
+    "Window\\b".r.findAllIn(plan).size shouldBe 0
+    plan should not include "Exchange"
+    plan should include("[codegen id :") // product kernels stay codegen'd
+  }
+
   test("t29 temperature mix broadcasts the per-source rate table") {
     val plan = formattedPlan("t29_temperature_mix")
     plan should include ("BroadcastHashJoin")
