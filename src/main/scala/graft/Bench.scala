@@ -30,6 +30,11 @@ object Bench {
     if (warmDir != "none") picked.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
+    // host-noise telemetry window opens AFTER warm-up: the host block
+    // (hypervisor steal %, loadavg) covers exactly the timed loop, so
+    // a uniform-drift day adjudicates itself from the recorded row
+    // instead of costing re-runs (the r11-r13 lesson)
+    ProbeLog.hostStart()
     // A failed query must not masquerade as a fast one: record a
     // negative sentinel (-elapsed) for crashes, exclude them from the
     // headline total, and list them under "errors".
@@ -45,7 +50,7 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => k }.toSeq
     val total = results.values.filter(_ >= 0).sum
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir",${ProbeLog.hostJson()}}""")
     spark.stop()
   }
 }

@@ -24,6 +24,7 @@ import org.apache.spark.sql.functions._
 object CodegenAbProbe {
 
   def main(args: Array[String]): Unit = {
+    ProbeLog.hostStart()
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -196,7 +197,7 @@ object CodegenAbProbe {
       .mkString("{", ",", "}")
     val line = s"""{"metric":"codegen_ab","copies":$copies,""" +
       s""""interp":${js(interp)},"gen":${js(gen)},"reps":$repsJson,""" +
-      s""""ratios":${ProbeLog.ratios(interp, gen)},"sf":"$src"}"""
+      s""""ratios":${ProbeLog.ratios(interp, gen)},"sf":"$src",${ProbeLog.hostJson()}}"""
     println(line)
     val regressions = ProbeLog.recordGated("codegen_ab", line) ++ inversions
     spark.stop()

@@ -40,6 +40,47 @@ object ProbeLog {
   def fmt(d: Double, decimals: Int): String =
     String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(d))
 
+  /** One /proc/stat cpu-line reading: cumulative steal ticks and total
+    * ticks (first 8 fields — guest time is already folded into user on
+    * Linux, so summing the guest columns would double-count). */
+  final case class HostSnap(stealTicks: Long, totalTicks: Long)
+
+  /** Read /proc/stat's aggregate cpu line; zeros when unreadable (non-
+    * Linux or restricted /proc — telemetry must never fail a probe). */
+  def hostSnap(): HostSnap =
+    try {
+      val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).getOrElse("")
+      val f = cpu.trim.split("\\s+").drop(1).take(8).map(_.toLong)
+      HostSnap(if (f.length > 7) f(7) else 0L, f.sum)
+    } catch { case scala.util.control.NonFatal(_) => HostSnap(0L, 0L) }
+
+  @volatile private var sessionStart: Option[HostSnap] = None
+
+  /** Open the host-noise telemetry window — call first thing in every
+    * probe/bench main, so [[hostJson]] reports steal over the RUN, not
+    * over an instant. */
+  def hostStart(): Unit = { sessionStart = Some(hostSnap()) }
+
+  /** The `"host"` block every Bench/probe row carries (round-14 ask):
+    * hypervisor steal as a percentage of total cpu ticks over the
+    * telemetry window, plus the 1-minute loadavg at window close.
+    * Rounds 11–13 each burned bench runs attributing uniform drift to
+    * host contention the narrative way; with steal recorded alongside
+    * every row, a uniform-inversion day adjudicates itself from data. */
+  def hostJson(): String = {
+    val end = hostSnap()
+    val start = sessionStart.getOrElse(end)
+    val dt = end.totalTicks - start.totalTicks
+    val stealPct =
+      if (dt > 0) 100.0 * (end.stealTicks - start.stealTicks) / dt else 0.0
+    val load1 =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+        .split("\\s+")(0).toDouble
+      catch { case scala.util.control.NonFatal(_) => 0.0 }
+    s""""host":{"steal_pct":${fmt(stealPct, 2)},"load1":${fmt(load1, 2)}}"""
+  }
+
   /** Replace-or-append `line` (a one-line JSON object containing
     * `"metric":"<metric>"`) in PROBES.json. Probe mains run as separate
     * `sbt runMain` JVMs, so the read-filter-truncate-write cycle holds
@@ -142,11 +183,21 @@ object ProbeLog {
       walk(j).toMap
     }
     val (o, n) = (parse(oldLine), parse(newLine))
+    // timing rules ANNOTATE (never suppress) when the fresh row ran
+    // under nonzero hypervisor steal: the firing still demands
+    // adjudication, but the likeliest cause is already in the message
+    // (the round-13 fed-cores uniform inversion took five bench runs
+    // to attribute the narrative way)
+    val stealNote = num(n \ "host" \ "steal_pct").filter(_ > 0.0)
+      .map(s => s" [ran under host steal_pct=${fmt(s, 2)} — hypervisor" +
+        " contention likely; adjudicate against a quiet-host re-read]")
+      .getOrElse("")
     val or = timeRatios(o)
     val timeRegs = timeRatios(n).toSeq.sortBy(_._1).flatMap { case (q, ntr) =>
       or.get(q).collect {
         case otr if ntr > 2.0 * math.max(otr, 1.0) + 1.0 =>
-          f"$q: time_ratio $ntr%.2f vs committed $otr%.2f (>2x + slack)"
+          f"$q: time_ratio $ntr%.2f vs committed $otr%.2f (>2x + slack)" +
+            stealNote
       }
     }
     val od = drops(o)
@@ -171,14 +222,15 @@ object ProbeLog {
         oSpd.get(q).collect {
           case os if os >= 1.5 && ns >= 0 && ns < os / 2.0 =>
             s"$q: cores speedup ${fmt(ns, 2)} vs committed ${fmt(os, 2)}" +
-              " (fell below half)"
+              " (fell below half)" + stealNote
         }
       }
       val trRegs = timeRatios(n).toSeq.sortBy(_._1).flatMap { case (q, ntr) =>
         or.get(q).collect {
           case otr if otr < 1.0 && ntr > otr * 1.5 =>
             s"$q: cores time_ratio ${fmt(ntr, 2)} vs committed " +
-              s"${fmt(otr, 2)} (>1.5x of a sub-1.0 same-session ratio)"
+              s"${fmt(otr, 2)} (>1.5x of a sub-1.0 same-session ratio)" +
+              stealNote
         }
       }
       spdRegs ++ trRegs

@@ -114,6 +114,7 @@ object ScaleProbe {
   }
 
   def main(args: Array[String]): Unit = {
+    ProbeLog.hostStart()
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
     // the synthesized-corpus dir encodes the SOURCE sf too: a stale
@@ -274,7 +275,7 @@ object ScaleProbe {
       s""""ratios":${ProbeLog.ratios(base, scaled)},""" +
       s""""scaled_sized":${js(sized)},"planes_sized":$planes,""" +
       s""""sized_cap":$sizedCap,""" +
-      s""""scaled_drops":$dropJs,"sf":"$src"}"""
+      s""""scaled_drops":$dropJs,"sf":"$src",${ProbeLog.hostJson()}}"""
     println(line)
     val regressions = ProbeLog.recordGated(metricName, line)
     spark.stop()
@@ -329,6 +330,7 @@ object EventScaleProbe {
   }
 
   def main(args: Array[String]): Unit = {
+    ProbeLog.hostStart()
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -362,7 +364,7 @@ object EventScaleProbe {
       if (copies == 10) "event_scale_probe" else s"event_scale_probe_${copies}x"
     val line = s"""{"metric":"$metricName","copies":$copies,""" +
       s""""base":${js(base)},"scaled":${js(scaled)},""" +
-      s""""ratios":${ProbeLog.ratios(base, scaled)},"sf":"$src"}"""
+      s""""ratios":${ProbeLog.ratios(base, scaled)},"sf":"$src",${ProbeLog.hostJson()}}"""
     println(line)
     val regressions = ProbeLog.recordGated(metricName, line)
     spark.stop()
@@ -423,6 +425,7 @@ object SkewProbe {
   }
 
   def main(args: Array[String]): Unit = {
+    ProbeLog.hostStart()
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -492,7 +495,7 @@ object SkewProbe {
     val line = s"""{"metric":"$metricName","copies":$copies,""" +
       s""""skew1":${js(skew1)},"skew$copies":${js(skewN)},""" +
       s""""ratios":${ProbeLog.ratios(skew1, skewN)},""" +
-      s""""bm25_hot":${js(hot)},"sf":"$src"}"""
+      s""""bm25_hot":${js(hot)},"sf":"$src",${ProbeLog.hostJson()}}"""
     println(line)
     val regressions = ProbeLog.recordGated(metricName, line)
     spark.stop()
@@ -551,6 +554,7 @@ object StreamScaleProbe {
     "st18_stream_len_drift")
 
   def main(args: Array[String]): Unit = {
+    ProbeLog.hostStart()
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -590,7 +594,7 @@ object StreamScaleProbe {
       if (copies == 10) "stream_scale_probe" else s"stream_scale_probe_${copies}x"
     val line = s"""{"metric":"$metricName","copies":$copies,""" +
       s""""base":${js(base)},"scaled":${js(scaled)},""" +
-      s""""ratios":${ProbeLog.ratios(base, scaled)},"sf":"$src"}"""
+      s""""ratios":${ProbeLog.ratios(base, scaled)},"sf":"$src",${ProbeLog.hostJson()}}"""
     println(line)
     val regressions = ProbeLog.recordGated(metricName, line)
     spark.stop()
@@ -685,6 +689,7 @@ object ZipfScaleProbe {
   }
 
   def main(args: Array[String]): Unit = {
+    ProbeLog.hostStart()
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "100").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -720,7 +725,7 @@ object ZipfScaleProbe {
       if (copies == 10) "scale_probe_zipf" else s"scale_probe_zipf_${copies}x"
     val line = s"""{"metric":"$metricName","copies":$copies,""" +
       s""""base":${js(base)},"scaled":${js(scaled)},""" +
-      s""""ratios":${ProbeLog.ratios(base, scaled)},"sf":"$src"}"""
+      s""""ratios":${ProbeLog.ratios(base, scaled)},"sf":"$src",${ProbeLog.hostJson()}}"""
     println(line)
     val regressions = ProbeLog.recordGated(metricName, line)
     spark.stop()
@@ -814,6 +819,7 @@ object PageRankScaleProbe {
   }
 
   def main(args: Array[String]): Unit = {
+    ProbeLog.hostStart()
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -848,7 +854,7 @@ object PageRankScaleProbe {
       else s"pagerank_scale_probe_${copies}x"
     val line = s"""{"metric":"$metricName","copies":$copies,""" +
       s""""base":${js(base)},"scaled":${js(scaled)},""" +
-      s""""ratios":${ProbeLog.ratios(base, scaled)},"sf":"$src"}"""
+      s""""ratios":${ProbeLog.ratios(base, scaled)},"sf":"$src",${ProbeLog.hostJson()}}"""
     println(line)
     val regressions = ProbeLog.recordGated(metricName, line)
     spark.stop()
@@ -900,6 +906,7 @@ object CcChainProbe {
   }
 
   def main(args: Array[String]): Unit = {
+    ProbeLog.hostStart()
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -962,7 +969,7 @@ object CcChainProbe {
       s""""base":${js(base)},"scaled":${js(scaled)},""" +
       s""""ratios":${ProbeLog.ratios(base, scaled)},""" +
       s""""rounds":{"cc_chain_base":$roundsB,"cc_chain_scaled":$roundsS},""" +
-      s""""sf":"synthetic-chain"}"""
+      s""""sf":"synthetic-chain",${ProbeLog.hostJson()}}"""
     println(line)
     val regressions = ProbeLog.recordGated("cc_chain_probe", line) ++
       roundFailures
@@ -1041,6 +1048,7 @@ object CoresProbe {
   }
 
   def main(args: Array[String]): Unit = {
+    ProbeLog.hostStart()
     val fed = sys.env.get("SPARK_GRAFT_CORES_MODE").contains("fed")
     val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
       if (fed) "/root/testdata/sf0.01" else "/root/testdata/sf0.1")
@@ -1106,7 +1114,7 @@ object CoresProbe {
     val line = s"""{"metric":"$metric","cores_lo":$lo,"cores_hi":$hi,""" +
       s""""lo":${js(loRun)},"hi":${js(hiRun)},""" +
       s""""ratios":${ProbeLog.ratios(loRun, hiRun)},""" +
-      s""""speedup":$speedup,"sf":"$src"}"""
+      s""""speedup":$speedup,"sf":"$src",${ProbeLog.hostJson()}}"""
     println(line)
     val regressions = ProbeLog.recordGated(metric, line)
     if (regressions.nonEmpty) {

@@ -76,6 +76,37 @@ class ProbeLogSpec extends AnyFunSuite with Matchers {
       Seq.empty
   }
 
+  test("host telemetry: snapshot reads /proc/stat, fragment is valid JSON") {
+    val snap = ProbeLog.hostSnap()
+    snap.totalTicks should be > 0L // this container IS Linux
+    ProbeLog.hostStart()
+    val frag = s"{${ProbeLog.hostJson()}}"
+    val j = org.json4s.jackson.JsonMethods.parse(frag)
+    (j \ "host" \ "steal_pct") should not be org.json4s.JNothing
+    (j \ "host" \ "load1") should not be org.json4s.JNothing
+  }
+
+  test("timing firings are ANNOTATED (not suppressed) when the fresh " +
+      "row ran under nonzero steal") {
+    def cline(spd: String, ratios: String, host: String = "") =
+      s"""{"metric":"cores_probe","ratios":{$ratios},"speedup":{$spd}""" +
+        (if (host.isEmpty) "}" else s""","host":$host}""")
+    val old = cline(""""d03":{"speedup":1.90}""",
+      """"d03":{"time_ratio":0.53}""")
+    val firing = cline(""""d03":{"speedup":0.80}""",
+      """"d03":{"time_ratio":1.20}""",
+      host = """{"steal_pct":7.41,"load1":2.00}""")
+    val regs = ProbeLog.regressionsVs(old, firing)
+    regs should not be empty // annotated, never suppressed
+    regs.foreach(_ should include("steal_pct=7.41"))
+    // a quiet-host firing carries no annotation
+    val quiet = ProbeLog.regressionsVs(old,
+      cline(""""d03":{"speedup":0.80}""", """"d03":{"time_ratio":1.20}""",
+        host = """{"steal_pct":0.00,"load1":0.50}"""))
+    quiet should not be empty
+    quiet.foreach(_ should not include "steal_pct")
+  }
+
   test("time_ratio doubling (plus slack) is a regression; drift is not") {
     val old = line(ratios = """"q1":{"time_ratio":4.40,"rows_ratio":1.0}""")
     // 4.4 -> 6.0: host drift band, clean
