@@ -195,7 +195,12 @@ object CodegenAbProbe {
     import ProbeLog.js
     val repsJson = measured.map(m => s""""${m._1}":${m._5}""")
       .mkString("{", ",", "}")
+    // "sec_unit" is the schema marker for the round-13 recalibration:
+    // sec fields are PER-REP seconds now (pre-r13 rows in git history
+    // were rep-scaled totals) — tooling diffing historical rows must
+    // branch on this field, not assume a timing change
     val line = s"""{"metric":"codegen_ab","copies":$copies,""" +
+      s""""sec_unit":"per_rep",""" +
       s""""interp":${js(interp)},"gen":${js(gen)},"reps":$repsJson,""" +
       s""""ratios":${ProbeLog.ratios(interp, gen)},"sf":"$src",${ProbeLog.hostJson()}}"""
     println(line)

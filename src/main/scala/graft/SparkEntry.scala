@@ -9,6 +9,16 @@ import graft.queries._
   * `queries` is the full operator registry (one entry per SURVEY.md §2
   * operator); `oracleSql` carries the DuckDB equivalent for every
   * SQL-expressible query. Registries live in graft.queries.*.
+  *
+  * EAGER-CONSTRUCTOR contract: building a registered frame may itself
+  * execute BOUNDED driver jobs (fit/sizing collects of ≤ a few hundred
+  * rows — IVF centroids, LSH sizing count-stars, Dsir/LmQuality ratio
+  * tables, the t35/t37/t38 perceptron fits, RangeRank partition
+  * offsets). Callers therefore pay those scans at CONSTRUCTION time,
+  * not first action; every such collect is audited bounded (≤ Dim/
+  * numPartitions rows) and documented at its operator. The driver
+  * always executes what it builds, so nothing is computed that isn't
+  * consumed.
   */
 object SparkEntry {
 

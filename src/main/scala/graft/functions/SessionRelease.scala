@@ -51,17 +51,23 @@ final class SessionRelease {
     * predecessor is correctness-safe — an unmaterialized predecessor
     * recomputes. */
   def swap(spark: SparkSession, release: () => Unit): Unit = {
+    def stopped(s: SparkSession): Boolean =
+      try s.sparkContext.isStopped catch {
+        case scala.util.control.NonFatal(_) => true
+      }
     val (prev, firstSeen) = last.synchronized {
       // sweep dead sessions so their closures (and the frames +
       // sessions they capture) never outlive the session they served
       val it = last.entrySet().iterator()
       while (it.hasNext) {
         val e = it.next()
-        val dead = try e.getKey.sparkContext.isStopped catch {
-          case scala.util.control.NonFatal(_) => true
-        }
-        if (dead) it.remove()
+        if (stopped(e.getKey)) { seen.remove(e.getKey); it.remove() }
       }
+      // `seen` can still pin a dead session `last` no longer tracks
+      // (its listener registration failed below, then its entry was
+      // swapped away): sweep it with the same liveness check
+      val si = seen.iterator()
+      while (si.hasNext) if (stopped(si.next())) si.remove()
       // seen.add INSIDE the lock: two concurrent first swaps from one
       // session must elect exactly one listener registrar
       (last.put(spark, release), seen.add(spark))
@@ -76,7 +82,12 @@ final class SessionRelease {
         override def onApplicationEnd(
             end: SparkListenerApplicationEnd): Unit =
           last.synchronized { last.remove(spark); seen.remove(spark); () }
-      }) catch { case scala.util.control.NonFatal(_) => () }
+      }) catch { case scala.util.control.NonFatal(_) =>
+        // registration failed (context stopped mid-swap): un-mark so a
+        // later swap can retry the election instead of this session
+        // staying strongly pinned in `seen` until JVM exit
+        last.synchronized { seen.remove(spark); () }
+      }
     }
     if (prev != null) try prev() catch {
       case scala.util.control.NonFatal(_) => ()

@@ -76,10 +76,18 @@ object RangeRank {
     * [[withGlobalRank]], and the same cost model: the offsets job and
     * the output job each read the sorted shuffle map outputs, so the
     * range exchange is paid once but the sorted data is deserialized
-    * twice. */
+    * twice.
+    *
+    * `valueCol` must be a NON-NULLABLE LongType: both jobs read it with
+    * `getLong`, which would NPE mid-job on a null. Guarded at
+    * construction — callers with a nullable-but-clean column must
+    * assert that themselves (`coalesce`/`na.fill` before calling). */
   def withRankAndPrefixSum(df: DataFrame, sortCols: Seq[Column],
       valueCol: String, rankCol: String, prefixCol: String,
       numPartitions: Int = 0): (DataFrame, Long) = {
+    require(!df.schema(valueCol).nullable,
+      s"RangeRank.withRankAndPrefixSum: '$valueCol' is nullable — a " +
+        "null would NPE in getLong mid-job; coalesce/na.fill it first")
     val spark = df.sparkSession
     val n =
       if (numPartitions > 0) numPartitions

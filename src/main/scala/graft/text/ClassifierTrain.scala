@@ -74,13 +74,19 @@ object ClassifierTrain {
   /** One iteration's summed gradient over the misclassified set
     * (y·score ≤ 0 — zero margin counts as a miss, the perceptron
     * convention that also makes iteration 1 from w₀ = 0 a full-corpus
-    * gradient): one scan, ≤ [[Dim]] output rows. Exposed for the plan
+    * gradient): one scan, ≤ [[Dim]] output rows. Each bucket row also
+    * carries the max per-doc feature count seen (`mx`) — because
+    * iteration 1 misclassifies EVERYTHING, its mx is the pool-wide
+    * maximum, which [[fitHistory]] uses to enforce the 2^53 margin
+    * exactness bound with zero extra scans. Exposed for the plan
     * spec. */
   def gradientFrame(p: DataFrame, w: IndexedSeq[Long]): DataFrame =
     p.filter(col("y").cast("double") * score(col("ws"), w) <= 0.0)
-      .select(col("y"), explode(TextFns.ngramFeatures(col("ws"))).as("f"))
+      .select(col("y"),
+        (size(col("ws")).cast("long") * 2 - 1).cast("long").as("nf"),
+        explode(TextFns.ngramFeatures(col("ws"))).as("f"))
       .groupBy(pmod(PolyHash64(col("f")), lit(Dim.toLong)).as("bucket"))
-      .agg(sum(col("y")).as("g"))
+      .agg(sum(col("y")).as("g"), max(col("nf")).as("mx"))
 
   /** Run the fit and return the weight vector AFTER EACH iteration —
     * the per-iteration snapshots fall out of the one loop for free
@@ -90,11 +96,27 @@ object ClassifierTrain {
   def fitHistory(p: DataFrame,
       iters: Int = Iters): IndexedSeq[IndexedSeq[Long]] = {
     var w = IndexedSeq.fill(Dim)(0L)
+    var maxNFeat = 1L
     val hist = IndexedSeq.newBuilder[IndexedSeq[Long]]
     for (_ <- 1 to iters) {
       val g = gradientFrame(p, w).collect() // bounded: <= Dim rows
       val gm = g.map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+      if (g.nonEmpty)
+        maxNFeat = math.max(maxNFeat, g.map(_.getLong(2)).max)
       w = IndexedSeq.tabulate(Dim)(b => w(b) + gm.getOrElse(b, 0L))
+      // margin exactness guard (the 2^53 bound, enforced — not just
+      // documented): HashedNgramScore accumulates integer-valued
+      // DOUBLES, exact only while every partial sum stays below 2^53;
+      // partials are bounded by max|w| · n_feat. maxNFeat is the pool
+      // max (iteration 1 misclassifies everything). A violating corpus
+      // fails LOUDLY here instead of going hash-red mysteriously —
+      // the escape hatch is an all-Long dot kernel (LongDot).
+      val maxAbsW = w.map(math.abs).max
+      require(maxAbsW <= (1L << 53) / maxNFeat,
+        s"ClassifierTrain: max|w| = $maxAbsW with max n_feat = " +
+          s"$maxNFeat risks a 2^53-overflowing margin partial sum — " +
+          "scores would silently desynchronize from the integer-exact " +
+          "oracle; switch the scorer to a Long dot kernel")
       hist += w
     }
     hist.result()

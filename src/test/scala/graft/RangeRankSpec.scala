@@ -55,9 +55,11 @@ class RangeRankSpec extends SparkSpec {
   test("rank + prefix sum equal the windows they replace, and the " +
       "returned total is the column sum") {
     import org.apache.spark.sql.expressions.Window
+    // coalesce: withRankAndPrefixSum requires a NON-NULLABLE value
+    // column (getLong would NPE mid-job on a null)
     val keyed = docs.select($"doc_id",
       md5($"doc_id".cast("string")).as("h"),
-      (pmod($"doc_id", lit(37L)) + 1L).as("v"))
+      coalesce(pmod($"doc_id", lit(37L)) + 1L, lit(0L)).as("v"))
     val w = Window.orderBy($"h", $"doc_id")
     val viaWindow = keyed
       .withColumn("r", row_number().over(w).cast("long"))
@@ -70,6 +72,16 @@ class RangeRankSpec extends SparkSpec {
     ranked.select("doc_id", "r", "c").collect().sortBy(_.getLong(0)) shouldBe
       viaWindow.collect().sortBy(_.getLong(0))
     total shouldBe keyed.agg(sum("v")).head.getLong(0)
+  }
+
+  test("a nullable value column is rejected at construction, not mid-job") {
+    val keyed = docs.select($"doc_id",
+      md5($"doc_id".cast("string")).as("h"),
+      (pmod($"doc_id", lit(37L)) + 1L).as("v")) // nullable
+    val e = intercept[IllegalArgumentException] {
+      RangeRank.withRankAndPrefixSum(keyed, Seq($"h"), "v", "r", "c")
+    }
+    e.getMessage should include("nullable")
   }
 
   test("t36_vocab_coverage plans no window/SinglePartition and crossings " +
