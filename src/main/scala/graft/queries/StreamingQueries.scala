@@ -17,6 +17,44 @@ import graft.streaming.StreamingMedallion
   */
 object StreamingQueries {
 
+  /** Oracle mirror of TextFns.normalize (shared by the drift axes). */
+  private val streamNorm =
+    "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+  /** The drift-report SQL every StreamDrift oracle tails (st17/st18/
+    * st19 differ only in the bucket axis CTEs above it): accumulated
+    * prior per batch, exact integer cross-multiplied L1 numerator, one
+    * IEEE division for the presented ratio. Expects a CTE `h` of
+    * (batch BIGINT, bucket BIGINT, cnt). */
+  private val driftTailSql =
+    """bn AS (SELECT batch, CAST(sum(cnt) AS BIGINT) AS n
+      |       FROM h GROUP BY 1),
+      |pn AS (SELECT b.batch,
+      |         CAST(coalesce(sum(p.n), 0) AS BIGINT) AS prev_n
+      |       FROM bn b LEFT JOIN bn p ON p.batch < b.batch GROUP BY 1),
+      |ph AS (SELECT b.batch, h.bucket, CAST(sum(h.cnt) AS BIGINT) AS pcnt
+      |       FROM bn b JOIN h ON h.batch < b.batch GROUP BY 1, 2),
+      |keys AS (SELECT batch, bucket FROM h
+      |         UNION SELECT batch, bucket FROM ph),
+      |j AS (SELECT k.batch, k.bucket, coalesce(c.cnt, 0) AS ccnt,
+      |        coalesce(p.pcnt, 0) AS pcnt
+      |      FROM keys k
+      |      LEFT JOIN h c ON c.batch = k.batch AND c.bucket = k.bucket
+      |      LEFT JOIN ph p ON p.batch = k.batch AND p.bucket = k.bucket),
+      |dr AS (SELECT j.batch,
+      |         CAST(sum(abs(j.ccnt * pn.prev_n - j.pcnt * bn.n))
+      |           AS BIGINT) AS drift_num
+      |       FROM j JOIN bn USING (batch) JOIN pn USING (batch)
+      |       GROUP BY 1)
+      |SELECT bn.batch, bn.n AS n_docs, pn.prev_n AS prev_docs,
+      |       dr.drift_num,
+      |       CASE WHEN pn.prev_n > 0
+      |         THEN round(CAST(dr.drift_num AS DOUBLE) /
+      |           (CAST(bn.n AS DOUBLE) * CAST(pn.prev_n AS DOUBLE)), 6)
+      |         ELSE 0.0 END AS drift
+      |FROM bn JOIN pn USING (batch) JOIN dr USING (batch)
+      |ORDER BY bn.batch""".stripMargin
+
   /** Bounded streaming runs at test scale don't benefit from wide state
     * partitioning — fewer state stores means less per-micro-batch
     * commit overhead. Safe to scope per run: each run starts from a
@@ -840,33 +878,7 @@ object StreamingQueries {
          |        coalesce(CAST(floor(score * 50) AS BIGINT), -999) AS bucket,
          |        count(*) AS cnt
          |      FROM d GROUP BY 1, 2),
-         |bn AS (SELECT batch, CAST(sum(cnt) AS BIGINT) AS n
-         |       FROM h GROUP BY 1),
-         |pn AS (SELECT b.batch,
-         |         CAST(coalesce(sum(p.n), 0) AS BIGINT) AS prev_n
-         |       FROM bn b LEFT JOIN bn p ON p.batch < b.batch GROUP BY 1),
-         |ph AS (SELECT b.batch, h.bucket, CAST(sum(h.cnt) AS BIGINT) AS pcnt
-         |       FROM bn b JOIN h ON h.batch < b.batch GROUP BY 1, 2),
-         |keys AS (SELECT batch, bucket FROM h
-         |         UNION SELECT batch, bucket FROM ph),
-         |j AS (SELECT k.batch, k.bucket, coalesce(c.cnt, 0) AS ccnt,
-         |        coalesce(p.pcnt, 0) AS pcnt
-         |      FROM keys k
-         |      LEFT JOIN h c ON c.batch = k.batch AND c.bucket = k.bucket
-         |      LEFT JOIN ph p ON p.batch = k.batch AND p.bucket = k.bucket),
-         |dr AS (SELECT j.batch,
-         |         CAST(sum(abs(j.ccnt * pn.prev_n - j.pcnt * bn.n))
-         |           AS BIGINT) AS drift_num
-         |       FROM j JOIN bn USING (batch) JOIN pn USING (batch)
-         |       GROUP BY 1)
-         |SELECT bn.batch, bn.n AS n_docs, pn.prev_n AS prev_docs,
-         |       dr.drift_num,
-         |       CASE WHEN pn.prev_n > 0
-         |         THEN round(CAST(dr.drift_num AS DOUBLE) /
-         |           (CAST(bn.n AS DOUBLE) * CAST(pn.prev_n AS DOUBLE)), 6)
-         |         ELSE 0.0 END AS drift
-         |FROM bn JOIN pn USING (batch) JOIN dr USING (batch)
-         |ORDER BY bn.batch""".stripMargin) { (s, d) =>
+         |$driftTailSql""".stripMargin) { (s, d) =>
       val root = freshDir(s"st17-${d.replaceAll("[^0-9a-zA-Z.]", "_")}")
       withShufflePartitions(s, 8) {
         graft.streaming.StreamDrift.run(s, Tables.documents(s, d),
@@ -896,38 +908,55 @@ object StreamingQueries {
          |      FROM w),
          |h AS (SELECT batch, bucket, count(*) AS cnt
          |      FROM d GROUP BY 1, 2),
-         |bn AS (SELECT batch, CAST(sum(cnt) AS BIGINT) AS n
-         |       FROM h GROUP BY 1),
-         |pn AS (SELECT b.batch,
-         |         CAST(coalesce(sum(p.n), 0) AS BIGINT) AS prev_n
-         |       FROM bn b LEFT JOIN bn p ON p.batch < b.batch GROUP BY 1),
-         |ph AS (SELECT b.batch, h.bucket, CAST(sum(h.cnt) AS BIGINT) AS pcnt
-         |       FROM bn b JOIN h ON h.batch < b.batch GROUP BY 1, 2),
-         |keys AS (SELECT batch, bucket FROM h
-         |         UNION SELECT batch, bucket FROM ph),
-         |j AS (SELECT k.batch, k.bucket, coalesce(c.cnt, 0) AS ccnt,
-         |        coalesce(p.pcnt, 0) AS pcnt
-         |      FROM keys k
-         |      LEFT JOIN h c ON c.batch = k.batch AND c.bucket = k.bucket
-         |      LEFT JOIN ph p ON p.batch = k.batch AND p.bucket = k.bucket),
-         |dr AS (SELECT j.batch,
-         |         CAST(sum(abs(j.ccnt * pn.prev_n - j.pcnt * bn.n))
-         |           AS BIGINT) AS drift_num
-         |       FROM j JOIN bn USING (batch) JOIN pn USING (batch)
-         |       GROUP BY 1)
-         |SELECT bn.batch, bn.n AS n_docs, pn.prev_n AS prev_docs,
-         |       dr.drift_num,
-         |       CASE WHEN pn.prev_n > 0
-         |         THEN round(CAST(dr.drift_num AS DOUBLE) /
-         |           (CAST(bn.n AS DOUBLE) * CAST(pn.prev_n AS DOUBLE)), 6)
-         |         ELSE 0.0 END AS drift
-         |FROM bn JOIN pn USING (batch) JOIN dr USING (batch)
-         |ORDER BY bn.batch""".stripMargin) { (s, d) =>
+         |$driftTailSql""".stripMargin) { (s, d) =>
       val root = freshDir(s"st18-${d.replaceAll("[^0-9a-zA-Z.]", "_")}")
       withShufflePartitions(s, 8) {
         graft.streaming.StreamDrift.run(s, Tables.documents(s, d),
           root.toString, nSlices = 4,
           bucket = graft.streaming.StreamDrift.tokenLogBucket)
+      }
+    },
+
+    // streaming LANGUAGE-distribution drift — the third registered
+    // drift axis, completing the triple (score st17 / length st18 /
+    // LANGUAGE st19): each batch's histogram over the t03
+    // keyword-profile language/domain id (a 3-bucket categorical axis
+    // + the NULL sentinel) against the accumulated prior, same exact
+    // integer cross-multiplied L1. A scraper that swaps PROVIDERS
+    // shifts the language mix before either score or length moves —
+    // this axis fires first on that failure. NULL text goes to the
+    // -999 sentinel explicitly (profileId alone would coerce it to
+    // the head profile, hiding an empty-payload spike in the dominant
+    // language's cell).
+    "st19_stream_lang_drift" -> Q {
+      val vocabs = TextQueries.Profiles.map { case (_, vocab) =>
+        vocab.map(w => s"'$w'").mkString("(", ",", ")")
+      }
+      s"""WITH s AS (
+         |  SELECT doc_id, text,
+         |    len(list_filter(string_split($streamNorm, ' '),
+         |        w -> w IN ${vocabs(0)})) AS s1,
+         |    len(list_filter(string_split($streamNorm, ' '),
+         |        w -> w IN ${vocabs(1)})) AS s2,
+         |    len(list_filter(string_split($streamNorm, ' '),
+         |        w -> w IN ${vocabs(2)})) AS s3
+         |  FROM documents),
+         |d AS (SELECT CAST(doc_id % 4 AS BIGINT) AS batch,
+         |        CAST(CASE WHEN text IS NULL THEN -999
+         |                  WHEN s3 > greatest(s1, s2) THEN 2
+         |                  WHEN s2 > s1 THEN 1 ELSE 0 END AS BIGINT)
+         |          AS bucket
+         |      FROM s),
+         |h AS (SELECT batch, bucket, count(*) AS cnt
+         |      FROM d GROUP BY 1, 2),
+         |$driftTailSql""".stripMargin
+    } { (s, d) =>
+      val root = freshDir(s"st19-${d.replaceAll("[^0-9a-zA-Z.]", "_")}")
+      withShufflePartitions(s, 8) {
+        graft.streaming.StreamDrift.run(s, Tables.documents(s, d),
+          root.toString, nSlices = 4,
+          bucket = graft.streaming.StreamDrift.profileBucket(
+            TextQueries.Profiles))
       }
     }
   )

@@ -68,6 +68,26 @@ object StreamDrift {
   def tokenLogBucket: Column =
     (length(bin(TextFns.tokenCount(col("text")))) - 1).cast("long")
 
+  /** st19's axis: the t03 keyword-profile LANGUAGE/DOMAIN id as a
+    * small integer bucket — the index of the argmax marker-vocabulary
+    * profile (ties to the earlier profile, t03's rule). A scraper
+    * swapping providers shifts the language mix BEFORE any score or
+    * length moves, so this is the axis that completes the drift triple
+    * (score st17 / length st18 / language st19). NULL text → NULL
+    * bucket (the sentinel path — [[TextFns.profileId]] alone would
+    * coerce a NULL text to the head profile, hiding an empty-payload
+    * spike in the dominant language's cell). Profiles ride in as a
+    * parameter so the streaming layer stays independent of the query
+    * registry. */
+  def profileBucket(profiles: Seq[(String, Seq[String])]): Column = {
+    val name = TextFns.profileId(col("text"), profiles)
+    val idx = profiles.zipWithIndex
+      .foldLeft(lit(null).cast("long")) { case (acc, ((p, _), i)) =>
+        when(name === p, lit(i.toLong)).otherwise(acc)
+      }
+    when(col("text").isNotNull, idx)
+  }
+
   /** Publish `docs` as `nSlices` arrival waves (slice k = doc_id mod
     * nSlices = k), one file each, ordered via
     * [[Topic.publishOrderedSlices]] — the membership rule an oracle

@@ -447,4 +447,34 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r0 => r0.getLong(0) -> r0.getLong(3)).toMap
     drifts(1L) shouldBe 8L
   }
+
+  test("st19 language-drift axis: stream == batch reference, replay " +
+      "idempotent, NULL text hits the sentinel not the head profile") {
+    import graft.streaming.StreamDrift
+    val profiles = graft.queries.TextQueries.Profiles
+    val axis = StreamDrift.profileBucket(profiles)
+    // the bucket is the argmax profile INDEX with t03's tie rule —
+    // and a NULL text must map to NULL (profileId alone would coerce
+    // it to the head profile, hiding an empty-payload spike)
+    val probe = Seq(
+      (0L, Option("table scan merge")), // storage markers -> 0
+      (1L, Option("join filter sort")), // query markers   -> 1
+      (2L, Option("stream key value")), // stream markers  -> 2
+      (3L, Option("nothing matches")),  // tie at 0 hits   -> head = 0
+      (4L, None)).toDF("doc_id", "text")
+    probe.select(axis.as("b")).collect().map(r =>
+      Option(r.get(0)).map(_.asInstanceOf[Long])).toSeq shouldBe
+      Seq(Some(0L), Some(1L), Some(2L), Some(0L), None)
+    val docs = graft.sources.Tables.documents(spark, SfDir)
+    val root = java.nio.file.Files
+      .createTempDirectory("st19spec").toString
+    val streamed = StreamDrift.run(spark, docs, root, nSlices = 4,
+      bucket = axis).collect().toSeq
+    val ref = StreamDrift.batchReference(docs, nSlices = 4,
+      bucket = axis).collect().toSeq
+    streamed shouldBe ref
+    StreamDrift.processBatch(
+      docs.filter(pmod($"doc_id", lit(4L)) === 3L), 3L, root, axis)
+    StreamDrift.report(spark, root).collect().toSeq shouldBe ref
+  }
 }
