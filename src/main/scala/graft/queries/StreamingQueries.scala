@@ -958,6 +958,42 @@ object StreamingQueries {
           bucket = graft.streaming.StreamDrift.profileBucket(
             TextQueries.Profiles))
       }
+    },
+
+    // drift → REFIT (the monitoring family finally ACTS): batch 0
+    // bootstraps model version 1 (t35's perceptron on batch 0 alone);
+    // each later batch's st18 length-drift ratio is tested against the
+    // pinned integer cross-multiplied threshold, and a FIRING batch
+    // triggers a refit on the accumulated CLEAN batches before it,
+    // MERGE-published as a new (version, bucket) row set through the
+    // KeyedUpsert sink. At sf0.01 the doc_id%4 slicing fires exactly
+    // at batch 2 (ratios 112000 / 176000 / 48000 ppm vs the 150000
+    // threshold), so the oracle replays TWO perceptron chains — the
+    // a-chain on batch 0 (version 1) and the b-chain on clean batches
+    // {0,1} (version 2, fired_batch 2). A divergent firing decision on
+    // the Spark side surfaces as a missing/extra version or wrong
+    // fired_batch: hash-red.
+    "st20_stream_drift_refit" -> Q {
+      val iters = graft.text.ClassifierTrain.Iters
+      s"""WITH ${TextQueries.perceptronCtes(iters,
+             "\n    AND doc_id % 4 = 0", "a")},
+         |${TextQueries.perceptronCtes(iters,
+             "\n    AND doc_id % 4 IN (0, 1)", "b")}
+         |SELECT version, fired_batch, bucket, weight FROM (
+         |  SELECT CAST(1 AS BIGINT) AS version,
+         |         CAST(0 AS BIGINT) AS fired_batch,
+         |         w.bucket, w.w AS weight
+         |  FROM aw$iters w
+         |  UNION ALL
+         |  SELECT CAST(2 AS BIGINT), CAST(2 AS BIGINT), w.bucket, w.w
+         |  FROM bw$iters w)
+         |ORDER BY version, bucket""".stripMargin
+    } { (s, d) =>
+      val root = freshDir(s"st20-${d.replaceAll("[^0-9a-zA-Z.]", "_")}")
+      withShufflePartitions(s, 8) {
+        graft.streaming.StreamRefit.run(s, Tables.documents(s, d),
+          root.toString, nSlices = 4)
+      }
     }
   )
 }

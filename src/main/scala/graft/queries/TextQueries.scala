@@ -122,34 +122,38 @@ object TextQueries {
     * the Spark loop stay structurally identical (the t22
     * bpeLearnOracle pattern). `poolWhere` restricts the training pool
     * (t35 trains on the whole corpus, t37 on the t05 train split);
-    * final weights live in CTE `w<iters>`. Ends WITHOUT a trailing
-    * comma — the caller's tail adds its own. */
-  private def perceptronCtes(iters: Int, poolWhere: String): String = {
+    * final weights live in CTE `<prefix>w<iters>`. Ends WITHOUT a
+    * trailing comma — the caller's tail adds its own. The `prefix`
+    * namespaces every CTE so one oracle can replay SEVERAL fits over
+    * different pools (st20 replays one chain per model version). */
+  private[queries] def perceptronCtes(iters: Int, poolWhere: String,
+      prefix: String = ""): String = {
     val D = graft.text.ClassifierTrain.Dim
+    val p = prefix
     val iterCtes = (1 to iters).map { r =>
-      s"""sc$r AS (SELECT fx.doc_id, CAST(sum(w.w * fx.x) AS BIGINT) AS s
-         |         FROM fx JOIN w${r - 1} w USING (bucket) GROUP BY 1),
-         |m$r AS (SELECT p.doc_id FROM pool p
-         |        LEFT JOIN sc$r s ON s.doc_id = p.doc_id
+      s"""${p}sc$r AS (SELECT fx.doc_id, CAST(sum(w.w * fx.x) AS BIGINT) AS s
+         |         FROM ${p}fx fx JOIN ${p}w${r - 1} w USING (bucket) GROUP BY 1),
+         |${p}m$r AS (SELECT p.doc_id FROM ${p}pool p
+         |        LEFT JOIN ${p}sc$r s ON s.doc_id = p.doc_id
          |        WHERE p.y * coalesce(s.s, 0) <= 0),
-         |g$r AS (SELECT fx.bucket, CAST(sum(fx.y * fx.x) AS BIGINT) AS g
-         |        FROM fx JOIN m$r m ON m.doc_id = fx.doc_id GROUP BY 1),
-         |w$r AS (SELECT w.bucket, CAST(w.w + coalesce(g.g, 0) AS BIGINT) AS w
-         |        FROM w${r - 1} w LEFT JOIN g$r g ON g.bucket = w.bucket)"""
+         |${p}g$r AS (SELECT fx.bucket, CAST(sum(fx.y * fx.x) AS BIGINT) AS g
+         |        FROM ${p}fx fx JOIN ${p}m$r m ON m.doc_id = fx.doc_id GROUP BY 1),
+         |${p}w$r AS (SELECT w.bucket, CAST(w.w + coalesce(g.g, 0) AS BIGINT) AS w
+         |        FROM ${p}w${r - 1} w LEFT JOIN ${p}g$r g ON g.bucket = w.bucket)"""
         .stripMargin
     }.mkString(",\n")
-    s"""pool AS (
+    s"""${p}pool AS (
        |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
        |         string_split($norm, ' ') AS ws
        |  FROM documents WHERE text IS NOT NULL$poolWhere),
-       |fx AS (
+       |${p}fx AS (
        |  SELECT doc_id, y, bucket, CAST(count(*) AS BIGINT) AS x FROM (
        |    SELECT doc_id, y, unnest(list_transform(
        |        list_concat(ws, list_transform(range(1, len(ws)),
        |          i -> ws[i] || ' ' || ws[i+1])),
        |        t -> CAST((${polyHashSql("t")}) % $D AS BIGINT))) AS bucket
-       |    FROM pool) GROUP BY 1, 2, 3),
-       |w0 AS (SELECT CAST(g.range AS BIGINT) AS bucket,
+       |    FROM ${p}pool) GROUP BY 1, 2, 3),
+       |${p}w0 AS (SELECT CAST(g.range AS BIGINT) AS bucket,
        |              CAST(0 AS BIGINT) AS w FROM range($D) g),
        |$iterCtes""".stripMargin
   }

@@ -1,0 +1,179 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.sinks.KeyedUpsert
+import graft.sources.Topic
+import graft.text.ClassifierTrain
+
+/** Drift → REFIT composition (st20) — the monitoring family finally
+  * ACTS: the st17/st18/st19 monitors detect a shifted ingest
+  * distribution; this operator closes the loop every production gate
+  * runs — when a batch's drift fires, refit the quality classifier on
+  * the accumulated CLEAN batches and publish the weights as a new
+  * MODEL VERSION through the KeyedUpsert MERGE sink.
+  *
+  * Per micro-batch:
+  *  1. persist the batch's documents to `docs/batch=<id>` and its
+  *     bucket histogram to the st17-pattern `hist/batch=<id>` store —
+  *     both overwrite-idempotent;
+  *  2. recompute the firing DECISIONS of every batch seen so far from
+  *     the accumulated histogram store (bounded driver data: one row
+  *     per batch × ≤ ~51 buckets): batch b fires when
+  *     `drift_num · 10^6 > thresholdPpm · n_b · prev_n_b` — the exact
+  *     integer cross-multiplied form of "drift ratio > threshold",
+  *     evaluated in BigInt so petabyte-scale counts cannot overflow;
+  *  3. batch 0 BOOTSTRAPS version 1 (a serving gate needs a model from
+  *     the first batch); a FIRING batch b is SUSPECT — the refit
+  *     trains on the clean batches BEFORE it ({c ≤ b : ¬fired(c)},
+  *     which never includes b) with the t35 deterministic full-batch
+  *     perceptron, and MERGEs the 64 weight rows keyed by
+  *     (version, bucket), version = 1 + |fired batches ≤ b|.
+  *
+  * Every step is a deterministic function of the accumulated stores,
+  * so CRASH/REPLAY of any batch recomputes the identical decisions
+  * (the `c ≤ b` guard keeps a late replay blind to batches that
+  * arrived after b), refits the identical pool, and re-MERGEs
+  * identical rows — the weights table is replay-idempotent by
+  * construction (spec-pinned). The oracle replays the pinned firing
+  * pattern: the drift arithmetic is st18's hash-exact machinery, and
+  * each version's weights are the t35 perceptron CTE chain over the
+  * clean-set membership predicate (`doc_id % nSlices IN (...)`) — a
+  * divergent firing decision on the Spark side would surface as a
+  * missing/extra version or a wrong fired_batch, going hash-red.
+  *
+  * Scale shape: per batch, one histogram agg (≤ ~51 cells), one
+  * bounded decisions collect, and — only on firing batches — k
+  * perceptron scans of the clean store (each the t35 scan shape:
+  * map-side native scoring, ≤ Dim-cell partial agg, ≤ Dim-row
+  * collect). The weights table is Dim rows per version, forever
+  * broadcast-sized.
+  */
+object StreamRefit {
+
+  /** Pinned firing threshold, ppm of the drift ratio
+    * drift_num / (n · prev_n). 0.15 sits between routine
+    * slice-to-slice variation and a genuine length-mix break on the
+    * st18 axis. */
+  val ThresholdPpm = 150000L
+
+  /** The monitored axis: st18's token-length log-buckets — the axis
+    * that shifts FIRST when a scraper starts truncating documents,
+    * before any quality score moves (so the refit triggers early). */
+  def axis: org.apache.spark.sql.Column = StreamDrift.tokenLogBucket
+
+  /** Firing decisions for every batch in the accumulated histogram
+    * store, in batch order: exact integer cross-multiplied threshold
+    * test in BigInt (drift_num · 10^6 and threshold · n · prev_n both
+    * exceed Long range at petabyte batch counts). Bounded driver
+    * action: one row per batch. */
+  def decisions(spark: SparkSession, root: String,
+      thresholdPpm: Long = ThresholdPpm): Seq[(Long, Boolean)] =
+    StreamDrift.report(spark, root).collect().toSeq.map { r =>
+      val (b, n, prevN, driftNum) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      b -> (BigInt(driftNum) * 1000000 >
+        BigInt(thresholdPpm) * BigInt(n) * BigInt(prevN))
+    }
+
+  /** One micro-batch's work — store, decide, maybe refit. Idempotent
+    * under whole-batch replay (see class doc). */
+  def processBatch(batch: DataFrame, batchId: Long, root: String,
+      thresholdPpm: Long = ThresholdPpm): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    batch.select(col("doc_id"), col("text"), col("lang"))
+      .write.mode("overwrite").parquet(s"$root/docs/batch=$batchId")
+    StreamDrift.processBatch(batch, batchId, root, axis)
+    val dec = decisions(spark, root, thresholdPpm).toMap
+    if (batchId == 0L || dec(batchId)) {
+      // clean pool: batches up to b that never fired (excludes a
+      // firing b itself; batch 0 has no prior so it never fires)
+      val clean = dec.toSeq.collect {
+        case (c, fired) if c <= batchId && !fired => c
+      }.sorted
+      val version = 1L + dec.count { case (c, f) => f && c <= batchId }
+      val pool = ClassifierTrain.pool(
+        spark.read.parquet(s"$root/docs")
+          .filter(col("batch").isin(clean: _*)),
+        col("lang") === "en").persist()
+      val w = try ClassifierTrain.fitWeights(pool)
+        finally pool.unpersist()
+      val rows = w.zipWithIndex.map { case (wt, b) =>
+        (version, batchId, b.toLong, wt)
+      }.toDF("version", "fired_batch", "bucket", "weight")
+      KeyedUpsert.upsert(spark, s"$root/weights", rows,
+        keyCols = Seq("version", "bucket"), numBuckets = 8)
+    }
+  }
+
+  /** The published model history: every version's 64 weights plus the
+    * batch whose arrival produced it (version 1 = the batch-0
+    * bootstrap). */
+  def weights(spark: SparkSession, root: String): DataFrame =
+    KeyedUpsert.read(spark, s"$root/weights")
+      .select(col("version"), col("fired_batch"), col("bucket"),
+        col("weight"))
+      .orderBy("version", "bucket")
+
+  /** Publish, stream, refit-on-drift, return the versioned weights —
+    * the registered st20 entry. */
+  def run(spark: SparkSession, docs: DataFrame, root: String,
+      nSlices: Int = 4,
+      thresholdPpm: Long = ThresholdPpm): DataFrame = {
+    Files.createDirectories(Paths.get(root))
+    StreamDrift.publishSliced(docs, s"$root/topic", nSlices)
+    val src = Topic.decodeDocuments(
+      Topic.readStream(spark, s"$root/topic", maxFilesPerTrigger = 1))
+    val q = src.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, root, thresholdPpm)
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    weights(spark, root)
+  }
+
+  /** The same versioned-weights table computed without the stream
+    * (batch = doc_id mod nSlices, batches folded in order) — the
+    * spec's invariance reference. */
+  def batchReference(docs: DataFrame, nSlices: Int = 4,
+      thresholdPpm: Long = ThresholdPpm): Seq[(Long, Long, Long, Long)] = {
+    val sliced = docs.select(
+        pmod(col("doc_id"), lit(nSlices.toLong)).as("batch"),
+        col("doc_id"), col("text"), col("lang"))
+      .persist()
+    try {
+      // per-batch histograms over the axis, then the st17 drift fold
+      val rep = StreamDrift.batchReference(docs, nSlices, axis)
+        .collect()
+      val fired = rep.map { r =>
+        r.getLong(0) -> (BigInt(r.getLong(3)) * 1000000 >
+          BigInt(thresholdPpm) * BigInt(r.getLong(1)) * BigInt(r.getLong(2)))
+      }.toMap
+      val out = Seq.newBuilder[(Long, Long, Long, Long)]
+      var version = 0L
+      for (b <- 0L until nSlices.toLong) {
+        if (b == 0L || fired(b)) {
+          version += 1L
+          val clean = (0L to b).filter(c => !fired(c))
+          val pool = ClassifierTrain.pool(
+            sliced.filter(col("batch").isin(clean: _*)),
+            col("lang") === "en").persist()
+          val w = try ClassifierTrain.fitWeights(pool)
+            finally pool.unpersist()
+          w.zipWithIndex.foreach { case (wt, bk) =>
+            out += ((version, b, bk.toLong, wt))
+          }
+        }
+      }
+      out.result()
+    } finally { sliced.unpersist(); () }
+  }
+}

@@ -477,4 +477,54 @@ class StreamingSpec extends SparkSpec {
       docs.filter(pmod($"doc_id", lit(4L)) === 3L), 3L, root, axis)
     StreamDrift.report(spark, root).collect().toSeq shouldBe ref
   }
+
+  test("st20 drift->refit: stream == batch reference, the firing batch " +
+      "refits on the accumulated clean pool, replay is idempotent") {
+    import graft.streaming.StreamRefit
+    // controlled drift, nSlices = 3: slices 0 and 1 share the same
+    // token-length log-bucket (no firing at batch 1 — but slice 1
+    // brings NEW vocabulary into the clean pool), slice 2 is long
+    // documents (bucket jump -> drift ratio 2.0 >> 0.15, fires)
+    val long = ("stream " * 40).trim
+    val docs = (0 until 30).map { i =>
+      (i % 3, i % 2) match {
+        case (0, 0) => (i.toLong, "the cat sat on mat", "en")
+        case (0, _) => (i.toLong, "der hund lief im wald", "de")
+        case (1, 0) => (i.toLong, "a dog ran fast today", "en")
+        case (1, _) => (i.toLong, "am berg steht ein baum", "de")
+        case (_, 0) => (i.toLong, long, "en")
+        case _      => (i.toLong, long + " nacht", "de")
+      }
+    }.toDF("doc_id", "text", "lang")
+    val root = java.nio.file.Files
+      .createTempDirectory("st20spec").toString
+    val streamed = StreamRefit.run(spark, docs, root, nSlices = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val ref = StreamRefit.batchReference(docs, nSlices = 3)
+    streamed shouldBe ref
+    // exactly two model versions: the batch-0 bootstrap and the
+    // batch-2 firing; batch 1 stayed clean
+    val byVersion = streamed.groupBy(_._1)
+    byVersion.keySet shouldBe Set(1L, 2L)
+    byVersion(1L).head._2 shouldBe 0L // bootstrap
+    byVersion(2L).head._2 shouldBe 2L // fired at batch 2
+    // the refit actually MOVED: version 2 trained on {0,1} whose new
+    // vocabulary shifts at least one bucket weight
+    val w1 = byVersion(1L).map(t => t._3 -> t._4).toMap
+    val w2 = byVersion(2L).map(t => t._3 -> t._4).toMap
+    w2 should not equal w1
+    // whole-batch REPLAY (crash between MERGE and checkpoint): both a
+    // firing and a clean batch recompute identical decisions and
+    // re-MERGE identical rows
+    def weightRows() = StreamRefit.weights(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    StreamRefit.processBatch(
+      docs.filter(pmod($"doc_id", lit(3L)) === 2L), 2L, root)
+    weightRows() shouldBe ref
+    StreamRefit.processBatch(
+      docs.filter(pmod($"doc_id", lit(3L)) === 1L), 1L, root)
+    weightRows() shouldBe ref
+  }
 }
