@@ -68,6 +68,13 @@ object ScaleProbe {
     "t38_learning_curve", // one fit + ONE aggregate scan per split
     // evaluating all k snapshots side by side — time must track the
     // corpus, never k x corpus
+    "t39_lm_quality", // label-free LM filter: one bounded reference
+    // fit scan + a pure map-side scoring projection — the row pins
+    // the claim that scoring stays scan-bound while the saturated
+    // corpus multiplies every LM bucket count by `copies`
+    "t40_quality_ensemble", // all three quality gates fused into ONE
+    // map-side scan — the row pins the claim that the composed tier
+    // costs no more plan than the single gates it votes over
     "s02_ann_lsh", // sized planes + cap derive in-operator — the production row
     "s12_ann_lsh_fixed3", // labeled fixed-plane contrast (excluded above 10x)
     "s03_ann_ivf",
@@ -551,7 +558,19 @@ object StreamScaleProbe {
     "st17_stream_drift",
     // round-13: the length-drift axis — cheaper per batch than st17
     // (token count vs classifier scoring), same commit-floor claim
-    "st18_stream_len_drift")
+    "st18_stream_len_drift",
+    // round-14: the language axis (st19 — per-batch cost is the t03
+    // keyword-profile projection + a ~4-cell agg) and the drift→refit
+    // composition (st20 — per batch one histogram agg + a bounded
+    // decisions collect; firing batches add k perceptron scans of the
+    // accumulated CLEAN store, so its scale claim is that non-firing
+    // batches stay at the st18 price)
+    "st19_stream_lang_drift", "st20_stream_drift_refit",
+    // st21 (data-plane act): per batch one ~12-cell histogram agg +
+    // a bounded decisions collect + a partitioned append of the batch
+    // itself — O(batch) forever, never a re-scan of the accumulated
+    // corpus
+    "st21_stream_quarantine")
 
   def main(args: Array[String]): Unit = {
     ProbeLog.hostStart()

@@ -994,6 +994,31 @@ object StreamingQueries {
         graft.streaming.StreamRefit.run(s, Tables.documents(s, d),
           root.toString, nSlices = 4)
       }
+    },
+
+    // drift → QUARANTINE (st20's DATA-plane twin): a firing batch's
+    // documents are routed to a quarantine store at INGEST time —
+    // suspect data never lands in the curated corpus, not even
+    // transiently. Route is a deterministic function of the
+    // accumulated histogram store (the same st18 axis and pinned
+    // integer cross-multiplied threshold as st20, firing exactly at
+    // batch 2 on the sf0.01 doc_id-mod-4 slicing), so the oracle
+    // replays the pinned pattern per ROW: a divergent Spark-side
+    // decision re-routes a whole batch and goes hash-red on every one
+    // of its rows. The routed store is partitioned by (route, batch) —
+    // downstream consumers prune to route=corpus at the parquet-scan
+    // level.
+    "st21_stream_quarantine" -> Q {
+      """SELECT doc_id, CAST(doc_id % 4 AS BIGINT) AS batch,
+        |       CASE WHEN doc_id % 4 = 2 THEN 'quarantine'
+        |            ELSE 'corpus' END AS route
+        |FROM documents ORDER BY doc_id""".stripMargin
+    } { (s, d) =>
+      val root = freshDir(s"st21-${d.replaceAll("[^0-9a-zA-Z.]", "_")}")
+      withShufflePartitions(s, 8) {
+        graft.streaming.StreamQuarantine.run(s, Tables.documents(s, d),
+          root.toString, nSlices = 4)
+      }
     }
   )
 }

@@ -585,6 +585,94 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // multi-signal quality ENSEMBLE (the FineWeb/Dolma production
+    // shape): no single quality signal is trusted alone — the tier is
+    // a VOTE over the three independent families the engine now has,
+    // heuristic (t02 length/stopword/punctuation credit), trained
+    // classifier (t31 hashed n-gram linear score), and label-free LM
+    // (t39 head bucket). votes ∈ {0..3} is exact integer arithmetic
+    // over three signals that are each individually bit-exact
+    // cross-engine, so the tier assignment ('premium' 3 / 'standard' 2
+    // / 'marginal' 1 / 'reject' 0) can never sit on a rounding edge
+    // the component queries don't already pin. ONE scan: all three
+    // scores are map-side expressions (two native codegen kernels +
+    // a projection), the LM ratio tables ride as plan reference
+    // objects — zero joins, zero windows (PlanSpec-pinned), the
+    // three-gate pipeline fused into a single pass over the corpus
+    // instead of three materialized filter stages.
+    "t40_quality_ensemble" -> Q {
+      import graft.text.LmQuality.{Dim, HeadGm, TailGm}
+      import graft.text.QualityClassifier.Threshold
+      s"""WITH w AS (SELECT doc_id, source,
+         |             string_split($norm, ' ') AS ws,
+         |             len(string_split($norm, ' ')) AS n,
+         |             len(list_filter(string_split($norm, ' '),
+         |                 w -> w IN $stopList)) AS stop_n,
+         |             len(regexp_extract_all($norm, '[^a-z0-9 ]', 0))
+         |               AS punct_n,
+         |             len($norm) AS chars
+         |           FROM documents WHERE text IS NOT NULL),
+         |f AS (SELECT doc_id, ws, n, stop_n, punct_n, chars, source,
+         |        list_concat(ws, list_transform(range(1, len(ws)),
+         |          i -> ws[i] || ' ' || ws[i+1])) AS fs
+         |      FROM w),
+         |rb AS (SELECT unnest(list_transform(fs, t ->
+         |         CAST((${polyHashSql("t")}) % $Dim AS BIGINT))) AS bucket
+         |       FROM f WHERE source IN ('src0', 'src1')),
+         |c AS (SELECT bucket, count(*) AS c FROM rb GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM c),
+         |lm AS (SELECT g.range AS bucket,
+         |         CAST(coalesce(c.c, 0) + 1 AS DOUBLE)
+         |           / CAST(tot.tot + $Dim AS DOUBLE) * $Dim.0 AS r
+         |       FROM range($Dim) g LEFT JOIN c ON c.bucket = g.range, tot),
+         |pl AS (SELECT list(r / $HeadGm ORDER BY bucket) AS rh,
+         |              list(r / $TailGm ORDER BY bucket) AS rt FROM lm),
+         |sig AS (SELECT doc_id,
+         |          round(least(n::DOUBLE / 50.0, 1.0) * 0.5 +
+         |                (stop_n::DOUBLE / n::DOUBLE) * 0.3 +
+         |                (1.0 - punct_n::DOUBLE / chars::DOUBLE) * 0.2, 4)
+         |            AS quality,
+         |          $classifierScoreSql AS score,
+         |          CASE WHEN list_reduce(list_transform(fs, t ->
+         |                 pl.rh[1 + CAST((${polyHashSql("t")})
+         |                   % $Dim AS BIGINT)]), (a, b) -> a * b) >= 1.0
+         |               THEN 'head'
+         |               WHEN list_reduce(list_transform(fs, t ->
+         |                 pl.rt[1 + CAST((${polyHashSql("t")})
+         |                   % $Dim AS BIGINT)]), (a, b) -> a * b) >= 1.0
+         |               THEN 'middle'
+         |               ELSE 'tail' END AS lm_bucket
+         |        FROM f, pl),
+         |v AS (SELECT doc_id, quality, score, lm_bucket,
+         |        CAST(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END +
+         |             CASE WHEN score > $Threshold THEN 1 ELSE 0 END +
+         |             CASE WHEN lm_bucket = 'head' THEN 1 ELSE 0 END
+         |          AS BIGINT) AS votes
+         |      FROM sig)
+         |SELECT doc_id, quality, score, lm_bucket, votes,
+         |       CASE votes WHEN 3 THEN 'premium' WHEN 2 THEN 'standard'
+         |            WHEN 1 THEN 'marginal' ELSE 'reject' END AS tier
+         |FROM v ORDER BY doc_id""".stripMargin
+    } { (s, d) =>
+      import graft.text.{LmQuality, QualityClassifier}
+      LmQuality.scored(Tables.documents(s, d),
+          col("source").isin("src0", "src1"))
+        .select(col("doc_id"),
+          TextFns.qualityScore(col("text")).as("quality"),
+          QualityClassifier.score(col("text")).as("score"),
+          col("lm_bucket"))
+        .withColumn("votes",
+          (col("quality") >= 0.5).cast("long") +
+            (col("score") > QualityClassifier.Threshold).cast("long") +
+            (col("lm_bucket") === "head").cast("long"))
+        .withColumn("tier",
+          when(col("votes") === 3, "premium")
+            .when(col("votes") === 2, "standard")
+            .when(col("votes") === 1, "marginal")
+            .otherwise("reject"))
+        .orderBy("doc_id")
+    },
+
     // keyword-profile language/domain ID: left-fold argmax, first
     // profile wins ties — fold mirrored literally in SQL.
     "t03_profile_id" -> Q(

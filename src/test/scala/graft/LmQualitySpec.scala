@@ -92,6 +92,39 @@ class LmQualitySpec extends SparkSpec {
     e.getMessage should include("lm_bucket")
   }
 
+  test("t40 ensemble votes/tiers agree with the REGISTERED component " +
+      "queries (t02 heuristic, t31 gate membership, t39 LM bucket)") {
+    val dir = SfDir
+    val ens = SparkEntry.queries("t40_quality_ensemble")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2),
+        r.getString(3), r.getLong(4), r.getString(5))).toMap
+    val q02 = SparkEntry.queries("t02_quality")(spark, dir).collect()
+      .flatMap(r => if (r.isNullAt(1)) None
+        else Some(r.getLong(0) -> r.getDouble(1))).toMap
+    val gatePass = SparkEntry.queries("t31_classifier_gate")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val lm = SparkEntry.queries("t39_lm_quality")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(5)).toMap
+    ens.keySet shouldBe lm.keySet // same non-NULL-text population
+    val tiers = Map(3L -> "premium", 2L -> "standard", 1L -> "marginal",
+      0L -> "reject")
+    ens.foreach { case (id, (quality, _, bucket, votes, tier)) =>
+      withClue(s"doc $id: ") {
+        quality shouldBe q02(id)
+        bucket shouldBe lm(id)
+        val expect = (if (quality >= 0.5) 1L else 0L) +
+          (if (gatePass(id)) 1L else 0L) +
+          (if (bucket == "head") 1L else 0L)
+        votes shouldBe expect
+        tier shouldBe tiers(votes)
+      }
+    }
+    // the fixture corpus must spread across at least three tiers for
+    // the vote arithmetic to be exercised, not vacuously green
+    ens.values.map(_._5).toSet.size should be >= 3
+  }
+
   test("a whitespace-only text scores through the empty-token path") {
     val df = (corpus :+ ((104L, "   ", "pool")))
       .toDF("doc_id", "text", "source")

@@ -347,6 +347,32 @@ class PlanSpec extends SparkSpec {
     plan should include("[codegen id :") // product kernels stay codegen'd
   }
 
+  test("t40 quality ensemble fuses all three gates into ONE map-side " +
+      "scan: zero joins, windows, exchanges") {
+    // the composed three-signal tier must not cost more plan than any
+    // single gate: heuristic + classifier + LM products are all
+    // projection expressions over the same scan
+    import org.apache.spark.sql.functions.col
+    import graft.text.{LmQuality, QualityClassifier}
+    val df = LmQuality.scored(
+        graft.sources.Tables.documents(spark, SfDir),
+        col("source").isin("src0", "src1"))
+      .select(col("doc_id"),
+        graft.text.TextFns.qualityScore(col("text")).as("quality"),
+        QualityClassifier.score(col("text")).as("score"),
+        col("lm_bucket"))
+      .withColumn("votes",
+        (col("quality") >= 0.5).cast("long") +
+          (col("score") > QualityClassifier.Threshold).cast("long") +
+          (col("lm_bucket") === "head").cast("long"))
+    df.collect()
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    plan should not include "Join"
+    "Window\\b".r.findAllIn(plan).size shouldBe 0
+    plan should not include "Exchange"
+  }
+
   test("t29 temperature mix broadcasts the per-source rate table") {
     val plan = formattedPlan("t29_temperature_mix")
     plan should include ("BroadcastHashJoin")

@@ -527,4 +527,47 @@ class StreamingSpec extends SparkSpec {
       docs.filter(pmod($"doc_id", lit(3L)) === 1L), 1L, root)
     weightRows() shouldBe ref
   }
+
+  test("st21 drift->quarantine: stream == batch reference, exactly the " +
+      "firing batch's docs are quarantined, replay never flips a route") {
+    import graft.streaming.{StreamQuarantine, StreamRefit}
+    // st20's controlled-drift corpus: slice 2's long documents jump
+    // the token-length log-bucket -> drift fires exactly at batch 2
+    val long = ("stream " * 40).trim
+    val docs = (0 until 30).map { i =>
+      (i % 3, i % 2) match {
+        case (0, 0) => (i.toLong, "the cat sat on mat", "en")
+        case (0, _) => (i.toLong, "der hund lief im wald", "de")
+        case (1, 0) => (i.toLong, "a dog ran fast today", "en")
+        case (1, _) => (i.toLong, "am berg steht ein baum", "de")
+        case (_, 0) => (i.toLong, long, "en")
+        case _      => (i.toLong, long + " nacht", "de")
+      }
+    }.toDF("doc_id", "text", "lang")
+    val root = java.nio.file.Files
+      .createTempDirectory("st21spec").toString
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getString(2))).toSeq
+    val streamed = rows(
+      StreamQuarantine.run(spark, docs, root, nSlices = 3))
+    streamed shouldBe rows(
+      StreamQuarantine.batchReference(docs, nSlices = 3))
+    // exactly batch 2 is quarantined; every doc is routed exactly once
+    streamed.size shouldBe 30
+    streamed.filter(_._3 == "quarantine").map(_._2).distinct shouldBe
+      Seq(2L)
+    streamed.count(_._3 == "quarantine") shouldBe 10
+    // whole-batch REPLAY (firing and clean): decisions recompute
+    // identically, the overwrite lands in the SAME route directory
+    StreamQuarantine.processBatch(
+      docs.filter(pmod($"doc_id", lit(3L)) === 2L), 2L, root)
+    rows(StreamQuarantine.routed(spark, root)) shouldBe streamed
+    StreamQuarantine.processBatch(
+      docs.filter(pmod($"doc_id", lit(3L)) === 1L), 1L, root)
+    rows(StreamQuarantine.routed(spark, root)) shouldBe streamed
+    // the route decision table StreamRefit derives agrees with where
+    // the docs physically landed
+    StreamRefit.decisions(spark, root).toMap.apply(2L) shouldBe true
+  }
 }
