@@ -543,7 +543,12 @@ object StreamScaleProbe {
     "st14_stream_expectations",
     // round-8 addition: streaming SCD2 — per-user change density grows
     // 10x, the adversarial direction for the per-batch O(delta) fold
-    "st15_stream_scd2")
+    "st15_stream_scd2",
+    // round-14: streaming mergeable-sketch state — per-batch cost is
+    // one map + a <= |types|*256-cell partial agg no matter how many
+    // events the batch carries; the row pins the claim that the as-of
+    // report's cost never tracks the raw event count
+    "st22_stream_hll")
 
   /** st16 consumes the DOCUMENTS corpus ([[ScaleProbe]]'s near-dup 10x
     * synthesis), not events: its scale couplings — the incremental

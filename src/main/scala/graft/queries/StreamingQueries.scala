@@ -1019,6 +1019,63 @@ object StreamingQueries {
         graft.streaming.StreamQuarantine.run(s, Tables.documents(s, d),
           root.toString, nSlices = 4)
       }
+    },
+
+    // streaming MERGEABLE-SKETCH state: per-batch HLL sketches of
+    // distinct users (q44's engine-portable, bit-deterministic sketch),
+    // merged by bucket-wise max into an as-of "distinct users so far"
+    // report after every arrival wave — per-batch state is <=
+    // |types|·256 rows FOREVER where an exact streaming
+    // count(DISTINCT) grows with the user universe. The oracle never
+    // sees the stored partials: it computes each event_id-mod-4
+    // prefix's estimate DIRECTLY from raw events — equality holds
+    // because bucket-wise max is associative (merge == direct, the
+    // q47 argument), which is exactly the property that makes the
+    // streaming merge path safe.
+    "st22_stream_hll" -> Q {
+      """WITH h AS (
+        |  SELECT CAST(event_id % 4 AS BIGINT) AS slice, event_type,
+        |         list_reduce(list_transform(
+        |             string_split(md5(CAST(user_id AS VARCHAR)), ''),
+        |             c -> CAST(ascii(c) AS BIGINT)),
+        |           (acc, x) -> (acc * 31 + x) % 1073741789) * 1073741824 +
+        |         list_reduce(list_transform(
+        |             string_split(md5(CAST(user_id AS VARCHAR)), ''),
+        |             c -> CAST(ascii(c) AS BIGINT)),
+        |           (acc, x) -> (acc * 131 + x) % 1073741783) AS hh
+        |  FROM events),
+        |p AS (
+        |  SELECT a.range AS batch, event_type,
+        |         hh % 256 AS bucket,
+        |         CASE WHEN hh // 256 = 0 THEN 53
+        |              ELSE 53 - length(bin(hh // 256)) END AS rank
+        |  FROM h, range(4) a WHERE h.slice <= a.range),
+        |mx AS (SELECT batch, event_type, bucket, max(rank) AS rank
+        |       FROM p GROUP BY 1, 2, 3),
+        |agg AS (
+        |  SELECT batch, event_type,
+        |         CAST(sum(1::BIGINT << CAST(53 - rank AS INT)) AS BIGINT)
+        |           AS sp,
+        |         count(*) AS nb
+        |  FROM mx GROUP BY 1, 2),
+        |raw AS (
+        |  SELECT batch, event_type, nb,
+        |         (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+        |           * 9007199254740992.0
+        |           / CAST(sp + (256 - nb) * 9007199254740992 AS DOUBLE)
+        |           AS r
+        |  FROM agg)
+        |SELECT batch, event_type, nb,
+        |       round(CASE WHEN r <= 640.0 AND nb < 256
+        |             THEN 256.0 * ln(256.0 / CAST(256 - nb AS DOUBLE))
+        |             ELSE r END, 4) AS hll_est
+        |FROM raw ORDER BY batch, event_type""".stripMargin
+    } { (s, d) =>
+      val root = freshDir(s"st22-${d.replaceAll("[^0-9a-zA-Z.]", "_")}")
+      withShufflePartitions(s, 8) {
+        graft.streaming.StreamSketch.run(s, Tables.events(s, d),
+          root.toString, nSlices = 4)
+      }
     }
   )
 }

@@ -53,8 +53,10 @@ object StreamQuarantine {
       thresholdPpm: Long = StreamRefit.ThresholdPpm): Unit = {
     val spark = batch.sparkSession
     StreamDrift.processBatch(batch, batchId, root, StreamRefit.axis)
+    // getOrElse: an empty micro-batch has no histogram row; its
+    // drift-test limit is "clean" (drift_num = 0 — see StreamRefit)
     val fired = StreamRefit.decisions(spark, root, thresholdPpm)
-      .toMap.apply(batchId)
+      .toMap.getOrElse(batchId, false)
     val route = if (fired) "quarantine" else "corpus"
     batch.select(col("doc_id"), col("text"), col("lang"))
       .write.mode("overwrite")

@@ -90,7 +90,11 @@ object StreamRefit {
       .write.mode("overwrite").parquet(s"$root/docs/batch=$batchId")
     StreamDrift.processBatch(batch, batchId, root, axis)
     val dec = decisions(spark, root, thresholdPpm).toMap
-    if (batchId == 0L || dec(batchId)) {
+    // getOrElse: an EMPTY micro-batch writes a zero-row histogram, so
+    // the report carries no row for it — and the empty-batch limit of
+    // the drift test is "clean" (drift_num = 0), so absent == false
+    // rather than a NoSuchElementException killing the stream
+    if (batchId == 0L || dec.getOrElse(batchId, false)) {
       // clean pool: batches up to b that never fired (excludes a
       // firing b itself; batch 0 has no prior so it never fires)
       val clean = dec.toSeq.collect {

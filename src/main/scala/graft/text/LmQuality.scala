@@ -124,6 +124,12 @@ object LmQuality {
     }
     val pool = docs.filter(col(textCol).isNotNull)
     val (cnt, tot) = lmCounts(pool.filter(isRef), textCol)
+    // an empty reference corpus would silently degenerate to a uniform
+    // LM (every ratio 1/θ — everything buckets 'tail'); that is never
+    // what a caller meant, so fail loudly at construction
+    require(tot > 0,
+      "LmQuality.scored: the reference predicate selected no documents" +
+        " (or only NULL texts) — the LM cannot be fit on an empty corpus")
     val rHead = ratioTable(cnt, tot, HeadGm)
     val rTail = ratioTable(cnt, tot, TailGm)
     val mass = cnt.map(c => (c + 1).toDouble)

@@ -125,6 +125,15 @@ class LmQualitySpec extends SparkSpec {
     ens.values.map(_._5).toSet.size should be >= 3
   }
 
+  test("an empty reference corpus is rejected at construction (it would " +
+      "silently fit a uniform LM that buckets everything 'tail')") {
+    val df = corpus.toDF("doc_id", "text", "source")
+    val e = intercept[IllegalArgumentException] {
+      LmQuality.scored(df, col("source") === "no-such-source")
+    }
+    e.getMessage should include("reference")
+  }
+
   test("a whitespace-only text scores through the empty-token path") {
     val df = (corpus :+ ((104L, "   ", "pool")))
       .toDF("doc_id", "text", "source")

@@ -570,4 +570,37 @@ class StreamingSpec extends SparkSpec {
     // the docs physically landed
     StreamRefit.decisions(spark, root).toMap.apply(2L) shouldBe true
   }
+
+  test("st22 streaming HLL: stream == direct per-prefix reference, the " +
+      "final merge equals the whole-corpus estimate, replay idempotent") {
+    import graft.streaming.StreamSketch
+    val ev = graft.sources.Tables.events(spark, SfDir)
+    val root = java.nio.file.Files
+      .createTempDirectory("st22spec").toString
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val streamed = rows(StreamSketch.run(spark, ev, root, nSlices = 4))
+    // merge-of-stored-partials == direct estimate per prefix (the
+    // associativity of bucket-wise max, checked end to end)
+    streamed shouldBe rows(StreamSketch.batchReference(ev, nSlices = 4))
+    // the last prefix is the whole corpus: the streaming merge must
+    // equal the one-shot q44-style estimate exactly
+    val whole = graft.functions.Hll.distinctEstimate(
+        ev, Seq("event_type"), $"user_id")
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val last = streamed.filter(_._1 == 3L).map(t => (t._2, t._3, t._4))
+    last shouldBe whole
+    // nb (buckets hit) is monotone along the prefix chain per type
+    streamed.groupBy(_._2).values.foreach { g =>
+      val nbs = g.sortBy(_._1).map(_._3)
+      nbs shouldBe nbs.sorted
+    }
+    // whole-batch replay: re-sketching an already-stored batch
+    // overwrites identical rows, the report is unchanged
+    StreamSketch.processBatch(
+      ev.filter(pmod($"event_id", lit(4L)) === 1L), 1L, root)
+    rows(StreamSketch.report(spark, root)) shouldBe streamed
+  }
 }
