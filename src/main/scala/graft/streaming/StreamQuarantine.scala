@@ -51,6 +51,10 @@ object StreamQuarantine {
   /** One micro-batch: histogram → decision → routed write. */
   def processBatch(batch: DataFrame, batchId: Long, root: String,
       thresholdPpm: Long = StreamRefit.ThresholdPpm): Unit = {
+    // same lineage rule as StreamRefit: a restart with a different
+    // threshold would re-decide old batches differently and leave a
+    // batch's docs present under BOTH route directories
+    StreamRefit.enforceThresholdLineage(root, thresholdPpm)
     val spark = batch.sparkSession
     StreamDrift.processBatch(batch, batchId, root, StreamRefit.axis)
     // getOrElse: an empty micro-batch has no histogram row; its

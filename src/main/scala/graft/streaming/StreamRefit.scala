@@ -66,6 +66,30 @@ object StreamRefit {
     * before any quality score moves (so the refit triggers early). */
   def axis: org.apache.spark.sql.Column = StreamDrift.tokenLogBucket
 
+  /** Threshold LINEAGE guard: decisions — and therefore st20's version
+    * numbering and st21's routes — are a function of `thresholdPpm`, so
+    * a stream RESTARTED against the same root with a different
+    * threshold would silently interleave two regimes' histories into
+    * one MERGE-keyed weights table / routed store. The first batch pins
+    * the threshold in a root-level marker; every later batch (including
+    * replays and restarts) must match or fail loudly. */
+  private[streaming] def enforceThresholdLineage(root: String,
+      ppm: Long): Unit = {
+    val p = Paths.get(root, "threshold.ppm")
+    if (Files.exists(p)) {
+      val prev = new String(Files.readAllBytes(p),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      require(prev == ppm,
+        s"StreamRefit: root $root was built with thresholdPpm=$prev — " +
+          s"refusing to continue with $ppm; decisions/version numbering " +
+          "would interleave two regimes. Start a fresh root.")
+    } else {
+      Files.createDirectories(Paths.get(root))
+      Files.write(p, ppm.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+    }
+  }
+
   /** Firing decisions for every batch in the accumulated histogram
     * store, in batch order: exact integer cross-multiplied threshold
     * test in BigInt (drift_num · 10^6 and threshold · n · prev_n both
@@ -84,6 +108,7 @@ object StreamRefit {
     * under whole-batch replay (see class doc). */
   def processBatch(batch: DataFrame, batchId: Long, root: String,
       thresholdPpm: Long = ThresholdPpm): Unit = {
+    enforceThresholdLineage(root, thresholdPpm)
     val spark = batch.sparkSession
     import spark.implicits._
     batch.select(col("doc_id"), col("text"), col("lang"))

@@ -569,6 +569,15 @@ class StreamingSpec extends SparkSpec {
     // the route decision table StreamRefit derives agrees with where
     // the docs physically landed
     StreamRefit.decisions(spark, root).toMap.apply(2L) shouldBe true
+    // threshold LINEAGE: a restart against the same root with a
+    // different threshold would re-decide old batches and leave a
+    // batch under BOTH route directories — refused loudly instead
+    val e = intercept[IllegalArgumentException] {
+      StreamQuarantine.processBatch(
+        docs.filter(pmod($"doc_id", lit(3L)) === 1L), 1L, root,
+        thresholdPpm = 999999L)
+    }
+    e.getMessage should include("thresholdPpm")
   }
 
   test("st22 streaming HLL: stream == direct per-prefix reference, the " +
