@@ -665,7 +665,14 @@ object ZipfScaleProbe {
     // new hashed features), the adversarial direction for a fixed
     // 64-bucket feature space: gradients stay 64 cells, scans stay
     // linear, whatever the feature cardinality
-    "t35_classifier_train")
+    "t35_classifier_train",
+    // round-14: the label-free LM on the same vocabulary-multiplying
+    // axis — the reference fit folds 100x as many distinct features
+    // into the same 64 smoothing buckets (collision saturation), and
+    // the ratio table must stay a bounded 64-row collect regardless
+    "t39_lm_quality",
+    // the ensemble's three fused signals under the same profile
+    "t40_quality_ensemble")
 
   private val IdStride = 10000000L
 
