@@ -373,6 +373,23 @@ class PlanSpec extends SparkSpec {
     plan should not include "Exchange"
   }
 
+  test("st22 per-batch HLL sketch keeps a map-side partial max: the " +
+      "shuffle carries <= |types|*256 combiner cells, never raw events") {
+    // the property that bounds streaming distinct-count state at any
+    // batch size — if the partial agg ever disappeared, every event
+    // row would cross the wire per batch
+    import org.apache.spark.sql.functions.col
+    val sk = graft.functions.Hll.sketch(
+      graft.sources.Tables.events(spark, SfDir), Seq("event_type"),
+      col("user_id"))
+    sk.collect()
+    val plan = sk.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    plan should include("partial_max")
+    plan should not include "Join"
+    "Window\\b".r.findAllIn(plan).size shouldBe 0
+  }
+
   test("t29 temperature mix broadcasts the per-source rate table") {
     val plan = formattedPlan("t29_temperature_mix")
     plan should include ("BroadcastHashJoin")
