@@ -749,7 +749,7 @@ object StreamingQueries {
          |  SELECT doc_id,
          |         round(least(n::DOUBLE / 50.0, 1.0) * 0.5 +
          |               (stop_n::DOUBLE / n::DOUBLE) * 0.3 +
-         |               (1.0 - punct_n::DOUBLE / chars::DOUBLE) * 0.2, 4)
+         |               (1.0 - CASE WHEN chars = 0 THEN 0.0 ELSE punct_n::DOUBLE / chars::DOUBLE END) * 0.2, 4)
          |           AS quality
          |  FROM (
          |    SELECT doc_id,
@@ -1023,15 +1023,19 @@ object StreamingQueries {
 
     // streaming MERGEABLE-SKETCH state: per-batch HLL sketches of
     // distinct users (q44's engine-portable, bit-deterministic sketch),
-    // merged by bucket-wise max into an as-of "distinct users so far"
-    // report after every arrival wave — per-batch state is <=
-    // |types|·256 rows FOREVER where an exact streaming
-    // count(DISTINCT) grows with the user universe. The oracle never
-    // sees the stored partials: it computes each event_id-mod-4
-    // prefix's estimate DIRECTLY from raw events — equality holds
-    // because bucket-wise max is associative (merge == direct, the
-    // q47 argument), which is exactly the property that makes the
-    // streaming merge path safe.
+    // folded into a running CHECKPOINT (cum/batch=b = bucket-wise max
+    // of cum/batch=b-1 and batch b — associativity makes the
+    // checkpoint equal the full prefix merge at two <= |types|·256-row
+    // frames per batch, bounding the stream-lifetime axis the r14
+    // prefix self-join left quadratic). The oracle never sees the
+    // stored state: it computes each event_id-mod-4 prefix's estimate
+    // DIRECTLY from raw events over the EXPLICIT range(4) prefix set —
+    // which now matches the Spark side exactly even for an empty
+    // arrival slice, because the checkpoint carries forward and emits
+    // that batch's as-of row (spec-pinned; closes the r14 ADVICE
+    // range(4)-assumption edge). Equality holds because bucket-wise
+    // max is associative (merge == direct, the q47 argument) — exactly
+    // the property that makes the streaming merge path safe.
     "st22_stream_hll" -> Q {
       """WITH h AS (
         |  SELECT CAST(event_id % 4 AS BIGINT) AS slice, event_type,

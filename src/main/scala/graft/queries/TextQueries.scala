@@ -213,7 +213,7 @@ object TextQueries {
       s"""SELECT doc_id,
          |       round(least(n::DOUBLE / 50.0, 1.0) * 0.5 +
          |             (stop_n::DOUBLE / n::DOUBLE) * 0.3 +
-         |             (1.0 - punct_n::DOUBLE / chars::DOUBLE) * 0.2, 4) AS quality
+         |             (1.0 - CASE WHEN chars = 0 THEN 0.0 ELSE punct_n::DOUBLE / chars::DOUBLE END) * 0.2, 4) AS quality
          |FROM (
          |  SELECT doc_id,
          |         len(string_split($norm, ' ')) AS n,
@@ -630,7 +630,7 @@ object TextQueries {
          |sig AS (SELECT doc_id,
          |          round(least(n::DOUBLE / 50.0, 1.0) * 0.5 +
          |                (stop_n::DOUBLE / n::DOUBLE) * 0.3 +
-         |                (1.0 - punct_n::DOUBLE / chars::DOUBLE) * 0.2, 4)
+         |                (1.0 - CASE WHEN chars = 0 THEN 0.0 ELSE punct_n::DOUBLE / chars::DOUBLE END) * 0.2, 4)
          |            AS quality,
          |          $classifierScoreSql AS score,
          |          CASE WHEN list_reduce(list_transform(fs, t ->
@@ -908,7 +908,7 @@ object TextQueries {
          |  SELECT doc_id,
          |         round(least(n::DOUBLE / 50.0, 1.0) * 0.5 +
          |               (stop_n::DOUBLE / n::DOUBLE) * 0.3 +
-         |               (1.0 - punct_n::DOUBLE / chars::DOUBLE) * 0.2, 4)
+         |               (1.0 - CASE WHEN chars = 0 THEN 0.0 ELSE punct_n::DOUBLE / chars::DOUBLE END) * 0.2, 4)
          |           AS quality
          |  FROM (
          |    SELECT doc_id,
@@ -1388,7 +1388,7 @@ object TextQueries {
          |  SELECT doc_id,
          |         round(least(n::DOUBLE / 50.0, 1.0) * 0.5 +
          |               (stop_n::DOUBLE / n::DOUBLE) * 0.3 +
-         |               (1.0 - punct_n::DOUBLE / chars::DOUBLE) * 0.2, 4)
+         |               (1.0 - CASE WHEN chars = 0 THEN 0.0 ELSE punct_n::DOUBLE / chars::DOUBLE END) * 0.2, 4)
          |           AS quality
          |  FROM (
          |    SELECT doc_id,

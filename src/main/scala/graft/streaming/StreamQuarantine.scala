@@ -22,10 +22,11 @@ import graft.sources.Topic
   *     token-length log-buckets) to the accumulated `hist/batch=<id>`
   *     store — overwrite-idempotent, ≤ ~12 cells;
   *  2. decide THIS batch's firing from the accumulated store
-  *     ([[StreamRefit.decisions]]: exact integer cross-multiplied
+  *     ([[StreamRefit.decisionFor]]: exact integer cross-multiplied
   *     threshold test in BigInt against strictly-earlier batches —
   *     later batches' histograms, present during a replay, never
-  *     enter batch b's prev-side sums);
+  *     enter batch b's prev-side sums) and record it in the
+  *     append-only `dec/` store;
   *  3. write the batch's documents to
   *     `routed/route=<corpus|quarantine>/batch=<id>` — the route is a
   *     deterministic function of the accumulated store, so a
@@ -39,10 +40,11 @@ import graft.sources.Topic
   * 150000 threshold); a divergent Spark-side decision routes a whole
   * batch differently and goes hash-red on every one of its rows.
   *
-  * Scale shape: per batch one ≤ ~12-cell histogram agg, one bounded
-  * decisions collect (one row per batch seen), and one partitioned
-  * append of the batch itself — O(batch), never a re-scan of the
-  * accumulated corpus. The routed store is partitioned by
+  * Scale shape: per batch one ≤ ~12-cell histogram agg, ONE bounded
+  * own-decision collect (strictly-earlier histogram cells only — no
+  * per-arrival re-derivation of every stored batch), and one
+  * partitioned append of the batch itself — O(batch), never a re-scan
+  * of the accumulated corpus. The routed store is partitioned by
   * (route, batch), so downstream consumers prune to `route=corpus`
   * at the parquet-scan level: the quarantine never costs them a read.
   */
@@ -57,10 +59,13 @@ object StreamQuarantine {
     StreamRefit.enforceThresholdLineage(root, thresholdPpm)
     val spark = batch.sparkSession
     StreamDrift.processBatch(batch, batchId, root, StreamRefit.axis)
-    // getOrElse: an empty micro-batch has no histogram row; its
-    // drift-test limit is "clean" (drift_num = 0 — see StreamRefit)
-    val fired = StreamRefit.decisions(spark, root, thresholdPpm)
-      .toMap.getOrElse(batchId, false)
+    // the route needs ONLY this batch's decision — one bounded
+    // decisionFor collect against strictly-earlier histograms, stored
+    // append-only so audits/replays read instead of re-deriving (an
+    // empty micro-batch has no histogram rows and its drift-test limit
+    // is clean: drift_num = 0 — see StreamRefit)
+    val fired = StreamRefit.decisionFor(spark, root, batchId, thresholdPpm)
+    StreamRefit.writeDecision(root, batchId, fired)
     val route = if (fired) "quarantine" else "corpus"
     batch.select(col("doc_id"), col("text"), col("lang"))
       .write.mode("overwrite")

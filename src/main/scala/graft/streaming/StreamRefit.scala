@@ -21,12 +21,16 @@ import graft.text.ClassifierTrain
   *  1. persist the batch's documents to `docs/batch=<id>` and its
   *     bucket histogram to the st17-pattern `hist/batch=<id>` store —
   *     both overwrite-idempotent;
-  *  2. recompute the firing DECISIONS of every batch seen so far from
-  *     the accumulated histogram store (bounded driver data: one row
-  *     per batch × ≤ ~51 buckets): batch b fires when
+  *  2. compute ONLY this batch's firing decision from the accumulated
+  *     histogram store (one bounded collect of ≤ batches × ~51 cells):
+  *     batch b fires when
   *     `drift_num · 10^6 > thresholdPpm · n_b · prev_n_b` — the exact
   *     integer cross-multiplied form of "drift ratio > threshold",
-  *     evaluated in BigInt so petabyte-scale counts cannot overflow;
+  *     evaluated in BigInt so petabyte-scale counts cannot overflow —
+  *     and store it in the append-only `dec/` store; earlier batches'
+  *     decisions are READ, never re-derived (decisions depend only on
+  *     strictly-earlier state, so stored bytes are replay-identical
+  *     and per-batch cost stays flat on the stream-lifetime axis);
   *  3. batch 0 BOOTSTRAPS version 1 (a serving gate needs a model from
   *     the first batch); a FIRING batch b is SUSPECT — the refit
   *     trains on the clean batches BEFORE it ({c ≤ b : ¬fired(c)},
@@ -46,12 +50,13 @@ import graft.text.ClassifierTrain
   * divergent firing decision on the Spark side would surface as a
   * missing/extra version or a wrong fired_batch, going hash-red.
   *
-  * Scale shape: per batch, one histogram agg (≤ ~51 cells), one
-  * bounded decisions collect, and — only on firing batches — k
-  * perceptron scans of the clean store (each the t35 scan shape:
-  * map-side native scoring, ≤ Dim-cell partial agg, ≤ Dim-row
-  * collect). The weights table is Dim rows per version, forever
-  * broadcast-sized.
+  * Scale shape: per batch, one histogram agg (≤ ~51 cells), ONE
+  * bounded own-decision collect (earlier decisions read from the
+  * append-only store — never re-derived per arrival), and — only on
+  * firing batches — k perceptron scans of the clean store (each the
+  * t35 scan shape: map-side native scoring, ≤ Dim-cell partial agg,
+  * ≤ Dim-row collect). The weights table is Dim rows per version,
+  * forever broadcast-sized.
   */
 object StreamRefit {
 
@@ -84,6 +89,17 @@ object StreamRefit {
           s"refusing to continue with $ppm; decisions/version numbering " +
           "would interleave two regimes. Start a fresh root.")
     } else {
+      // write the marker only alongside a FRESH history: a markerless
+      // root that already carries hist/ batches predates the lineage
+      // guard (or lost its marker), and blessing it with whatever
+      // threshold the restarting stream happens to pass is exactly the
+      // interleaving the marker exists to prevent — fail loudly
+      // instead of adopting the new threshold retroactively.
+      require(!Files.exists(Paths.get(root, "hist")),
+        s"StreamRefit: root $root already has hist/ batches but no " +
+          "threshold.ppm marker — cannot verify its decision lineage " +
+          s"against thresholdPpm=$ppm. Start a fresh root (or restore " +
+          "the original marker).")
       Files.createDirectories(Paths.get(root))
       Files.write(p, ppm.toString.getBytes(
         java.nio.charset.StandardCharsets.UTF_8))
@@ -94,7 +110,15 @@ object StreamRefit {
     * store, in batch order: exact integer cross-multiplied threshold
     * test in BigInt (drift_num · 10^6 and threshold · n · prev_n both
     * exceed Long range at petabyte batch counts). Bounded driver
-    * action: one row per batch. */
+    * action: one row per batch.
+    *
+    * FULL derivation — joins frames of |batches|² shape inside
+    * [[StreamDrift.report]], so it is an audit/report entry point, NOT
+    * the per-batch path: [[processBatch]] computes only ITS batch's
+    * decision ([[decisionFor]]) and reads earlier ones from the
+    * append-only `dec/` store, keeping per-batch cost flat on the
+    * stream-lifetime axis (a topic alive for millions of micro-batches
+    * must not pay a growing re-derivation every arrival). */
   def decisions(spark: SparkSession, root: String,
       thresholdPpm: Long = ThresholdPpm): Seq[(Long, Boolean)] =
     StreamDrift.report(spark, root).collect().toSeq.map { r =>
@@ -103,6 +127,79 @@ object StreamRefit {
       b -> (BigInt(driftNum) * 1000000 >
         BigInt(thresholdPpm) * BigInt(n) * BigInt(prevN))
     }
+
+  /** ONLY batch `batchId`'s firing decision, from the accumulated
+    * histogram store: its own histogram against the summed histograms
+    * of strictly-earlier batches (later batches' cells, present during
+    * a replay, are filtered out — so a late replay recomputes the
+    * identical decision). One bounded collect of ≤ |batches ≤ b| × ~51
+    * cells; the exact BigInt cross-multiplied test of [[decisions]].
+    * An empty batch (no histogram rows) is clean: drift_num = 0. */
+  def decisionFor(spark: SparkSession, root: String, batchId: Long,
+      thresholdPpm: Long = ThresholdPpm): Boolean = {
+    val cells = spark.read.parquet(s"$root/hist")
+      .select(col("batch").cast("long").as("batch"), col("bucket"),
+        col("cnt").cast("long").as("cnt"))
+      .filter(col("batch") <= batchId)
+      .collect() // bounded: <= batches x ~51 histogram cells
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val cur = cells.collect { case (b, k, c) if b == batchId => k -> c }
+      .groupMapReduce(_._1)(_._2)(_ + _)
+    val prev = cells.collect { case (b, k, c) if b < batchId => k -> c }
+      .groupMapReduce(_._1)(_._2)(_ + _)
+    val n = BigInt(cur.values.sum)
+    val prevN = BigInt(prev.values.sum)
+    val driftNum = (cur.keySet ++ prev.keySet).toSeq.map { k =>
+      (BigInt(cur.getOrElse(k, 0L)) * prevN -
+        BigInt(prev.getOrElse(k, 0L)) * n).abs
+    }.sum
+    driftNum * 1000000 > BigInt(thresholdPpm) * n * prevN
+  }
+
+  /** Append-only decision store: `dec/batch-<id>` holds `1` (fired) or
+    * `0` (clean). Each batch writes only ITS decision — a pure function
+    * of strictly-earlier histogram state, so a whole-batch replay
+    * overwrites the identical byte and later batches READ instead of
+    * re-deriving (the fix for per-arrival re-derivation growing
+    * linearly with batches seen, total quadratic over the stream's
+    * lifetime). A missing file self-heals through [[decisionFor]]. */
+  private[streaming] def writeDecision(root: String, batchId: Long,
+      fired: Boolean): Unit = {
+    Files.createDirectories(Paths.get(root, "dec"))
+    Files.write(Paths.get(root, "dec", s"batch-$batchId"),
+      (if (fired) "1" else "0").getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  private[streaming] def readDecision(root: String,
+      batchId: Long): Option[Boolean] = {
+    val p = Paths.get(root, "dec", s"batch-$batchId")
+    if (!Files.exists(p)) None
+    else Some(new String(Files.readAllBytes(p),
+      java.nio.charset.StandardCharsets.UTF_8).trim == "1")
+  }
+
+  /** Decisions for every histogram batch ≤ `batchId`: stored bytes
+    * where present, [[decisionFor]] (then stored — self-heal) where
+    * not. The batch set comes from the hist store's directories, so
+    * non-contiguous ids and replays with later batches present both
+    * resolve correctly. */
+  private[streaming] def decisionsUpTo(spark: SparkSession, root: String,
+      batchId: Long, thresholdPpm: Long): Map[Long, Boolean] = {
+    val dirs = Option(new java.io.File(root, "hist").listFiles())
+      .getOrElse(Array.empty)
+    val known = dirs.toSeq.map(_.getName)
+      .collect { case n if n.startsWith("batch=") =>
+        n.stripPrefix("batch=").toLong }
+      .filter(_ <= batchId).sorted
+    known.map { b =>
+      b -> readDecision(root, b).getOrElse {
+        val d = decisionFor(spark, root, b, thresholdPpm)
+        writeDecision(root, b, d)
+        d
+      }
+    }.toMap
+  }
 
   /** One micro-batch's work — store, decide, maybe refit. Idempotent
     * under whole-batch replay (see class doc). */
@@ -114,12 +211,16 @@ object StreamRefit {
     batch.select(col("doc_id"), col("text"), col("lang"))
       .write.mode("overwrite").parquet(s"$root/docs/batch=$batchId")
     StreamDrift.processBatch(batch, batchId, root, axis)
-    val dec = decisions(spark, root, thresholdPpm).toMap
-    // getOrElse: an EMPTY micro-batch writes a zero-row histogram, so
-    // the report carries no row for it — and the empty-batch limit of
-    // the drift test is "clean" (drift_num = 0), so absent == false
-    // rather than a NoSuchElementException killing the stream
-    if (batchId == 0L || dec.getOrElse(batchId, false)) {
+    // ONLY this batch's decision is derived (one bounded collect);
+    // strictly-earlier batches' decisions come from the append-only
+    // dec/ store, so per-batch cost stays flat on the stream-lifetime
+    // axis instead of re-deriving every stored batch per arrival.
+    // An EMPTY micro-batch writes a zero-row histogram and its drift
+    // limit is clean (drift_num = 0) — decisionFor returns false.
+    val own = decisionFor(spark, root, batchId, thresholdPpm)
+    writeDecision(root, batchId, own)
+    val dec = decisionsUpTo(spark, root, batchId, thresholdPpm)
+    if (batchId == 0L || own) {
       // clean pool: batches up to b that never fired (excludes a
       // firing b itself; batch 0 has no prior so it never fires)
       val clean = dec.toSeq.collect {

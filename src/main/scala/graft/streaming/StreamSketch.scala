@@ -22,10 +22,13 @@ import graft.sources.Topic
   *
   * Per micro-batch: ONE map-side projection (hash → bucket/rank) + a
   * partial-aggregated `max(rank)` per (event_type, bucket), written
-  * overwrite-idempotent to `sketch/batch=<id>`. The report derives,
-  * for every batch b, the estimate over the bucket-wise max of
-  * batches ≤ b — frames of |batches| × |types| × 256 rows,
-  * broadcast-sized forever. Batches are event_id-mod-nSlices arrival
+  * overwrite-idempotent to `sketch/batch=<id>`, then folded into a
+  * RUNNING CHECKPOINT `cum/batch=<id>` (bucket-wise max of the
+  * predecessor checkpoint and this batch — associativity makes the
+  * checkpoint equal the full prefix merge, at two ≤ |types|·256-row
+  * frames per batch FOREVER). The report reads one checkpoint per
+  * as-of row — linear in batches, never the quadratic prefix
+  * self-join over all stored partials. Batches are event_id-mod-nSlices arrival
   * waves with mtime-forced order, so plain SQL replays both the
   * membership and (because merge == direct on any prefix — the q47
   * associativity argument) the whole report: the oracle computes each
@@ -48,27 +51,59 @@ object StreamSketch {
 
   /** One micro-batch's work: the batch's per-(event_type, bucket) max
     * rank — ≤ |types|·256 rows at ANY batch size — written
-    * idempotently to its own subdirectory. */
-  def processBatch(batch: DataFrame, batchId: Long, root: String): Unit =
+    * idempotently to its own subdirectory, then CHECKPOINT-COMPACTED:
+    * `cum/batch=b` = bucket-wise max of `cum/batch=b-1` and this
+    * batch's sketch. Bucket-wise max is associative, so the running
+    * checkpoint IS the merge of all partials ≤ b — per-batch
+    * derivation cost is two ≤ |types|·256-row frames FOREVER, where
+    * the prefix self-join this replaced re-merged every stored partial
+    * on every report (per-batch cost linear in batches seen, total
+    * quadratic over the stream's lifetime). Replay-idempotent:
+    * `cum/b` is a pure function of `cum/b-1` (strictly-earlier state)
+    * and batch b's rows, so a whole-batch replay overwrites identical
+    * rows. A missing predecessor checkpoint (pre-upgrade root) self-
+    * heals by merging the stored per-batch partials ≤ b once. */
+  def processBatch(batch: DataFrame, batchId: Long, root: String): Unit = {
+    val spark = batch.sparkSession
     Hll.sketch(batch, Seq("event_type"), col("user_id"))
       .write.mode("overwrite").parquet(s"$root/sketch/batch=$batchId")
+    val own = spark.read.parquet(s"$root/sketch/batch=$batchId")
+      .select(col("event_type"), col("bucket"), col("rank"))
+    val prevDir = Paths.get(s"$root/cum/batch=${batchId - 1}")
+    val cum =
+      if (batchId == 0L) own
+      else if (Files.exists(prevDir))
+        Hll.merge(
+          spark.read.parquet(prevDir.toString)
+            .select(col("event_type"), col("bucket"), col("rank")),
+          own, Seq("event_type"))
+      else {
+        // self-heal: merge every stored per-batch partial <= b (later
+        // batches' partials, present during a replay, filtered out)
+        val all = spark.read.parquet(s"$root/sketch")
+          .filter(col("batch").cast("long") <= batchId)
+          .select(col("event_type"), col("bucket"), col("rank"))
+        all.groupBy(col("event_type"), col("bucket"))
+          .agg(max("rank").as("rank"))
+      }
+    cum.write.mode("overwrite").parquet(s"$root/cum/batch=$batchId")
+  }
 
-  /** The as-of report from the accumulated sketch store: for every
-    * batch b, the HLL distinct-user estimate per event_type over
-    * everything that arrived in batches ≤ b (bucket-wise max merge,
-    * then the q44 estimator tail). */
+  /** The as-of report from the checkpoint store: for every batch b,
+    * the HLL distinct-user estimate per event_type over everything
+    * that arrived in batches ≤ b. Each prefix reads ONE checkpoint
+    * (≤ |types|·256 rows) — no prefix self-join over the stored
+    * partials, so report cost is linear in batches, not quadratic.
+    * An EMPTY arrival slice still carries its predecessor's checkpoint
+    * forward, so every batch gets its as-of row — matching the
+    * oracle's explicit 0..nSlices-1 prefix enumeration (the round-14
+    * ADVICE edge: the old observed-partials derivation dropped the
+    * row for an empty slice). */
   def report(spark: SparkSession, root: String): DataFrame = {
-    val sk = spark.read.parquet(s"$root/sketch")
-      .select(col("batch").cast("long").as("sk_batch"),
+    val cum = spark.read.parquet(s"$root/cum")
+      .select(col("batch").cast("long").as("batch"),
         col("event_type"), col("bucket"), col("rank"))
-    // aliases: `asof` derives from `sk`, so a bare column reference in
-    // the self-join condition would be ambiguous lineage
-    val asof = sk.select(col("sk_batch").as("batch")).distinct().alias("a")
-    val merged = asof
-      .join(sk.alias("s"), col("s.sk_batch") <= col("a.batch"))
-      .groupBy(col("batch"), col("event_type"), col("bucket"))
-      .agg(max("rank").as("rank"))
-    Hll.estimate(merged, Seq("batch", "event_type"))
+    Hll.estimate(cum, Seq("batch", "event_type"))
       .orderBy("batch", "event_type")
   }
 
@@ -94,14 +129,18 @@ object StreamSketch {
   /** The same as-of report computed without the stream (batch =
     * event_id mod nSlices, direct estimate per prefix — no stored
     * partials at all): merge == direct because bucket-wise max is
-    * associative, so this IS the spec's invariance reference. */
+    * associative, so this IS the spec's invariance reference. The
+    * prefix set is the EXPLICIT 0..nSlices-1 enumeration (matching
+    * the oracle's range CTE and the checkpoint carry-forward), not
+    * the observed slices — an empty arrival slice still gets its
+    * as-of row over everything before it. */
   def batchReference(events: DataFrame, nSlices: Int = 4): DataFrame = {
+    val spark = events.sparkSession
     val sliced = events.select(
       pmod(col("event_id"), lit(nSlices.toLong)).as("slice"),
       col("event_type"), col("user_id"))
-    val asof = sliced.select(col("slice").as("batch")).distinct().alias("a")
-    val prefixed = asof.join(sliced.alias("s"),
-      col("s.slice") <= col("a.batch"))
+    val asof = spark.range(nSlices).select(col("id").as("batch"))
+    val prefixed = asof.join(sliced, col("slice") <= col("batch"))
     Hll.distinctEstimate(prefixed, Seq("batch", "event_type"),
         col("user_id"))
       .orderBy("batch", "event_type")

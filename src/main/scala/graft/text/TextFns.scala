@@ -101,12 +101,22 @@ object TextFns {
   /** Composite document quality score in [0,1]: length credit (capped),
     * stopword-rate credit (natural prose has stopwords), punctuation
     * penalty. Weights mirror common corpus-quality heuristics; the
-    * DuckDB oracle reproduces the formula verbatim. */
+    * DuckDB oracle reproduces the formula verbatim.
+    *
+    * The punct ratio is guarded for an EMPTY normalized text (chars =
+    * 0, e.g. a whitespace-only document): unguarded, Spark's Divide
+    * yields NULL on 0/0 while DuckDB yields IEEE NaN — t02 merely
+    * emits the divergent value, but t40/t41 BRANCH on `quality >= 0.5`
+    * and DuckDB orders NaN above everything, so the same doc would
+    * gain a vote in one engine and not the other. Both engines now
+    * pin the ratio to 0 when chars = 0 (full punct credit — an empty
+    * doc already scores ~0 through the length and stopword terms). */
   def qualityScore(text: Column): Column = {
     val n = tokenCount(text).cast("double")
     val stopRatio = vocabHits(text, Stopwords).cast("double") / n
-    val punctRatio = punctCount(text).cast("double") /
-      length(normalize(text)).cast("double")
+    val chars = length(normalize(text)).cast("double")
+    val punctRatio = when(chars === 0.0, lit(0.0))
+      .otherwise(punctCount(text).cast("double") / chars)
     round(least(n / lit(50.0), lit(1.0)) * 0.5 + stopRatio * 0.3 +
       (lit(1.0) - punctRatio) * 0.2, 4)
   }

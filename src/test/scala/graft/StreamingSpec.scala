@@ -578,6 +578,17 @@ class StreamingSpec extends SparkSpec {
         thresholdPpm = 999999L)
     }
     e.getMessage should include("thresholdPpm")
+    // a MARKERLESS root that already carries hist/ batches (predates
+    // the guard, or lost its marker) must fail loudly instead of being
+    // silently blessed with whatever threshold the restart passes —
+    // the one interleaving case a first-sight marker write can't catch
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(root, "threshold.ppm"))
+    val e2 = intercept[IllegalArgumentException] {
+      StreamQuarantine.processBatch(
+        docs.filter(pmod($"doc_id", lit(3L)) === 1L), 1L, root)
+    }
+    e2.getMessage should include("no threshold.ppm marker")
   }
 
   test("st22 streaming HLL: stream == direct per-prefix reference, the " +
@@ -611,5 +622,30 @@ class StreamingSpec extends SparkSpec {
     StreamSketch.processBatch(
       ev.filter(pmod($"event_id", lit(4L)) === 1L), 1L, root)
     rows(StreamSketch.report(spark, root)) shouldBe streamed
+  }
+
+  test("st22 empty arrival slice: the checkpoint carries forward, so " +
+      "the empty batch still gets its as-of row (the r14 ADVICE edge)") {
+    import graft.streaming.StreamSketch
+    // slice 2 of 4 is EMPTY — under the old observed-partials
+    // derivation the batch-2 as-of row silently vanished Spark-side
+    // while the oracle's explicit prefix enumeration kept it
+    val ev = (0 until 40).filter(_ % 4 != 2)
+      .map(i => (i.toLong, s"type${i % 3}", (i % 7).toLong))
+      .toDF("event_id", "event_type", "user_id")
+    val root = java.nio.file.Files
+      .createTempDirectory("st22empty").toString
+    for (b <- 0L until 4L)
+      StreamSketch.processBatch(
+        ev.filter(pmod($"event_id", lit(4L)) === b), b, root)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val rep = rows(StreamSketch.report(spark, root))
+    rep shouldBe rows(StreamSketch.batchReference(ev, nSlices = 4))
+    // batch 2's rows exist and equal batch 1's (nothing arrived)
+    val by = rep.groupBy(_._1)
+    by(2L).map(t => (t._2, t._3, t._4)) shouldBe
+      by(1L).map(t => (t._2, t._3, t._4))
   }
 }

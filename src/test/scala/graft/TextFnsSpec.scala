@@ -29,6 +29,24 @@ class TextFnsSpec extends SparkSpec {
     qp.doubleValue should (be >= 0.0 and be <= 1.0)
   }
 
+  test("quality score on a whitespace-only document is defined, not " +
+      "NULL — the t40/t41 vote must not diverge on the chars=0 edge") {
+    // normalize("   ") = "" -> chars = 0: unguarded, Spark's 0/0
+    // punct ratio was NULL while DuckDB's was NaN (ordered ABOVE all
+    // values, so `quality >= 0.5` flipped cross-engine). The guard
+    // pins the ratio to 0; the score is the real number both engines
+    // now agree on: 1/50*0.5 + 0/1*0.3 + (1-0)*0.2 = 0.21 (the empty
+    // split contributes one empty token).
+    val q = one[java.lang.Double](TextFns.qualityScore($"text"), "   ")
+    q should not be null
+    q.doubleValue shouldBe 0.21 +- 1e-9
+    // and the t40 vote built on it is a real 0, never NULL
+    val vote = Seq("   ").toDF("text")
+      .select((TextFns.qualityScore($"text") >= 0.5).cast("long").as("v"))
+      .collect()(0).getLong(0)
+    vote shouldBe 0L
+  }
+
   test("profileId picks argmax profile, first wins ties") {
     val profiles = Seq("A" -> Seq("x"), "B" -> Seq("y"))
     one[String](TextFns.profileId($"text", profiles), "y y x") shouldBe "B"
