@@ -41,7 +41,7 @@ object CodegenAbProbe {
 
     val srcTag = new java.io.File(src).getName
     val dir = s"/tmp/graft-scale-$srcTag-$copies"
-    ScaleProbe.synthesize(spark, src, dir, copies)
+    val synthesized = ScaleProbe.synthesize(spark, src, dir, copies)
     val docs = sources.Tables.documents(spark, dir)
     val emb = sources.Tables.embeddings(spark, dir)
     val nDocs = docs.count()
@@ -200,6 +200,7 @@ object CodegenAbProbe {
     // were rep-scaled totals) — tooling diffing historical rows must
     // branch on this field, not assume a timing change
     val line = s"""{"metric":"codegen_ab","copies":$copies,""" +
+      s""""synthesis_run":$synthesized,""" +
       s""""sec_unit":"per_rep",""" +
       s""""interp":${js(interp)},"gen":${js(gen)},"reps":$repsJson,""" +
       s""""ratios":${ProbeLog.ratios(interp, gen)},"sf":"$src",${ProbeLog.hostJson()}}"""

@@ -191,7 +191,16 @@ object ProbeLog {
     val stealNote = num(n \ "host" \ "steal_pct").filter(_ > 0.0)
       .map(s => s" [ran under host steal_pct=${fmt(s, 2)} — hypervisor" +
         " contention likely; adjudicate against a quiet-host re-read]")
-      .getOrElse("")
+      .getOrElse("") + (n \ "synthesis_run" match {
+        // first run on a fresh corpus dir: the timed JVM carried the
+        // synthesis churn in its GC profile (the class that cost one
+        // adjudication per fresh-tmp round through r14) — the probe
+        // skips synthesis on _READY, so the immediate re-run is clean
+        case JBool(true) => " [synthesis_run=true — corpus synthesis " +
+          "shared the timed JVM; re-run (synthesis now skips on " +
+          "_READY) before adjudicating]"
+        case _ => ""
+      })
     val or = timeRatios(o)
     val timeRegs = timeRatios(n).toSeq.sortBy(_._1).flatMap { case (q, ntr) =>
       or.get(q).collect {

@@ -89,10 +89,14 @@ object ScaleProbe {
 
   /** Shared with [[CoresProbe]]: the same 10x near-dup docs+embeddings
     * corpus, so data-scaling and compute-scaling verdicts are
-    * comparable. */
+    * comparable. Returns true when THIS call synthesized (fresh dir) —
+    * probe mains record it as `synthesis_run` so the regression gate
+    * can annotate a timing firing whose GC profile carried the
+    * synthesis churn (the class that cost one adjudication per
+    * fresh-tmp round through r14). */
   private[graft] def synthesize(spark: SparkSession, src: String, dir: String,
-      copies: Int): Unit = {
-    if (new java.io.File(s"$dir/_READY").exists()) return
+      copies: Int): Boolean = {
+    if (new java.io.File(s"$dir/_READY").exists()) return false
     val docs = sources.Tables.documents(spark, src)
     (0 until copies).map { k =>
       val suffix = s" variant $k"
@@ -118,6 +122,7 @@ object ScaleProbe {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     new java.io.File(s"$dir/_READY").createNewFile()
+    true
   }
 
   def main(args: Array[String]): Unit = {
@@ -159,7 +164,7 @@ object ScaleProbe {
             e: Exception): Unit = ()
       })
 
-    synthesize(spark, src, dir, copies)
+    val synthesized = synthesize(spark, src, dir, copies)
 
     // Bench-style untimed warm-up (JIT/codegen/footer costs)
     val wdocs = sources.Tables.documents(spark, src)
@@ -278,6 +283,7 @@ object ScaleProbe {
     val metricName =
       if (copies == 10) "scale_probe" else s"scale_probe_${copies}x"
     val line = s"""{"metric":"$metricName","copies":$copies,""" +
+      s""""synthesis_run":$synthesized,""" +
       s""""base":${js(base)},"scaled":${js(scaled)},""" +
       s""""ratios":${ProbeLog.ratios(base, scaled)},""" +
       s""""scaled_sized":${js(sized)},"planes_sized":$planes,""" +
@@ -319,10 +325,11 @@ object EventScaleProbe {
   private val IdStride = 100000000L
 
   /** Shared with [[StreamScaleProbe]]: same 10x per-key-density events
-    * corpus, so batch and streaming verdicts are comparable. */
+    * corpus, so batch and streaming verdicts are comparable. Returns
+    * true when THIS call synthesized — see [[ScaleProbe.synthesize]]. */
   private[graft] def synthesize(spark: SparkSession, src: String, dir: String,
-      copies: Int): Unit = {
-    if (new java.io.File(s"$dir/_READY").exists()) return
+      copies: Int): Boolean = {
+    if (new java.io.File(s"$dir/_READY").exists()) return false
     val ev = sources.Tables.events(spark, src)
     (0 until copies).map { k =>
       if (k == 0) ev
@@ -334,6 +341,7 @@ object EventScaleProbe {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     new java.io.File(s"$dir/_READY").createNewFile()
+    true
   }
 
   def main(args: Array[String]): Unit = {
@@ -353,7 +361,7 @@ object EventScaleProbe {
     GraftExtensions.register(spark)
 
     val dir = s"/tmp/graft-evscale-${new java.io.File(src).getName}-$copies"
-    synthesize(spark, src, dir, copies)
+    val synthesized = synthesize(spark, src, dir, copies)
 
     val wev = sources.Tables.events(spark, src)
     wev.join(wev.select("event_id"), "event_id").agg(count(lit(1))).collect()
@@ -370,6 +378,7 @@ object EventScaleProbe {
     val metricName =
       if (copies == 10) "event_scale_probe" else s"event_scale_probe_${copies}x"
     val line = s"""{"metric":"$metricName","copies":$copies,""" +
+      s""""synthesis_run":$synthesized,""" +
       s""""base":${js(base)},"scaled":${js(scaled)},""" +
       s""""ratios":${ProbeLog.ratios(base, scaled)},"sf":"$src",${ProbeLog.hostJson()}}"""
     println(line)
@@ -413,8 +422,8 @@ object SkewProbe {
   private val DominantRun = Array.fill(66)("alpha").mkString(" ")
 
   private def synthesize(spark: SparkSession, src: String, dir: String,
-      copies: Int): Unit = {
-    if (new java.io.File(s"$dir/_READY").exists()) return
+      copies: Int): Boolean = {
+    if (new java.io.File(s"$dir/_READY").exists()) return false
     val docs = sources.Tables.documents(spark, src)
     (0 until copies).map { k =>
       val base = if (k == 0) docs else docs.select(
@@ -429,6 +438,7 @@ object SkewProbe {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     new java.io.File(s"$dir/_READY").createNewFile()
+    true
   }
 
   def main(args: Array[String]): Unit = {
@@ -450,8 +460,8 @@ object SkewProbe {
     val srcTag = new java.io.File(src).getName
     val dir1 = s"/tmp/graft-skew-$srcTag-1"
     val dirN = s"/tmp/graft-skew-$srcTag-$copies"
-    synthesize(spark, src, dir1, 1)
-    synthesize(spark, src, dirN, copies)
+    val synthesized = synthesize(spark, src, dir1, 1) |
+      synthesize(spark, src, dirN, copies)
 
     val wdocs = sources.Tables.documents(spark, src)
     wdocs.join(wdocs.select("doc_id"), "doc_id").agg(count(lit(1))).collect()
@@ -500,6 +510,7 @@ object SkewProbe {
     val metricName =
       if (copies == 10) "skew_probe" else s"skew_probe_${copies}x"
     val line = s"""{"metric":"$metricName","copies":$copies,""" +
+      s""""synthesis_run":$synthesized,""" +
       s""""skew1":${js(skew1)},"skew$copies":${js(skewN)},""" +
       s""""ratios":${ProbeLog.ratios(skew1, skewN)},""" +
       s""""bm25_hot":${js(hot)},"sf":"$src",${ProbeLog.hostJson()}}"""
@@ -575,7 +586,11 @@ object StreamScaleProbe {
     // a bounded decisions collect + a partitioned append of the batch
     // itself — O(batch) forever, never a re-scan of the accumulated
     // corpus
-    "st21_stream_quarantine")
+    "st21_stream_quarantine",
+    // round-15: the promotion gate (st23 — champion/challenger): per
+    // firing batch ONE challenger fit + ONE combined two-model val
+    // scan; non-firing batches pay the st18 histogram price only
+    "st23_stream_promote")
 
   def main(args: Array[String]): Unit = {
     ProbeLog.hostStart()
@@ -595,9 +610,10 @@ object StreamScaleProbe {
 
     val srcTag = new java.io.File(src).getName
     val dir = s"/tmp/graft-evscale-$srcTag-$copies"
-    EventScaleProbe.synthesize(spark, src, dir, copies)
+    val synthesizedEv = EventScaleProbe.synthesize(spark, src, dir, copies)
     val docDir = s"/tmp/graft-scale-$srcTag-$copies"
-    ScaleProbe.synthesize(spark, src, docDir, copies)
+    val synthesized =
+      ScaleProbe.synthesize(spark, src, docDir, copies) | synthesizedEv
 
     val wev = sources.Tables.events(spark, src)
     wev.join(wev.select("event_id"), "event_id").agg(count(lit(1))).collect()
@@ -613,12 +629,60 @@ object StreamScaleProbe {
     val base = runSet(src, src)
     val scaled = runSet(dir, docDir)
 
+    // BATCHES-AXIS rows (round-15): the stream-LIFETIME scale claim —
+    // per-batch derivation cost must be FLAT in the number of batches
+    // already stored, which the r14 designs violated (per-arrival
+    // re-derivation of all decisions; prefix self-join over all sketch
+    // partials) and the dec/cum stores now fix. Same corpus split into
+    // 4 vs 8 arrival waves: per_batch_ratio = (sec8/8)/(sec4/4) — a
+    // flat-to-falling ratio (more, smaller batches are each cheaper)
+    // is the pass; a ratio climbing toward 2 would expose per-batch
+    // work growing with batches seen. Commit machinery (fixed cost x
+    // 2x batches) pushes the TOTAL up; the per-batch metric is the
+    // claim.
+    def freshRoot(name: String): String = {
+      val p = java.nio.file.Paths.get(s"/tmp/graft-stream-axis/$name")
+      if (java.nio.file.Files.exists(p)) {
+        java.nio.file.Files.walk(p)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.delete(f))
+      }
+      java.nio.file.Files.createDirectories(p)
+      p.toString
+    }
+    def timedSec(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val axisEv = sources.Tables.events(spark, src)
+    val axisDocs = sources.Tables.documents(spark, src)
+    val batchesAxis = Seq(
+      "st22" -> Seq(4, 8).map { n =>
+        n -> timedSec(graft.streaming.StreamSketch.run(
+          spark, axisEv, freshRoot(s"st22-$n"), nSlices = n).count())
+      },
+      // st21 not st20: quarantine carries the identical decision
+      // machinery without the firing-count-dependent perceptron fits,
+      // so the ratio isolates the per-batch decision cost
+      "st21" -> Seq(4, 8).map { n =>
+        n -> timedSec(graft.streaming.StreamQuarantine.run(
+          spark, axisDocs, freshRoot(s"st21-$n"), nSlices = n).count())
+      })
+    val batchesJs = batchesAxis.map { case (q, rs) =>
+      val m = rs.toMap
+      val perBatchRatio = (m(8) / 8.0) / (m(4) / 4.0)
+      s""""$q":{"sec4":${ProbeLog.fmt(m(4), 3)},""" +
+        s""""sec8":${ProbeLog.fmt(m(8), 3)},""" +
+        s""""per_batch_ratio":${ProbeLog.fmt(perBatchRatio, 2)}}"""
+    }.mkString("{", ",", "}")
+
     import ProbeLog.js
     val metricName =
       if (copies == 10) "stream_scale_probe" else s"stream_scale_probe_${copies}x"
     val line = s"""{"metric":"$metricName","copies":$copies,""" +
+      s""""synthesis_run":$synthesized,""" +
       s""""base":${js(base)},"scaled":${js(scaled)},""" +
-      s""""ratios":${ProbeLog.ratios(base, scaled)},"sf":"$src",${ProbeLog.hostJson()}}"""
+      s""""ratios":${ProbeLog.ratios(base, scaled)},""" +
+      s""""batches_axis":$batchesJs,"sf":"$src",${ProbeLog.hostJson()}}"""
     println(line)
     val regressions = ProbeLog.recordGated(metricName, line)
     spark.stop()
@@ -692,8 +756,8 @@ object ZipfScaleProbe {
   }
 
   private[graft] def synthesize(spark: SparkSession, src: String, dir: String,
-      copies: Int): Unit = {
-    if (new java.io.File(s"$dir/_READY").exists()) return
+      copies: Int): Boolean = {
+    if (new java.io.File(s"$dir/_READY").exists()) return false
     val docs = sources.Tables.documents(spark, src)
     val abc = "abcdefghijklmnopqrstuvwxyz"
     val perms = (1 until copies).map(permFor)
@@ -717,6 +781,7 @@ object ZipfScaleProbe {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     new java.io.File(s"$dir/_READY").createNewFile()
+    true
   }
 
   def main(args: Array[String]): Unit = {
@@ -737,7 +802,7 @@ object ZipfScaleProbe {
 
     val srcTag = new java.io.File(src).getName
     val dir = s"/tmp/graft-zipf-$srcTag-$copies"
-    synthesize(spark, src, dir, copies)
+    val synthesized = synthesize(spark, src, dir, copies)
 
     val wdocs = sources.Tables.documents(spark, src)
     wdocs.join(wdocs.select("doc_id"), "doc_id").agg(count(lit(1))).collect()
@@ -755,6 +820,7 @@ object ZipfScaleProbe {
     val metricName =
       if (copies == 10) "scale_probe_zipf" else s"scale_probe_zipf_${copies}x"
     val line = s"""{"metric":"$metricName","copies":$copies,""" +
+      s""""synthesis_run":$synthesized,""" +
       s""""base":${js(base)},"scaled":${js(scaled)},""" +
       s""""ratios":${ProbeLog.ratios(base, scaled)},"sf":"$src",${ProbeLog.hostJson()}}"""
     println(line)
@@ -834,8 +900,8 @@ object PageRankScaleProbe {
   private val IdStride = 10000000L
 
   private def synthesize(spark: SparkSession, src: String, dir: String,
-      copies: Int): Unit = {
-    if (new java.io.File(s"$dir/_READY").exists()) return
+      copies: Int): Boolean = {
+    if (new java.io.File(s"$dir/_READY").exists()) return false
     // only the two graph columns: q51 prunes to them anyway, and the
     // probe corpus should not pay 14 unread lineitem columns of IO
     val li = sources.Tables.lineitem(spark, src)
@@ -847,6 +913,7 @@ object PageRankScaleProbe {
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
     new java.io.File(s"$dir/_READY").createNewFile()
+    true
   }
 
   def main(args: Array[String]): Unit = {
@@ -867,7 +934,7 @@ object PageRankScaleProbe {
 
     val srcTag = new java.io.File(src).getName
     val dir = s"/tmp/graft-prscale-$srcTag-$copies"
-    synthesize(spark, src, dir, copies)
+    val synthesized = synthesize(spark, src, dir, copies)
 
     def run(d: String): (String, Double, Long) = {
       System.err.println(s"[probe] q51_pagerank @ $d")
@@ -884,6 +951,7 @@ object PageRankScaleProbe {
       if (copies == 10) "pagerank_scale_probe"
       else s"pagerank_scale_probe_${copies}x"
     val line = s"""{"metric":"$metricName","copies":$copies,""" +
+      s""""synthesis_run":$synthesized,""" +
       s""""base":${js(base)},"scaled":${js(scaled)},""" +
       s""""ratios":${ProbeLog.ratios(base, scaled)},"sf":"$src",${ProbeLog.hostJson()}}"""
     println(line)
@@ -1100,20 +1168,21 @@ object CoresProbe {
     // warm-up pass (JIT/codegen warms JVM-wide on the first config;
     // warming both keeps the comparison honest rather than gifting
     // the second config a hot code cache)
+    var synthesized = false
     def measure(cores: Int): Seq[(String, Double, Long)] = {
       val spark = session(cores)
       try {
         val work =
           if (fed) {
-            ZipfScaleProbe.synthesize(spark, src, zipfDir, copies)
-            ScaleProbe.synthesize(spark, src, docDir, copies)
-            EventScaleProbe.synthesize(spark, src, evDir, copies)
+            synthesized |= ZipfScaleProbe.synthesize(spark, src, zipfDir, copies)
+            synthesized |= ScaleProbe.synthesize(spark, src, docDir, copies)
+            synthesized |= EventScaleProbe.synthesize(spark, src, evDir, copies)
             FedDocSubset.map(_ -> zipfDir) ++
               FedEmbSubset.map(_ -> docDir) ++
               FedEventSubset.map(_ -> evDir)
           } else {
-            ScaleProbe.synthesize(spark, src, docDir, copies)
-            EventScaleProbe.synthesize(spark, src, evDir, copies)
+            synthesized |= ScaleProbe.synthesize(spark, src, docDir, copies)
+            synthesized |= EventScaleProbe.synthesize(spark, src, evDir, copies)
             DocSubset.map(_ -> docDir) ++ EventSubset.map(_ -> evDir)
           }
         work.foreach { case (n, _) =>
@@ -1143,6 +1212,7 @@ object CoresProbe {
 
     import ProbeLog.js
     val line = s"""{"metric":"$metric","cores_lo":$lo,"cores_hi":$hi,""" +
+      s""""synthesis_run":$synthesized,""" +
       s""""lo":${js(loRun)},"hi":${js(hiRun)},""" +
       s""""ratios":${ProbeLog.ratios(loRun, hiRun)},""" +
       s""""speedup":$speedup,"sf":"$src",${ProbeLog.hostJson()}}"""

@@ -1080,6 +1080,96 @@ object StreamingQueries {
         graft.streaming.StreamSketch.run(s, Tables.events(s, d),
           root.toString, nSlices = 4)
       }
+    },
+
+    // model PROMOTION gate (champion/challenger — the lifecycle step
+    // st20 skips): a firing batch's refit is a CANDIDATE, not a
+    // release — the challenger fits on the clean pool's TRAIN split
+    // (t37's leakage rule), champion and challenger are scored on the
+    // VAL split in ONE projection (both weight vectors as plan
+    // reference objects — the t38 all-snapshots trick), and the
+    // candidate publishes a new version only if its exact-integer val
+    // accuracy >= the champion's; otherwise a rejected-candidate row
+    // set is the audit trail. Batch 0 bootstraps version 1
+    // (champ_ok = -1 sentinel: no champion exists yet). The firing
+    // pattern is st20's pinned sf0.01 pattern (batch 2 fires); the
+    // oracle replays BOTH perceptron chains over t37's split-fold
+    // predicates and derives the promotion comparison itself — a
+    // divergent Spark-side decision flips status/version on 64 rows:
+    // hash-red.
+    "st23_stream_promote" -> Q {
+      val iters = graft.text.ClassifierTrain.Iters
+      val D = graft.text.ClassifierTrain.Dim
+      val splitFold =
+        """list_reduce(list_transform(
+          |              string_split(md5(CAST(doc_id AS VARCHAR)), ''),
+          |              c -> CAST(ascii(c) AS BIGINT)),
+          |              (acc, x) -> (acc * 31 + x) % 1000000007) % 100"""
+          .stripMargin
+      // val-split docs + hashed features + scored margin under a
+      // weight CTE, namespaced like perceptronCtes' chains
+      def valCtes(p: String, poolWhere: String): String =
+        s"""${p}v AS (SELECT doc_id,
+           |         CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+           |         string_split($streamNorm, ' ') AS ws
+           |       FROM documents WHERE text IS NOT NULL$poolWhere
+           |         AND $splitFold >= 80),
+           |${p}vx AS (
+           |  SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS x FROM (
+           |    SELECT doc_id, unnest(list_transform(
+           |        list_concat(ws, list_transform(range(1, len(ws)),
+           |          i -> ws[i] || ' ' || ws[i+1])),
+           |        t -> CAST((${TextQueries.polyHashSql("t")}) % $D
+           |          AS BIGINT))) AS bucket
+           |    FROM ${p}v) GROUP BY 1, 2)""".stripMargin
+      def scoreCte(name: String, vx: String, w: String): String =
+        s"""$name AS (SELECT $vx.doc_id,
+           |    CAST(sum(w.w * $vx.x) AS BIGINT) AS s
+           |  FROM $vx JOIN $w w USING (bucket) GROUP BY 1)""".stripMargin
+      s"""WITH ${TextQueries.perceptronCtes(iters,
+             s"\n    AND doc_id % 4 = 0 AND $splitFold < 80", "a")},
+         |${TextQueries.perceptronCtes(iters,
+             s"\n    AND doc_id % 4 IN (0, 1) AND $splitFold < 80", "b")},
+         |${valCtes("a", "\n    AND doc_id % 4 = 0")},
+         |${valCtes("b", "\n    AND doc_id % 4 IN (0, 1)")},
+         |${scoreCte("sa0", "avx", s"aw$iters")},
+         |${scoreCte("s2a", "bvx", s"aw$iters")},
+         |${scoreCte("s2b", "bvx", s"bw$iters")},
+         |acc0 AS (SELECT CAST(count(*) FILTER (
+         |             WHERE v.y * coalesce(s.s, 0) > 0) AS BIGINT) AS ok,
+         |           CAST(count(*) AS BIGINT) AS n
+         |         FROM av v LEFT JOIN sa0 s ON s.doc_id = v.doc_id),
+         |acc2 AS (SELECT CAST(count(*) FILTER (
+         |             WHERE v.y * coalesce(sa.s, 0) > 0) AS BIGINT)
+         |             AS champ_ok,
+         |           CAST(count(*) FILTER (
+         |             WHERE v.y * coalesce(sb.s, 0) > 0) AS BIGINT)
+         |             AS chall_ok,
+         |           CAST(count(*) AS BIGINT) AS n
+         |         FROM bv v LEFT JOIN s2a sa ON sa.doc_id = v.doc_id
+         |                   LEFT JOIN s2b sb ON sb.doc_id = v.doc_id)
+         |SELECT fired_batch, bucket, weight, champ_ok, chall_ok, n_val,
+         |       version, status FROM (
+         |  SELECT CAST(0 AS BIGINT) AS fired_batch, w.bucket,
+         |         w.w AS weight, CAST(-1 AS BIGINT) AS champ_ok,
+         |         acc0.ok AS chall_ok, acc0.n AS n_val,
+         |         CAST(1 AS BIGINT) AS version, 'published' AS status
+         |  FROM aw$iters w, acc0
+         |  UNION ALL
+         |  SELECT CAST(2 AS BIGINT), w.bucket, w.w,
+         |         acc2.champ_ok, acc2.chall_ok, acc2.n,
+         |         CASE WHEN acc2.chall_ok >= acc2.champ_ok
+         |              THEN CAST(2 AS BIGINT) ELSE NULL END,
+         |         CASE WHEN acc2.chall_ok >= acc2.champ_ok
+         |              THEN 'published' ELSE 'rejected' END
+         |  FROM bw$iters w, acc2)
+         |ORDER BY fired_batch, bucket""".stripMargin
+    } { (s, d) =>
+      val root = freshDir(s"st23-${d.replaceAll("[^0-9a-zA-Z.]", "_")}")
+      withShufflePartitions(s, 8) {
+        graft.streaming.StreamPromote.run(s, Tables.documents(s, d),
+          root.toString, nSlices = 4)
+      }
     }
   )
 }

@@ -1,0 +1,232 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.sources.Topic
+import graft.text.{ClassifierTrain, TextFns}
+
+/** Model PROMOTION gate (st23) — the champion/challenger evaluation
+  * st20 skips: st20 publishes every refit UNCONDITIONALLY, but a
+  * production pipeline never serves an unevaluated model — a refit is
+  * a CANDIDATE, and it is promoted only if it beats the serving
+  * champion on held-out data. This composes st20's drift→refit loop
+  * with t37's out-of-sample machinery into the full lifecycle:
+  * detect → refit → evaluate → promote-or-reject.
+  *
+  * Per micro-batch (stores shared with [[StreamRefit]]: docs/, hist/,
+  * the append-only dec/ decision bytes, the threshold lineage marker):
+  *  1. persist the batch's documents and its [[StreamRefit.axis]]
+  *     histogram; derive ONLY this batch's firing decision
+  *     ([[StreamRefit.decisionFor]]) and store it;
+  *  2. on batch 0 (bootstrap) or a firing batch b:
+  *     - the clean pool is the never-fired batches ≤ b (a firing b is
+  *       suspect and never trains or evaluates);
+  *     - the CHALLENGER fits on the clean pool's TRAIN split
+  *       ([[TextFns.splitAssign]] — the t37 leakage rule: held-out
+  *       docs never influence the fit);
+  *     - champion AND challenger are scored on the clean pool's VAL
+  *       split in ONE aggregate projection (both weight vectors ride
+  *       as plan reference objects in the same scan — the t38
+  *       all-snapshots trick; never two passes), yielding exact
+  *       integer correctness counts;
+  *     - the candidate is PUBLISHED (version = 1 + published
+  *       candidates before b) only if challenger val accuracy ≥
+  *       champion's — equal counts promote, the freshly-fit model
+  *       wins ties because it saw the newer distribution; otherwise a
+  *       REJECTED candidate row set is recorded (the audit trail a
+  *       real gate keeps) and the champion keeps serving. Batch 0
+  *       bootstraps version 1 unconditionally (champ_ok = −1
+  *       sentinel: there is no champion to compare against).
+  *
+  * The candidate store `cand/batch=<b>` is append-only in the same
+  * sense as dec/: each row set is a pure function of strictly-earlier
+  * state (stored decisions, stored candidates < b) plus batch b's
+  * docs, so a whole-batch replay overwrites identical rows and later
+  * batches READ the store instead of re-deriving prior fits — per-
+  * batch cost never grows with candidates seen (the round-14
+  * quadratic-creep fix, applied from birth here).
+  *
+  * Oracle: the pinned sf0.01 firing pattern (doc_id%4 fires exactly
+  * at batch 2 — st20's ratios) replayed as two prefixed perceptron
+  * CTE chains (champion = the batch-0 bootstrap chain, challenger =
+  * the clean-{0,1} chain), t37's split-fold predicates, and an
+  * integer accuracy comparison the SQL derives itself — a divergent
+  * Spark-side promotion decision flips status/version on 64 rows and
+  * goes hash-red.
+  *
+  * Scale shape, per firing batch: ONE perceptron fit (k bounded
+  * scans of the clean train split), ONE combined evaluation scan of
+  * the val split (two native scoring expressions in one projection →
+  * 1-row collect), bounded reads of dec/ bytes and the ≤ 64-row
+  * champion slice. Non-firing batches pay the st18 histogram price
+  * only.
+  */
+object StreamPromote {
+
+  /** One micro-batch: store → decide → on firing, fit the challenger,
+    * evaluate both models out-of-sample, promote or reject. */
+  def processBatch(batch: DataFrame, batchId: Long, root: String,
+      thresholdPpm: Long = StreamRefit.ThresholdPpm): Unit = {
+    StreamRefit.enforceThresholdLineage(root, thresholdPpm)
+    val spark = batch.sparkSession
+    import spark.implicits._
+    batch.select(col("doc_id"), col("text"), col("lang"))
+      .write.mode("overwrite").parquet(s"$root/docs/batch=$batchId")
+    StreamDrift.processBatch(batch, batchId, root, StreamRefit.axis)
+    val own = StreamRefit.decisionFor(spark, root, batchId, thresholdPpm)
+    StreamRefit.writeDecision(root, batchId, own)
+    if (batchId == 0L || own) {
+      val dec = StreamRefit.decisionsUpTo(spark, root, batchId,
+        thresholdPpm)
+      val clean = dec.toSeq.collect {
+        case (c, fired) if c <= batchId && !fired => c
+      }.sorted
+      // prior candidates: bounded read (≤ 64 rows per candidate);
+      // replays see later candidates too — filtered to fired < b
+      val prior =
+        if (!Files.exists(Paths.get(root, "cand"))) Array.empty[(Long,
+          Long, Long, String)]
+        else spark.read.parquet(s"$root/cand")
+          .select(col("batch").cast("long").as("fired"), col("bucket"),
+            col("weight"), col("status"))
+          .filter(col("fired") < batchId)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getString(3)))
+      val publishedBatches = prior.collect {
+        case (f, _, _, "published") => f
+      }.distinct.sorted
+      val champion: Option[IndexedSeq[Long]] = publishedBatches
+        .lastOption.map { f =>
+          val w = prior.collect { case (`f`, b, wt, "published") =>
+            b -> wt
+          }.toMap
+          IndexedSeq.tabulate(ClassifierTrain.Dim)(b =>
+            w.getOrElse(b.toLong, 0L))
+        }
+      val cleanDocs = spark.read.parquet(s"$root/docs")
+        .filter(col("batch").isin(clean: _*))
+      val trainPool = ClassifierTrain.pool(
+        cleanDocs.filter(
+          TextFns.splitAssign(col("doc_id")) === "train"),
+        col("lang") === "en").persist()
+      val challenger = try ClassifierTrain.fitWeights(trainPool)
+        finally trainPool.unpersist()
+      val valPool = ClassifierTrain.pool(
+        cleanDocs.filter(TextFns.splitAssign(col("doc_id")) === "val"),
+        col("lang") === "en")
+      // ONE evaluation scan: champion + challenger scored side by side
+      def okCount(w: IndexedSeq[Long]) = count(when(
+        col("y").cast("double") *
+          ClassifierTrain.score(col("ws"), w) > 0.0, lit(1)))
+      val evalRow = valPool.agg(
+        champion.map(okCount).getOrElse(coalesce(max(lit(-1L)), lit(-1L)))
+          .as("champ_ok"),
+        okCount(challenger).as("chall_ok"),
+        count(lit(1)).as("n_val")).head() // bounded: 1 row
+      val (champOk, challOk, nVal) =
+        (evalRow.getLong(0), evalRow.getLong(1), evalRow.getLong(2))
+      val accepted = champion.isEmpty || challOk >= champOk
+      val version: Option[Long] =
+        if (accepted) Some(1L + publishedBatches.length) else None
+      val status = if (accepted) "published" else "rejected"
+      challenger.zipWithIndex.map { case (wt, b) =>
+        (b.toLong, wt, champOk, challOk, nVal, version, status)
+      }.toDF("bucket", "weight", "champ_ok", "chall_ok", "n_val",
+          "version", "status")
+        .write.mode("overwrite").parquet(s"$root/cand/batch=$batchId")
+    }
+  }
+
+  /** The candidate history: every evaluated challenger's 64 weights,
+    * its out-of-sample evidence, and the promotion verdict. */
+  def candidates(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(s"$root/cand")
+      .select(col("batch").cast("long").as("fired_batch"), col("bucket"),
+        col("weight"), col("champ_ok"), col("chall_ok"), col("n_val"),
+        col("version"), col("status"))
+      .orderBy("fired_batch", "bucket")
+
+  /** Publish, stream, gate every refit through the promotion check —
+    * the registered st23 entry. */
+  def run(spark: SparkSession, docs: DataFrame, root: String,
+      nSlices: Int = 4,
+      thresholdPpm: Long = StreamRefit.ThresholdPpm): DataFrame = {
+    Files.createDirectories(Paths.get(root))
+    StreamDrift.publishSliced(docs, s"$root/topic", nSlices)
+    val src = Topic.decodeDocuments(
+      Topic.readStream(spark, s"$root/topic", maxFilesPerTrigger = 1))
+    val q = src.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, root, thresholdPpm)
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    candidates(spark, root)
+  }
+
+  /** The same candidate table computed without the stream (batch =
+    * doc_id mod nSlices, candidates folded in batch order) — the
+    * spec's invariance reference. */
+  def batchReference(docs: DataFrame, nSlices: Int = 4,
+      thresholdPpm: Long = StreamRefit.ThresholdPpm)
+      : Seq[(Long, Long, Long, Long, Long, Long, Option[Long], String)] = {
+    val sliced = docs.select(
+        pmod(col("doc_id"), lit(nSlices.toLong)).as("batch"),
+        col("doc_id"), col("text"), col("lang"))
+      .persist()
+    try {
+      val fired = StreamDrift
+        .batchReference(docs, nSlices, StreamRefit.axis)
+        .collect()
+        .map { r =>
+          r.getLong(0) -> (BigInt(r.getLong(3)) * 1000000 >
+            BigInt(thresholdPpm) * BigInt(r.getLong(1)) *
+              BigInt(r.getLong(2)))
+        }.toMap
+      val out = Seq.newBuilder[(Long, Long, Long, Long, Long, Long,
+        Option[Long], String)]
+      var champion: Option[IndexedSeq[Long]] = None
+      var published = 0L
+      for (b <- 0L until nSlices.toLong) {
+        if (b == 0L || fired(b)) {
+          val clean = (0L to b).filter(c => !fired(c))
+          val cleanDocs = sliced.filter(col("batch").isin(clean: _*))
+          val trainPool = ClassifierTrain.pool(
+            cleanDocs.filter(
+              TextFns.splitAssign(col("doc_id")) === "train"),
+            col("lang") === "en").persist()
+          val challenger = try ClassifierTrain.fitWeights(trainPool)
+            finally trainPool.unpersist()
+          val valPool = ClassifierTrain.pool(
+            cleanDocs.filter(
+              TextFns.splitAssign(col("doc_id")) === "val"),
+            col("lang") === "en")
+          def okCount(w: IndexedSeq[Long]) = count(when(
+            col("y").cast("double") *
+              ClassifierTrain.score(col("ws"), w) > 0.0, lit(1)))
+          val r = valPool.agg(
+            champion.map(okCount).getOrElse(coalesce(max(lit(-1L)), lit(-1L))),
+            okCount(challenger), count(lit(1))).head()
+          val (champOk, challOk, nVal) =
+            (r.getLong(0), r.getLong(1), r.getLong(2))
+          val accepted = champion.isEmpty || challOk >= champOk
+          val version = if (accepted) Some(published + 1L) else None
+          val status = if (accepted) "published" else "rejected"
+          if (accepted) { champion = Some(challenger); published += 1L }
+          challenger.zipWithIndex.foreach { case (wt, bk) =>
+            out += ((b, bk.toLong, wt, champOk, challOk, nVal, version,
+              status))
+          }
+        }
+      }
+      out.result()
+    } finally { sliced.unpersist(); () }
+  }
+}

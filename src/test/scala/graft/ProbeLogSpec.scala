@@ -107,6 +107,22 @@ class ProbeLogSpec extends AnyFunSuite with Matchers {
     quiet.foreach(_ should not include "steal_pct")
   }
 
+  test("timing firings are ANNOTATED when the fresh row carried corpus " +
+      "synthesis in the timed JVM (synthesis_run=true)") {
+    val old =
+      """{"metric":"scale_probe","ratios":{"d12":{"time_ratio":2.0}}}"""
+    def fresh(syn: String) =
+      s"""{"metric":"scale_probe","synthesis_run":$syn,""" +
+        """"ratios":{"d12":{"time_ratio":16.0}}}"""
+    val regs = ProbeLog.regressionsVs(old, fresh("true"))
+    regs should not be empty // annotated, never suppressed
+    regs.foreach(_ should include("synthesis_run=true"))
+    // a _READY re-run (no synthesis) carries no annotation
+    val rerun = ProbeLog.regressionsVs(old, fresh("false"))
+    rerun should not be empty
+    rerun.foreach(_ should not include "synthesis_run")
+  }
+
   test("time_ratio doubling (plus slack) is a regression; drift is not") {
     val old = line(ratios = """"q1":{"time_ratio":4.40,"rows_ratio":1.0}""")
     // 4.4 -> 6.0: host drift band, clean

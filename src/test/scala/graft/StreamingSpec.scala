@@ -591,6 +591,114 @@ class StreamingSpec extends SparkSpec {
     e2.getMessage should include("no threshold.ppm marker")
   }
 
+  test("st23 promotion gate: stream == batch reference, replay " +
+      "idempotent; the registered sf0.01 run pins the tie-accept rule") {
+    import graft.streaming.StreamPromote
+    // st20's controlled-drift corpus: batch 1 brings new vocabulary
+    // (clean), batch 2's long docs fire -> one bootstrap candidate +
+    // one evaluated challenger
+    val long = ("stream " * 40).trim
+    val docs = (0 until 30).map { i =>
+      (i % 3, i % 2) match {
+        case (0, 0) => (i.toLong, "the cat sat on mat", "en")
+        case (0, _) => (i.toLong, "der hund lief im wald", "de")
+        case (1, 0) => (i.toLong, "a dog ran fast today", "en")
+        case (1, _) => (i.toLong, "am berg steht ein baum", "de")
+        case (_, 0) => (i.toLong, long, "en")
+        case _      => (i.toLong, long + " nacht", "de")
+      }
+    }.toDF("doc_id", "text", "lang")
+    val root = java.nio.file.Files
+      .createTempDirectory("st23spec").toString
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5),
+        if (r.isNullAt(6)) None else Some(r.getLong(6)),
+        r.getString(7))).toSeq
+    val streamed = rows(StreamPromote.run(spark, docs, root, nSlices = 3))
+    streamed shouldBe StreamPromote.batchReference(docs, nSlices = 3)
+    // bootstrap is unconditional: batch 0's candidate is version 1
+    // with the no-champion sentinel
+    val boot = streamed.filter(_._1 == 0L)
+    boot should have size 64
+    boot.head._4 shouldBe -1L     // champ_ok sentinel
+    boot.head._7 shouldBe Some(1L)
+    boot.head._8 shouldBe "published"
+    // batch 2's candidate was EVALUATED against the champion: real
+    // integer counts on the shared val split, decision = the recorded
+    // comparison (accept on ties)
+    val cand2 = streamed.filter(_._1 == 2L)
+    cand2 should have size 64
+    val (champOk, challOk) = (cand2.head._4, cand2.head._5)
+    champOk should be >= 0L
+    if (challOk >= champOk) {
+      cand2.head._8 shouldBe "published"
+      cand2.head._7 shouldBe Some(2L)
+    } else {
+      cand2.head._8 shouldBe "rejected"
+      cand2.head._7 shouldBe None
+    }
+    // whole-batch replay (firing and clean): identical candidates
+    StreamPromote.processBatch(
+      docs.filter(pmod($"doc_id", lit(3L)) === 2L), 2L, root)
+    rows(StreamPromote.candidates(spark, root)) shouldBe streamed
+    StreamPromote.processBatch(
+      docs.filter(pmod($"doc_id", lit(3L)) === 1L), 1L, root)
+    rows(StreamPromote.candidates(spark, root)) shouldBe streamed
+  }
+
+  test("st23 reject path: a challenger that scores below the champion " +
+      "on the val split is recorded rejected and never versioned") {
+    import graft.streaming.StreamPromote
+    import graft.text.TextFns
+    // deterministic construction: every doc is the single word 'foo',
+    // so all models live on one feature bucket. Batch 0 = en docs ->
+    // the bootstrap champion learns w[foo] > 0 (perfect on en val).
+    // Batch 1 = de docs with EXACTLY as many train-split members as
+    // batch 0, same text: the challenger's perceptron gradient cancels
+    // (sum y*x = n_en_train - n_de_train = 0 each iteration), so the
+    // challenger is the zero vector -> chall_ok = 0 < champ_ok.
+    val pool = (0L until 200L).toDF("doc_id")
+      .select($"doc_id", TextFns.splitAssign($"doc_id").as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val trainIds = pool.collect { case (i, "train") => i }
+    val valIds = pool.collect { case (i, "val") => i }
+    val b0 = (trainIds.take(4) ++ valIds.take(2))
+      .map(i => (i, "foo", "en")).toSeq
+    val b1 = (trainIds.slice(4, 8) ++ valIds.slice(2, 3))
+      .map(i => (i, "foo", "de")).toSeq
+    val long = ("stream " * 40).trim
+    val b2 = (900L until 906L).map(i => (i, long, "en"))
+    def df(s: Seq[(Long, String, String)]) =
+      s.toDF("doc_id", "text", "lang")
+    val root = java.nio.file.Files
+      .createTempDirectory("st23reject").toString
+    StreamPromote.processBatch(df(b0), 0L, root)
+    StreamPromote.processBatch(df(b1), 1L, root)
+    StreamPromote.processBatch(df(b2), 2L, root) // length jump: fires
+    val cand = StreamPromote.candidates(spark, root)
+      .select("fired_batch", "champ_ok", "chall_ok", "n_val", "version",
+        "status")
+      .distinct().orderBy("fired_batch")
+      .collect()
+    cand.map(_.getLong(0)).toSeq shouldBe Seq(0L, 2L)
+    val r2 = cand(1)
+    r2.getLong(1) shouldBe 2L // champion: both en val docs right
+    r2.getLong(2) shouldBe 0L // zero challenger scores nothing
+    r2.getLong(3) shouldBe 3L // 2 en + 1 de val docs
+    r2.isNullAt(4) shouldBe true // never versioned
+    r2.getString(5) shouldBe "rejected"
+    // replay of the rejected candidate's batch is idempotent
+    StreamPromote.processBatch(df(b2), 2L, root)
+    StreamPromote.candidates(spark, root)
+      .filter($"status" === "rejected").count() shouldBe 64L
+    // the champion keeps serving: exactly one published version
+    StreamPromote.candidates(spark, root)
+      .filter($"status" === "published")
+      .select("version").distinct().collect()
+      .map(_.getLong(0)).toSeq shouldBe Seq(1L)
+  }
+
   test("st22 streaming HLL: stream == direct per-prefix reference, the " +
       "final merge equals the whole-corpus estimate, replay idempotent") {
     import graft.streaming.StreamSketch
