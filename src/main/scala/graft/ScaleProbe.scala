@@ -75,6 +75,9 @@ object ScaleProbe {
     "t40_quality_ensemble", // all three quality gates fused into ONE
     // map-side scan — the row pins the claim that the composed tier
     // costs no more plan than the single gates it votes over
+    "t41_tier_mixing", // tiers -> budget waterfall -> ppm gate: the
+    // tier scan + one <= 4-row aggregate + one gated scan; rates ride
+    // as literals, so time must track the corpus and never add a join
     "s02_ann_lsh", // sized planes + cap derive in-operator — the production row
     "s12_ann_lsh_fixed3", // labeled fixed-plane contrast (excluded above 10x)
     "s03_ann_ivf",

@@ -172,6 +172,99 @@ object TextQueries {
        |SELECT w.bucket, w.w AS weight, acc.n_correct, acc.n_total
        |FROM w$iters w, acc ORDER BY w.bucket""".stripMargin
 
+  /** t41's token budget in ppm-token units (15 000 tokens · 10^6) and
+    * the marginal-tier keep clamp: at sf0.01 the 15k budget leaves a
+    * remainder whose integer division lands ABOVE the clamp, so the
+    * clamp binds — the branch a slack budget never exercises. */
+  private val TierMixBudgetPpm = 15000L * 1000000L
+  private val MarginalCapPpm = 250000L
+
+  /** The t40 ensemble chain shared by the t40 and t41 oracles: the
+    * three quality signals (t02 heuristic, t31 trained score, t39 LM
+    * bucket) → integer vote → tier, ending in CTE `tv` of (doc_id,
+    * n_tok, quality, score, lm_bucket, votes, tier). Ends WITHOUT a
+    * trailing comma — the caller's tail adds its own. */
+  private def ensembleCtes: String = {
+    import graft.text.LmQuality.{Dim, HeadGm, TailGm}
+    import graft.text.QualityClassifier.Threshold
+    s"""w AS (SELECT doc_id, source,
+       |             string_split($norm, ' ') AS ws,
+       |             len(string_split($norm, ' ')) AS n,
+       |             len(list_filter(string_split($norm, ' '),
+       |                 w -> w IN $stopList)) AS stop_n,
+       |             len(regexp_extract_all($norm, '[^a-z0-9 ]', 0))
+       |               AS punct_n,
+       |             len($norm) AS chars
+       |           FROM documents WHERE text IS NOT NULL),
+       |f AS (SELECT doc_id, ws, n, stop_n, punct_n, chars, source,
+       |        list_concat(ws, list_transform(range(1, len(ws)),
+       |          i -> ws[i] || ' ' || ws[i+1])) AS fs
+       |      FROM w),
+       |rb AS (SELECT unnest(list_transform(fs, t ->
+       |         CAST((${polyHashSql("t")}) % $Dim AS BIGINT))) AS bucket
+       |       FROM f WHERE source IN ('src0', 'src1')),
+       |c AS (SELECT bucket, count(*) AS c FROM rb GROUP BY 1),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM c),
+       |lm AS (SELECT g.range AS bucket,
+       |         CAST(coalesce(c.c, 0) + 1 AS DOUBLE)
+       |           / CAST(tot.tot + $Dim AS DOUBLE) * $Dim.0 AS r
+       |       FROM range($Dim) g LEFT JOIN c ON c.bucket = g.range, tot),
+       |pl AS (SELECT list(r / $HeadGm ORDER BY bucket) AS rh,
+       |              list(r / $TailGm ORDER BY bucket) AS rt FROM lm),
+       |sig AS (SELECT doc_id, n,
+       |          round(least(n::DOUBLE / 50.0, 1.0) * 0.5 +
+       |                (stop_n::DOUBLE / n::DOUBLE) * 0.3 +
+       |                (1.0 - CASE WHEN chars = 0 THEN 0.0 ELSE punct_n::DOUBLE / chars::DOUBLE END) * 0.2, 4)
+       |            AS quality,
+       |          $classifierScoreSql AS score,
+       |          CASE WHEN list_reduce(list_transform(fs, t ->
+       |                 pl.rh[1 + CAST((${polyHashSql("t")})
+       |                   % $Dim AS BIGINT)]), (a, b) -> a * b) >= 1.0
+       |               THEN 'head'
+       |               WHEN list_reduce(list_transform(fs, t ->
+       |                 pl.rt[1 + CAST((${polyHashSql("t")})
+       |                   % $Dim AS BIGINT)]), (a, b) -> a * b) >= 1.0
+       |               THEN 'middle'
+       |               ELSE 'tail' END AS lm_bucket
+       |        FROM f, pl),
+       |v AS (SELECT doc_id, n, quality, score, lm_bucket,
+       |        CAST(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END +
+       |             CASE WHEN score > $Threshold THEN 1 ELSE 0 END +
+       |             CASE WHEN lm_bucket = 'head' THEN 1 ELSE 0 END
+       |          AS BIGINT) AS votes
+       |      FROM sig),
+       |tv AS (SELECT doc_id, CAST(n AS BIGINT) AS n_tok, quality,
+       |         score, lm_bucket, votes,
+       |         CASE votes WHEN 3 THEN 'premium' WHEN 2 THEN 'standard'
+       |              WHEN 1 THEN 'marginal' ELSE 'reject' END AS tier
+       |       FROM v)""".stripMargin
+  }
+
+  /** The Spark side of [[ensembleCtes]], shared by t40 and t41: the
+    * fused map-side ensemble scan (two native codegen kernels + a
+    * projection, LM ratio tables as plan reference objects — zero
+    * joins/windows) with the vote and tier appended. */
+  private def ensembleTiers(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.text.{LmQuality, QualityClassifier}
+    LmQuality.scored(Tables.documents(s, d),
+        col("source").isin("src0", "src1"))
+      .select(col("doc_id"),
+        TextFns.qualityScore(col("text")).as("quality"),
+        QualityClassifier.score(col("text")).as("score"),
+        col("lm_bucket"),
+        TextFns.tokenCount(col("text")).as("n_tok"))
+      .withColumn("votes",
+        (col("quality") >= 0.5).cast("long") +
+          (col("score") > QualityClassifier.Threshold).cast("long") +
+          (col("lm_bucket") === "head").cast("long"))
+      .withColumn("tier",
+        when(col("votes") === 3, "premium")
+          .when(col("votes") === 2, "standard")
+          .when(col("votes") === 1, "marginal")
+          .otherwise("reject"))
+  }
+
   /** Ranked-retrieval query set for t23 (terms from the corpus's
     * marker vocabulary, so every query matches real documents). */
   val Searches: Seq[(String, Seq[String])] = Seq(
@@ -601,75 +694,101 @@ object TextQueries {
     // three-gate pipeline fused into a single pass over the corpus
     // instead of three materialized filter stages.
     "t40_quality_ensemble" -> Q {
-      import graft.text.LmQuality.{Dim, HeadGm, TailGm}
-      import graft.text.QualityClassifier.Threshold
-      s"""WITH w AS (SELECT doc_id, source,
-         |             string_split($norm, ' ') AS ws,
-         |             len(string_split($norm, ' ')) AS n,
-         |             len(list_filter(string_split($norm, ' '),
-         |                 w -> w IN $stopList)) AS stop_n,
-         |             len(regexp_extract_all($norm, '[^a-z0-9 ]', 0))
-         |               AS punct_n,
-         |             len($norm) AS chars
-         |           FROM documents WHERE text IS NOT NULL),
-         |f AS (SELECT doc_id, ws, n, stop_n, punct_n, chars, source,
-         |        list_concat(ws, list_transform(range(1, len(ws)),
-         |          i -> ws[i] || ' ' || ws[i+1])) AS fs
-         |      FROM w),
-         |rb AS (SELECT unnest(list_transform(fs, t ->
-         |         CAST((${polyHashSql("t")}) % $Dim AS BIGINT))) AS bucket
-         |       FROM f WHERE source IN ('src0', 'src1')),
-         |c AS (SELECT bucket, count(*) AS c FROM rb GROUP BY 1),
-         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM c),
-         |lm AS (SELECT g.range AS bucket,
-         |         CAST(coalesce(c.c, 0) + 1 AS DOUBLE)
-         |           / CAST(tot.tot + $Dim AS DOUBLE) * $Dim.0 AS r
-         |       FROM range($Dim) g LEFT JOIN c ON c.bucket = g.range, tot),
-         |pl AS (SELECT list(r / $HeadGm ORDER BY bucket) AS rh,
-         |              list(r / $TailGm ORDER BY bucket) AS rt FROM lm),
-         |sig AS (SELECT doc_id,
-         |          round(least(n::DOUBLE / 50.0, 1.0) * 0.5 +
-         |                (stop_n::DOUBLE / n::DOUBLE) * 0.3 +
-         |                (1.0 - CASE WHEN chars = 0 THEN 0.0 ELSE punct_n::DOUBLE / chars::DOUBLE END) * 0.2, 4)
-         |            AS quality,
-         |          $classifierScoreSql AS score,
-         |          CASE WHEN list_reduce(list_transform(fs, t ->
-         |                 pl.rh[1 + CAST((${polyHashSql("t")})
-         |                   % $Dim AS BIGINT)]), (a, b) -> a * b) >= 1.0
-         |               THEN 'head'
-         |               WHEN list_reduce(list_transform(fs, t ->
-         |                 pl.rt[1 + CAST((${polyHashSql("t")})
-         |                   % $Dim AS BIGINT)]), (a, b) -> a * b) >= 1.0
-         |               THEN 'middle'
-         |               ELSE 'tail' END AS lm_bucket
-         |        FROM f, pl),
-         |v AS (SELECT doc_id, quality, score, lm_bucket,
-         |        CAST(CASE WHEN quality >= 0.5 THEN 1 ELSE 0 END +
-         |             CASE WHEN score > $Threshold THEN 1 ELSE 0 END +
-         |             CASE WHEN lm_bucket = 'head' THEN 1 ELSE 0 END
-         |          AS BIGINT) AS votes
-         |      FROM sig)
-         |SELECT doc_id, quality, score, lm_bucket, votes,
-         |       CASE votes WHEN 3 THEN 'premium' WHEN 2 THEN 'standard'
-         |            WHEN 1 THEN 'marginal' ELSE 'reject' END AS tier
-         |FROM v ORDER BY doc_id""".stripMargin
+      s"""WITH $ensembleCtes
+         |SELECT doc_id, quality, score, lm_bucket, votes, tier
+         |FROM tv ORDER BY doc_id""".stripMargin
     } { (s, d) =>
-      import graft.text.{LmQuality, QualityClassifier}
-      LmQuality.scored(Tables.documents(s, d),
-          col("source").isin("src0", "src1"))
-        .select(col("doc_id"),
-          TextFns.qualityScore(col("text")).as("quality"),
-          QualityClassifier.score(col("text")).as("score"),
-          col("lm_bucket"))
-        .withColumn("votes",
-          (col("quality") >= 0.5).cast("long") +
-            (col("score") > QualityClassifier.Threshold).cast("long") +
-            (col("lm_bucket") === "head").cast("long"))
-        .withColumn("tier",
-          when(col("votes") === 3, "premium")
-            .when(col("votes") === 2, "standard")
-            .when(col("votes") === 1, "marginal")
-            .otherwise("reject"))
+      ensembleTiers(s, d)
+        .select("doc_id", "quality", "score", "lm_bucket", "votes",
+          "tier")
+        .orderBy("doc_id")
+    },
+
+    // quality-TIER-aware mixing (t41 — the FineWeb/Dolma ENDGAME: the
+    // ensemble exists to DRIVE sampling, not just label): t40's tiers
+    // meet t29's budget machinery. A fixed token budget is spent down
+    // a priority WATERFALL — premium keeps everything the budget
+    // allows, standard gets what remains, marginal is additionally
+    // CLAMPED (never more than 25% even under a slack budget — low-
+    // quality data stops helping before it stops fitting), reject
+    // keeps nothing. All rate arithmetic is exact BIGINT ppm: rate =
+    // min(cap, remaining_ppm_tokens DIV tok_tier) with integer
+    // division on BOTH engines (Spark folds the ≤ 4-row tier totals
+    // driver-side in Longs; DuckDB uses //), so no float ever touches
+    // a keep decision. Per-doc inclusion is the t29 zero-RNG ppm hash
+    // gate salted by tier. At sf0.01 the waterfall exercises every
+    // branch class: premium+standard at the full rate, marginal at
+    // the binding 250000 clamp (the budget remainder divides to
+    // ~332k), reject at 0. Scale shape: the tier scan (t40's fused
+    // map-side pass) + one ≤ 4-row aggregate + one gated scan — the
+    // rates never join, they ride as literals.
+    "t41_tier_mixing" -> Q {
+      val keepFold =
+        """list_reduce(list_transform(
+          |          string_split(md5(CAST(doc_id AS VARCHAR) || ':' || tier), ''),
+          |          c -> CAST(ascii(c) AS BIGINT)),
+          |          (acc, x) -> (acc * 31 + x) % 1000000007) % 1000000"""
+          .stripMargin
+      s"""WITH $ensembleCtes,
+         |tt AS (SELECT
+         |    CAST(coalesce(sum(CASE WHEN tier = 'premium' THEN n_tok END),
+         |      0) AS BIGINT) AS tok_p,
+         |    CAST(coalesce(sum(CASE WHEN tier = 'standard' THEN n_tok END),
+         |      0) AS BIGINT) AS tok_s,
+         |    CAST(coalesce(sum(CASE WHEN tier = 'marginal' THEN n_tok END),
+         |      0) AS BIGINT) AS tok_m
+         |  FROM tv),
+         |w1 AS (SELECT tok_s, tok_m,
+         |    CASE WHEN tok_p = 0 THEN CAST(1000000 AS BIGINT)
+         |         ELSE least(CAST(1000000 AS BIGINT),
+         |           CAST($TierMixBudgetPpm // tok_p AS BIGINT)) END AS r_p,
+         |    tok_p FROM tt),
+         |w2 AS (SELECT *, $TierMixBudgetPpm - tok_p * r_p AS rem1 FROM w1),
+         |w3 AS (SELECT *,
+         |    CASE WHEN tok_s = 0 THEN CAST(1000000 AS BIGINT)
+         |         ELSE least(CAST(1000000 AS BIGINT),
+         |           CAST(rem1 // tok_s AS BIGINT)) END AS r_s FROM w2),
+         |w4 AS (SELECT *, rem1 - tok_s * r_s AS rem2 FROM w3),
+         |w5 AS (SELECT *,
+         |    CASE WHEN tok_m = 0 THEN CAST($MarginalCapPpm AS BIGINT)
+         |         ELSE least(CAST($MarginalCapPpm AS BIGINT),
+         |           CAST(rem2 // tok_m AS BIGINT)) END AS r_m FROM w4),
+         |k AS (SELECT tv.doc_id, CAST(tv.n_tok AS BIGINT) AS n_tok,
+         |        tv.votes, tv.tier,
+         |        CASE tv.tier WHEN 'premium' THEN w5.r_p
+         |             WHEN 'standard' THEN w5.r_s
+         |             WHEN 'marginal' THEN w5.r_m
+         |             ELSE CAST(0 AS BIGINT) END AS rate_ppm
+         |      FROM tv, w5)
+         |SELECT doc_id, n_tok, votes, tier, rate_ppm
+         |FROM k
+         |WHERE $keepFold < rate_ppm
+         |ORDER BY doc_id""".stripMargin
+    } { (s, d) =>
+      val tiers = ensembleTiers(s, d)
+      // bounded driver fold (≤ 4 rows): the waterfall is SEQUENTIAL —
+      // each tier's spend defines the next tier's remainder — so it is
+      // driver arithmetic on exact Longs, never a float in the plan
+      val tokOf = tiers.groupBy("tier")
+        .agg(sum("n_tok").cast("long").as("tok")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+        .withDefaultValue(0L)
+      def rate(rem: Long, tok: Long, cap: Long): Long =
+        if (tok == 0L) cap else math.min(cap, rem / tok)
+      val rP = rate(TierMixBudgetPpm, tokOf("premium"), 1000000L)
+      val rem1 = TierMixBudgetPpm - tokOf("premium") * rP
+      val rS = rate(rem1, tokOf("standard"), 1000000L)
+      val rem2 = rem1 - tokOf("standard") * rS
+      val rM = rate(rem2, tokOf("marginal"), MarginalCapPpm)
+      tiers
+        .withColumn("rate_ppm",
+          when(col("tier") === "premium", rP)
+            .when(col("tier") === "standard", rS)
+            .when(col("tier") === "marginal", rM)
+            .otherwise(0L).cast("long"))
+        .where(TextFns.keepPpm(col("doc_id"), col("tier"),
+          col("rate_ppm")))
+        .select("doc_id", "n_tok", "votes", "tier", "rate_ppm")
         .orderBy("doc_id")
     },
 

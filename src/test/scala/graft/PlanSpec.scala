@@ -373,6 +373,18 @@ class PlanSpec extends SparkSpec {
     plan should not include "Exchange"
   }
 
+  test("t41 tier mixing keeps the gated output scan join-free: rates " +
+      "ride as literals from the bounded driver fold, never a join") {
+    // the waterfall rates come from one <= 4-row collect at
+    // construction time (the eager-constructor contract), so the KEEP
+    // plan must be the t40 ensemble projection + a filter + the
+    // output sort — a rate TABLE join (or a window) would re-shuffle
+    // the corpus for 4 numbers.
+    val plan = formattedPlan("t41_tier_mixing")
+    plan should not include "Join"
+    "Window\\b".r.findAllIn(plan).size shouldBe 0
+  }
+
   test("st22 per-batch HLL sketch keeps a map-side partial max: the " +
       "shuffle carries <= |types|*256 combiner cells, never raw events") {
     // the property that bounds streaming distinct-count state at any
