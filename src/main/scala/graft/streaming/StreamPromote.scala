@@ -71,14 +71,14 @@ object StreamPromote {
     * evaluate both models out-of-sample, promote or reject. */
   def processBatch(batch: DataFrame, batchId: Long, root: String,
       thresholdPpm: Long = StreamRefit.ThresholdPpm): Unit = {
-    StreamRefit.enforceThresholdLineage(root, thresholdPpm)
     val spark = batch.sparkSession
+    StreamRefit.enforceThresholdLineage(spark, root, thresholdPpm)
     import spark.implicits._
     batch.select(col("doc_id"), col("text"), col("lang"))
       .write.mode("overwrite").parquet(s"$root/docs/batch=$batchId")
     StreamDrift.processBatch(batch, batchId, root, StreamRefit.axis)
     val own = StreamRefit.decisionFor(spark, root, batchId, thresholdPpm)
-    StreamRefit.writeDecision(root, batchId, own)
+    StreamRefit.writeDecision(spark, root, batchId, own)
     if (batchId == 0L || own) {
       val dec = StreamRefit.decisionsUpTo(spark, root, batchId,
         thresholdPpm)
@@ -87,8 +87,11 @@ object StreamPromote {
       }.sorted
       // prior candidates: bounded read (≤ 64 rows per candidate);
       // replays see later candidates too — filtered to fired < b
+      val candDir = new org.apache.hadoop.fs.Path(root, "cand")
+      val candFs = candDir.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
       val prior =
-        if (!Files.exists(Paths.get(root, "cand"))) Array.empty[(Long,
+        if (!candFs.exists(candDir)) Array.empty[(Long,
           Long, Long, String)]
         else spark.read.parquet(s"$root/cand")
           .select(col("batch").cast("long").as("fired"), col("bucket"),

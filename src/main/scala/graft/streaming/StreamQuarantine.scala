@@ -56,8 +56,8 @@ object StreamQuarantine {
     // same lineage rule as StreamRefit: a restart with a different
     // threshold would re-decide old batches differently and leave a
     // batch's docs present under BOTH route directories
-    StreamRefit.enforceThresholdLineage(root, thresholdPpm)
     val spark = batch.sparkSession
+    StreamRefit.enforceThresholdLineage(spark, root, thresholdPpm)
     StreamDrift.processBatch(batch, batchId, root, StreamRefit.axis)
     // the route needs ONLY this batch's decision — one bounded
     // decisionFor collect against strictly-earlier histograms, stored
@@ -65,7 +65,7 @@ object StreamQuarantine {
     // empty micro-batch has no histogram rows and its drift-test limit
     // is clean: drift_num = 0 — see StreamRefit)
     val fired = StreamRefit.decisionFor(spark, root, batchId, thresholdPpm)
-    StreamRefit.writeDecision(root, batchId, fired)
+    StreamRefit.writeDecision(spark, root, batchId, fired)
     val route = if (fired) "quarantine" else "corpus"
     batch.select(col("doc_id"), col("text"), col("lang"))
       .write.mode("overwrite")

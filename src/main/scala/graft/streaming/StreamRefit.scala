@@ -2,6 +2,8 @@ package graft.streaming
 
 import java.nio.file.{Files, Paths}
 
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -78,12 +80,12 @@ object StreamRefit {
     * one MERGE-keyed weights table / routed store. The first batch pins
     * the threshold in a root-level marker; every later batch (including
     * replays and restarts) must match or fail loudly. */
-  private[streaming] def enforceThresholdLineage(root: String,
-      ppm: Long): Unit = {
-    val p = Paths.get(root, "threshold.ppm")
-    if (Files.exists(p)) {
-      val prev = new String(Files.readAllBytes(p),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+  private[streaming] def enforceThresholdLineage(spark: SparkSession,
+      root: String, ppm: Long): Unit = {
+    val fs = hfs(spark, root)
+    val p = new HPath(root, "threshold.ppm")
+    if (fs.exists(p)) {
+      val prev = readSmall(fs, p).trim.toLong
       require(prev == ppm,
         s"StreamRefit: root $root was built with thresholdPpm=$prev — " +
           s"refusing to continue with $ppm; decisions/version numbering " +
@@ -95,15 +97,36 @@ object StreamRefit {
       // threshold the restarting stream happens to pass is exactly the
       // interleaving the marker exists to prevent — fail loudly
       // instead of adopting the new threshold retroactively.
-      require(!Files.exists(Paths.get(root, "hist")),
+      require(!fs.exists(new HPath(root, "hist")),
         s"StreamRefit: root $root already has hist/ batches but no " +
           "threshold.ppm marker — cannot verify its decision lineage " +
           s"against thresholdPpm=$ppm. Start a fresh root (or restore " +
           "the original marker).")
-      Files.createDirectories(Paths.get(root))
-      Files.write(p, ppm.toString.getBytes(
-        java.nio.charset.StandardCharsets.UTF_8))
+      writeSmall(fs, p, ppm.toString)
     }
+  }
+
+  /** The byte stores go through the Hadoop FileSystem API (the
+    * KeyedUpsert precedent), so a production root on HDFS/S3/ABFS
+    * works the same as the local test roots. */
+  private def hfs(spark: SparkSession, root: String): FileSystem =
+    new HPath(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def readSmall(fs: FileSystem, p: HPath): String = {
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  private def writeSmall(fs: FileSystem, p: HPath, body: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
 
   /** Firing decisions for every batch in the accumulated histogram
@@ -163,20 +186,17 @@ object StreamRefit {
     * re-deriving (the fix for per-arrival re-derivation growing
     * linearly with batches seen, total quadratic over the stream's
     * lifetime). A missing file self-heals through [[decisionFor]]. */
-  private[streaming] def writeDecision(root: String, batchId: Long,
-      fired: Boolean): Unit = {
-    Files.createDirectories(Paths.get(root, "dec"))
-    Files.write(Paths.get(root, "dec", s"batch-$batchId"),
-      (if (fired) "1" else "0").getBytes(
-        java.nio.charset.StandardCharsets.UTF_8))
-  }
+  private[streaming] def writeDecision(spark: SparkSession, root: String,
+      batchId: Long, fired: Boolean): Unit =
+    writeSmall(hfs(spark, root), new HPath(s"$root/dec/batch-$batchId"),
+      if (fired) "1" else "0")
 
-  private[streaming] def readDecision(root: String,
+  private[streaming] def readDecision(spark: SparkSession, root: String,
       batchId: Long): Option[Boolean] = {
-    val p = Paths.get(root, "dec", s"batch-$batchId")
-    if (!Files.exists(p)) None
-    else Some(new String(Files.readAllBytes(p),
-      java.nio.charset.StandardCharsets.UTF_8).trim == "1")
+    val fs = hfs(spark, root)
+    val p = new HPath(s"$root/dec/batch-$batchId")
+    if (!fs.exists(p)) None
+    else Some(readSmall(fs, p).trim == "1")
   }
 
   /** Decisions for every histogram batch ≤ `batchId`: stored bytes
@@ -186,16 +206,18 @@ object StreamRefit {
     * resolve correctly. */
   private[streaming] def decisionsUpTo(spark: SparkSession, root: String,
       batchId: Long, thresholdPpm: Long): Map[Long, Boolean] = {
-    val dirs = Option(new java.io.File(root, "hist").listFiles())
-      .getOrElse(Array.empty)
-    val known = dirs.toSeq.map(_.getName)
-      .collect { case n if n.startsWith("batch=") =>
-        n.stripPrefix("batch=").toLong }
-      .filter(_ <= batchId).sorted
+    val fs = hfs(spark, root)
+    val histDir = new HPath(root, "hist")
+    val known =
+      if (!fs.exists(histDir)) Seq.empty[Long]
+      else fs.listStatus(histDir).toSeq.map(_.getPath.getName)
+        .collect { case n if n.startsWith("batch=") =>
+          n.stripPrefix("batch=").toLong }
+        .filter(_ <= batchId).sorted
     known.map { b =>
-      b -> readDecision(root, b).getOrElse {
+      b -> readDecision(spark, root, b).getOrElse {
         val d = decisionFor(spark, root, b, thresholdPpm)
-        writeDecision(root, b, d)
+        writeDecision(spark, root, b, d)
         d
       }
     }.toMap
@@ -205,8 +227,8 @@ object StreamRefit {
     * under whole-batch replay (see class doc). */
   def processBatch(batch: DataFrame, batchId: Long, root: String,
       thresholdPpm: Long = ThresholdPpm): Unit = {
-    enforceThresholdLineage(root, thresholdPpm)
     val spark = batch.sparkSession
+    enforceThresholdLineage(spark, root, thresholdPpm)
     import spark.implicits._
     batch.select(col("doc_id"), col("text"), col("lang"))
       .write.mode("overwrite").parquet(s"$root/docs/batch=$batchId")
@@ -218,7 +240,7 @@ object StreamRefit {
     // An EMPTY micro-batch writes a zero-row histogram and its drift
     // limit is clean (drift_num = 0) — decisionFor returns false.
     val own = decisionFor(spark, root, batchId, thresholdPpm)
-    writeDecision(root, batchId, own)
+    writeDecision(spark, root, batchId, own)
     val dec = decisionsUpTo(spark, root, batchId, thresholdPpm)
     if (batchId == 0L || own) {
       // clean pool: batches up to b that never fired (excludes a

@@ -69,10 +69,13 @@ object StreamSketch {
       .write.mode("overwrite").parquet(s"$root/sketch/batch=$batchId")
     val own = spark.read.parquet(s"$root/sketch/batch=$batchId")
       .select(col("event_type"), col("bucket"), col("rank"))
-    val prevDir = Paths.get(s"$root/cum/batch=${batchId - 1}")
+    val prevDir = new org.apache.hadoop.fs.Path(
+      s"$root/cum/batch=${batchId - 1}")
+    val prevFs = prevDir.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
     val cum =
       if (batchId == 0L) own
-      else if (Files.exists(prevDir))
+      else if (prevFs.exists(prevDir))
         Hll.merge(
           spark.read.parquet(prevDir.toString)
             .select(col("event_type"), col("bucket"), col("rank")),
