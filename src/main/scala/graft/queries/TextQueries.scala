@@ -179,6 +179,10 @@ object TextQueries {
   private val TierMixBudgetPpm = 15000L * 1000000L
   private val MarginalCapPpm = 250000L
 
+  /** See [[graft.functions.SessionRelease]]: t41 keeps at most one
+    * cached tier frame alive per session. */
+  private val tierMixUnmanagedRelease = new graft.functions.SessionRelease
+
   /** The t40 ensemble chain shared by the t40 and t41 oracles: the
     * three quality signals (t02 heuristic, t31 trained score, t39 LM
     * bucket) → integer vote → tier, ending in CTE `tv` of (doc_id,
@@ -765,7 +769,15 @@ object TextQueries {
          |WHERE $keepFold < rate_ppm
          |ORDER BY doc_id""".stripMargin
     } { (s, d) =>
-      val tiers = ensembleTiers(s, d)
+      // PERSIST the tier projection: the tier expression inlines two
+      // native product kernels + the classifier scorer + the heuristic,
+      // and Catalyst SUBSTITUTES it into every downstream reference
+      // (the rate when-chain, the keep gate, the output columns) — the
+      // unpersisted plan re-evaluated the kernels ~10x per row (9.5 s
+      // vs t40's 0.94 s, measured). The cache holds 7 narrow columns
+      // (never the text); the one-live-frame SessionRelease bounds it.
+      val tiers = ensembleTiers(s, d).persist()
+      tierMixUnmanagedRelease.swap(s, () => { tiers.unpersist(); () })
       // bounded driver fold (≤ 4 rows): the waterfall is SEQUENTIAL —
       // each tier's spend defines the next tier's remainder — so it is
       // driver arithmetic on exact Longs, never a float in the plan
