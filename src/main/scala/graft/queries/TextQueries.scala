@@ -183,6 +183,27 @@ object TextQueries {
     * cached tier frame alive per session. */
   private val tierMixUnmanagedRelease = new graft.functions.SessionRelease
 
+  /** t41's exact-integer budget waterfall, factored out so the
+    * PropertySpec invariants (never overspends, caps respected, no
+    * budget left on the table while a tier is damped) test the SAME
+    * arithmetic the registered query ships: tier → keep rate in ppm.
+    * All Long arithmetic; `/` is integer division, mirroring the
+    * oracle's `//`. */
+  private[graft] def tierWaterfall(tokOf: Map[String, Long],
+      budgetPpm: Long = TierMixBudgetPpm,
+      marginalCap: Long = MarginalCapPpm): Map[String, Long] = {
+    def tok(t: String) = tokOf.getOrElse(t, 0L)
+    def rate(rem: Long, tk: Long, cap: Long): Long =
+      if (tk == 0L) cap else math.min(cap, rem / tk)
+    val rP = rate(budgetPpm, tok("premium"), 1000000L)
+    val rem1 = budgetPpm - tok("premium") * rP
+    val rS = rate(rem1, tok("standard"), 1000000L)
+    val rem2 = rem1 - tok("standard") * rS
+    val rM = rate(rem2, tok("marginal"), marginalCap)
+    Map("premium" -> rP, "standard" -> rS, "marginal" -> rM,
+      "reject" -> 0L)
+  }
+
   /** The t40 ensemble chain shared by the t40 and t41 oracles: the
     * three quality signals (t02 heuristic, t31 trained score, t39 LM
     * bucket) → integer vote → tier, ending in CTE `tv` of (doc_id,
@@ -784,19 +805,12 @@ object TextQueries {
       val tokOf = tiers.groupBy("tier")
         .agg(sum("n_tok").cast("long").as("tok")).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
-        .withDefaultValue(0L)
-      def rate(rem: Long, tok: Long, cap: Long): Long =
-        if (tok == 0L) cap else math.min(cap, rem / tok)
-      val rP = rate(TierMixBudgetPpm, tokOf("premium"), 1000000L)
-      val rem1 = TierMixBudgetPpm - tokOf("premium") * rP
-      val rS = rate(rem1, tokOf("standard"), 1000000L)
-      val rem2 = rem1 - tokOf("standard") * rS
-      val rM = rate(rem2, tokOf("marginal"), MarginalCapPpm)
+      val rates = tierWaterfall(tokOf)
       tiers
         .withColumn("rate_ppm",
-          when(col("tier") === "premium", rP)
-            .when(col("tier") === "standard", rS)
-            .when(col("tier") === "marginal", rM)
+          when(col("tier") === "premium", rates("premium"))
+            .when(col("tier") === "standard", rates("standard"))
+            .when(col("tier") === "marginal", rates("marginal"))
             .otherwise(0L).cast("long"))
         .where(TextFns.keepPpm(col("doc_id"), col("tier"),
           col("rate_ppm")))

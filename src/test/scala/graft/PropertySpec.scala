@@ -185,6 +185,60 @@ class PropertySpec extends SparkSpec {
     check(prop, 15)
   }
 
+  test("tier waterfall never overspends, respects caps, and leaves no " +
+      "budget on the table while a tier is damped") {
+    import graft.queries.TextQueries
+    val tokGen = Gen.choose(0L, 30000L)
+    val gen = Gen.zip(tokGen, tokGen, tokGen, Gen.choose(0L, 40000L))
+    val prop = Prop.forAll(gen) { case (tp, ts, tm, budgetTok) =>
+      val b = budgetTok * 1000000L
+      val tok = Map("premium" -> tp, "standard" -> ts, "marginal" -> tm)
+      val r = TextQueries.tierWaterfall(tok, b)
+      val spent = tp * r("premium") + ts * r("standard") + tm * r("marginal")
+      val rem2 = b - tp * r("premium") - ts * r("standard")
+      val inRange = r.values.forall(v => v >= 0L && v <= 1000000L)
+      val clamped = r("marginal") <= 250000L && r("reject") == 0L
+      val noOverspend = spent <= b
+      // priority: premium's rate is independent of the lower tiers
+      val premiumFirst = r("premium") ==
+        TextQueries.tierWaterfall(Map("premium" -> tp), b)("premium")
+      // no waste: a DAMPED tier (rate below its cap) means the budget
+      // above it was consumed down to less than one of its tokens —
+      // the waterfall never damps while budget that tier could spend
+      // remains
+      val standardTight = r("standard") == 1000000L || ts == 0L ||
+        rem2 < ts
+      val marginalTight = r("marginal") == 250000L || tm == 0L ||
+        (rem2 - tm * r("marginal")) < tm
+      inRange && clamped && noOverspend && premiumFirst &&
+        standardTight && marginalTight
+    }
+    check(prop, 40)
+  }
+
+  test("promotion fold equals the driver champion/challenger model " +
+      "on random corpora") {
+    import graft.streaming.StreamPromote
+    val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "omega",
+      "sigma", "kappa", "zeta", "theta", "lambda", "the", "und")
+    val shortGen = Gen.zip(Gen.choose(1, 5), Gen.oneOf("en", "de"))
+      .flatMap { case (n, l) =>
+        Gen.listOfN(n, wordGen).map(ws => (ws.mkString(" "), l)) }
+    // occasional LONG docs shift the token-length drift axis, so some
+    // random slicings fire (challenger evaluated) and some don't
+    val longGen = Gen.oneOf("en", "de").map(l => (("stream " * 40).trim, l))
+    val docGen = Gen.frequency(4 -> shortGen, 1 -> longGen)
+    val corpusGen = Gen.listOfN(24, docGen)
+    val prop = Prop.forAll(corpusGen) { docs0 =>
+      val docs = docs0.zipWithIndex
+        .map { case ((t, l), i) => (i.toLong, t, l) }
+      val actual = StreamPromote.batchReference(
+        docs.toDF("doc_id", "text", "lang"), nSlices = 3)
+      actual == PromoteReference.fold(docs, 3)
+    }
+    check(prop, 5)
+  }
+
   test("classifier fit equals the driver perceptron on random corpora") {
     import graft.text.ClassifierTrain
     val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "omega",
