@@ -151,25 +151,36 @@ object StreamRefit {
         BigInt(thresholdPpm) * BigInt(n) * BigInt(prevN))
     }
 
-  /** ONLY batch `batchId`'s firing decision, from the accumulated
-    * histogram store: its own histogram against the summed histograms
-    * of strictly-earlier batches (later batches' cells, present during
-    * a replay, are filtered out — so a late replay recomputes the
-    * identical decision). One bounded collect of ≤ |batches ≤ b| × ~51
-    * cells; the exact BigInt cross-multiplied test of [[decisions]].
-    * An empty batch (no histogram rows) is clean: drift_num = 0. */
+  /** ONLY batch `batchId`'s firing decision: its own histogram against
+    * the PREDECESSOR CHECKPOINT `cumhist/batch=b-1` (the bucket-wise
+    * sum of every strictly-earlier batch — [[StreamDrift.processBatch]]
+    * maintains it, so later batches' cells present during a replay
+    * never enter the prev side and a late replay recomputes the
+    * identical decision). Two bounded collects of ≤ ~51 cells each —
+    * O(cells) per batch FOREVER, independent of batches seen; the
+    * exact BigInt cross-multiplied test of [[decisions]]. A root
+    * without checkpoints (pre-upgrade) self-heals by summing the
+    * stored per-batch hists < b once. An empty batch (no histogram
+    * rows) is clean: drift_num = 0. */
   def decisionFor(spark: SparkSession, root: String, batchId: Long,
       thresholdPpm: Long = ThresholdPpm): Boolean = {
-    val cells = spark.read.parquet(s"$root/hist")
-      .select(col("batch").cast("long").as("batch"), col("bucket"),
-        col("cnt").cast("long").as("cnt"))
-      .filter(col("batch") <= batchId)
-      .collect() // bounded: <= batches x ~51 histogram cells
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
-    val cur = cells.collect { case (b, k, c) if b == batchId => k -> c }
-      .groupMapReduce(_._1)(_._2)(_ + _)
-    val prev = cells.collect { case (b, k, c) if b < batchId => k -> c }
-      .groupMapReduce(_._1)(_._2)(_ + _)
+    def cellsOf(dir: String): Map[Long, Long] =
+      spark.read.parquet(dir)
+        .select(col("bucket"), col("cnt").cast("long").as("cnt"))
+        .collect() // bounded: <= ~51 histogram cells
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .groupMapReduce(_._1)(_._2)(_ + _)
+    val cur = cellsOf(s"$root/hist/batch=$batchId")
+    val prevDir = new HPath(s"$root/cumhist/batch=${batchId - 1}")
+    val prev =
+      if (batchId == 0L) Map.empty[Long, Long]
+      else if (hfs(spark, root).exists(prevDir)) cellsOf(prevDir.toString)
+      else spark.read.parquet(s"$root/hist")
+        .filter(col("batch").cast("long") < batchId)
+        .select(col("bucket"), col("cnt").cast("long").as("cnt"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .groupMapReduce(_._1)(_._2)(_ + _)
     val n = BigInt(cur.values.sum)
     val prevN = BigInt(prev.values.sum)
     val driftNum = (cur.keySet ++ prev.keySet).toSeq.map { k =>
