@@ -102,44 +102,52 @@ object StreamDrift {
     }
 
   /** One micro-batch's work: the batch's bucket histogram, written
-    * idempotently to its own subdirectory, then folded into a RUNNING
-    * CHECKPOINT `cumhist/batch=b` = bucket-wise SUM of the predecessor
-    * checkpoint and this batch (sums are associative — the same
-    * argument as the st22 sketch checkpoint). The checkpoint is what
-    * keeps [[StreamRefit.decisionFor]]'s prev side at O(cells) per
-    * batch FOREVER: without it, every arrival re-collected the whole
-    * hist store (O(batches × cells) per batch, quadratic over the
-    * stream's lifetime at the metadata level). Replay-idempotent:
-    * `cumhist/b` is a pure function of `cumhist/b-1` and batch b's
-    * rows. A missing predecessor (pre-upgrade root) self-heals by
-    * summing the stored per-batch hists < b once. */
+    * idempotently to its own subdirectory. With `cumulative = true`
+    * it is then folded into a RUNNING CHECKPOINT `cumhist/batch=b` =
+    * bucket-wise SUM of the predecessor checkpoint and this batch
+    * (sums are associative — the same argument as the st22 sketch
+    * checkpoint). The checkpoint is what keeps
+    * [[StreamRefit.decisionFor]]'s prev side at O(cells) per batch
+    * FOREVER: without it, every arrival re-collected the whole hist
+    * store (O(batches × cells) per batch, quadratic over the stream's
+    * lifetime at the metadata level). The fold costs one extra tiny
+    * read + commit per batch, so it is OPT-IN: only the DECISION
+    * consumers (refit/quarantine/promote) pay it — the pure monitors
+    * (st17/st18/st19) never call decisionFor and skip it.
+    * Replay-idempotent: `cumhist/b` is a pure function of `cumhist/b-1`
+    * and batch b's rows. A missing predecessor (pre-upgrade root, or a
+    * root built by a monitor) self-heals in decisionFor by summing the
+    * stored per-batch hists < b once. */
   def processBatch(batch: DataFrame, batchId: Long, root: String,
-      bucket: Column = scoreBucket): Unit = {
+      bucket: Column = scoreBucket, cumulative: Boolean = false): Unit = {
     val spark = batch.sparkSession
     batch
       .select(coalesce(bucket, lit(NullBucket)).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
       .write.mode("overwrite").parquet(s"$root/hist/batch=$batchId")
-    val own = spark.read.parquet(s"$root/hist/batch=$batchId")
-      .select(col("bucket"), col("cnt"))
-    val prevDir = new org.apache.hadoop.fs.Path(
-      s"$root/cumhist/batch=${batchId - 1}")
-    val prevFs = prevDir.getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    val cum =
-      if (batchId == 0L) own
-      else if (prevFs.exists(prevDir))
-        spark.read.parquet(prevDir.toString)
-          .select(col("bucket"), col("cnt"))
-          .unionByName(own)
-          .groupBy("bucket").agg(sum("cnt").cast("long").as("cnt"))
-      else
-        // self-heal: sum every stored per-batch hist <= b (later
-        // batches' hists, present during a replay, filtered out)
-        spark.read.parquet(s"$root/hist")
-          .filter(col("batch").cast("long") <= batchId)
-          .groupBy("bucket").agg(sum("cnt").cast("long").as("cnt"))
-    cum.write.mode("overwrite").parquet(s"$root/cumhist/batch=$batchId")
+    if (cumulative) {
+      val own = spark.read.parquet(s"$root/hist/batch=$batchId")
+        .select(col("bucket"), col("cnt"))
+      val prevDir = new org.apache.hadoop.fs.Path(
+        s"$root/cumhist/batch=${batchId - 1}")
+      val prevFs = prevDir.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val cum =
+        if (batchId == 0L) own
+        else if (prevFs.exists(prevDir))
+          spark.read.parquet(prevDir.toString)
+            .select(col("bucket"), col("cnt"))
+            .unionByName(own)
+            .groupBy("bucket").agg(sum("cnt").cast("long").as("cnt"))
+        else
+          // self-heal: sum every stored per-batch hist <= b (later
+          // batches' hists, present during a replay, filtered out)
+          spark.read.parquet(s"$root/hist")
+            .filter(col("batch").cast("long") <= batchId)
+            .groupBy("bucket").agg(sum("cnt").cast("long").as("cnt"))
+      cum.write.mode("overwrite")
+        .parquet(s"$root/cumhist/batch=$batchId")
+    }
   }
 
   /** The drift report from the accumulated histogram store: one row

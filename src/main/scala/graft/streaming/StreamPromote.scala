@@ -76,7 +76,8 @@ object StreamPromote {
     import spark.implicits._
     batch.select(col("doc_id"), col("text"), col("lang"))
       .write.mode("overwrite").parquet(s"$root/docs/batch=$batchId")
-    StreamDrift.processBatch(batch, batchId, root, StreamRefit.axis)
+    StreamDrift.processBatch(batch, batchId, root, StreamRefit.axis,
+      cumulative = true)
     val own = StreamRefit.decisionFor(spark, root, batchId, thresholdPpm)
     StreamRefit.writeDecision(spark, root, batchId, own)
     if (batchId == 0L || own) {

@@ -58,7 +58,8 @@ object StreamQuarantine {
     // batch's docs present under BOTH route directories
     val spark = batch.sparkSession
     StreamRefit.enforceThresholdLineage(spark, root, thresholdPpm)
-    StreamDrift.processBatch(batch, batchId, root, StreamRefit.axis)
+    StreamDrift.processBatch(batch, batchId, root, StreamRefit.axis,
+      cumulative = true)
     // the route needs ONLY this batch's decision — one bounded
     // decisionFor collect against strictly-earlier histograms, stored
     // append-only so audits/replays read instead of re-deriving (an

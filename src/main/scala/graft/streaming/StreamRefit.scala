@@ -243,7 +243,8 @@ object StreamRefit {
     import spark.implicits._
     batch.select(col("doc_id"), col("text"), col("lang"))
       .write.mode("overwrite").parquet(s"$root/docs/batch=$batchId")
-    StreamDrift.processBatch(batch, batchId, root, axis)
+    StreamDrift.processBatch(batch, batchId, root, axis,
+      cumulative = true)
     // ONLY this batch's decision is derived (one bounded collect);
     // strictly-earlier batches' decisions come from the append-only
     // dec/ store, so per-batch cost stays flat on the stream-lifetime
