@@ -1,6 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -161,7 +160,8 @@ object StreamDrift {
     * (`bucket` selects the monitored axis). */
   def run(spark: SparkSession, docs: DataFrame, root: String,
       nSlices: Int = 4, bucket: Column = scoreBucket): DataFrame = {
-    Files.createDirectories(Paths.get(root))
+    StreamRefit.hfs(spark, root)
+      .mkdirs(new org.apache.hadoop.fs.Path(root))
     publishSliced(docs, s"$root/topic", nSlices)
     val src = Topic.decodeDocuments(
       Topic.readStream(spark, s"$root/topic", maxFilesPerTrigger = 1))

@@ -1,6 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -86,7 +85,8 @@ object StreamQuarantine {
   def run(spark: SparkSession, docs: DataFrame, root: String,
       nSlices: Int = 4,
       thresholdPpm: Long = StreamRefit.ThresholdPpm): DataFrame = {
-    Files.createDirectories(Paths.get(root))
+    StreamRefit.hfs(spark, root)
+      .mkdirs(new org.apache.hadoop.fs.Path(root))
     StreamDrift.publishSliced(docs, s"$root/topic", nSlices)
     val src = Topic.decodeDocuments(
       Topic.readStream(spark, s"$root/topic", maxFilesPerTrigger = 1))

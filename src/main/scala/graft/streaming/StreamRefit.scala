@@ -1,6 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
 
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 
@@ -109,7 +108,7 @@ object StreamRefit {
   /** The byte stores go through the Hadoop FileSystem API (the
     * KeyedUpsert precedent), so a production root on HDFS/S3/ABFS
     * works the same as the local test roots. */
-  private def hfs(spark: SparkSession, root: String): FileSystem =
+  private[streaming] def hfs(spark: SparkSession, root: String): FileSystem =
     new HPath(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def readSmall(fs: FileSystem, p: HPath): String = {
@@ -289,7 +288,7 @@ object StreamRefit {
   def run(spark: SparkSession, docs: DataFrame, root: String,
       nSlices: Int = 4,
       thresholdPpm: Long = ThresholdPpm): DataFrame = {
-    Files.createDirectories(Paths.get(root))
+    hfs(spark, root).mkdirs(new HPath(root))
     StreamDrift.publishSliced(docs, s"$root/topic", nSlices)
     val src = Topic.decodeDocuments(
       Topic.readStream(spark, s"$root/topic", maxFilesPerTrigger = 1))

@@ -1,6 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -114,7 +113,8 @@ object StreamSketch {
     * registered st22 entry. */
   def run(spark: SparkSession, events: DataFrame, root: String,
       nSlices: Int = 4): DataFrame = {
-    Files.createDirectories(Paths.get(root))
+    StreamRefit.hfs(spark, root)
+      .mkdirs(new org.apache.hadoop.fs.Path(root))
     publishSliced(events, s"$root/topic", nSlices)
     val src = Topic.decodeEvents(
       Topic.readStream(spark, s"$root/topic", maxFilesPerTrigger = 1))
