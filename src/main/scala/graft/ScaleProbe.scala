@@ -593,7 +593,12 @@ object StreamScaleProbe {
     // round-15: the promotion gate (st23 — champion/challenger): per
     // firing batch ONE challenger fit + ONE combined two-model val
     // scan; non-firing batches pay the st18 histogram price only
-    "st23_stream_promote")
+    "st23_stream_promote",
+    // st24 composes quarantine + promotion against one shared root —
+    // one decision derivation per batch (dec/ read-through); the row
+    // pins that the composition costs ~the sum of its parts, never a
+    // re-derivation multiple
+    "st24_stream_lineage")
 
   def main(args: Array[String]): Unit = {
     ProbeLog.hostStart()

@@ -55,6 +55,54 @@ object StreamingQueries {
       |FROM bn JOIN pn USING (batch) JOIN dr USING (batch)
       |ORDER BY bn.batch""".stripMargin
 
+  /** t37's split-fold predicate, shared by the st23/st24 oracles. */
+  private val splitFoldSql =
+    """list_reduce(list_transform(
+      |              string_split(md5(CAST(doc_id AS VARCHAR)), ''),
+      |              c -> CAST(ascii(c) AS BIGINT)),
+      |              (acc, x) -> (acc * 31 + x) % 1000000007) % 100"""
+      .stripMargin
+
+  /** Val-split docs + hashed features under a namespaced prefix —
+    * shared by the st23/st24 oracles (the promotion evaluation set). */
+  private def promoteValCtes(p: String, poolWhere: String): String = {
+    val D = graft.text.ClassifierTrain.Dim
+    s"""${p}v AS (SELECT doc_id,
+       |         CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+       |         string_split($streamNorm, ' ') AS ws
+       |       FROM documents WHERE text IS NOT NULL$poolWhere
+       |         AND $splitFoldSql >= 80),
+       |${p}vx AS (
+       |  SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS x FROM (
+       |    SELECT doc_id, unnest(list_transform(
+       |        list_concat(ws, list_transform(range(1, len(ws)),
+       |          i -> ws[i] || ' ' || ws[i+1])),
+       |        t -> CAST((${TextQueries.polyHashSql("t")}) % $D
+       |          AS BIGINT))) AS bucket
+       |    FROM ${p}v) GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** Margin of a feature CTE under a weight CTE — st23/st24 shared. */
+  private def promoteScoreCte(name: String, vx: String,
+      w: String): String =
+    s"""$name AS (SELECT $vx.doc_id,
+       |    CAST(sum(w.w * $vx.x) AS BIGINT) AS s
+       |  FROM $vx JOIN $w w USING (bucket) GROUP BY 1)""".stripMargin
+
+  /** The champion-vs-challenger integer accuracy aggregate over the
+    * clean-{0,1} val split — st23/st24 shared. */
+  private val promoteAcc2Cte =
+    """acc2 AS (SELECT CAST(count(*) FILTER (
+      |             WHERE v.y * coalesce(sa.s, 0) > 0) AS BIGINT)
+      |             AS champ_ok,
+      |           CAST(count(*) FILTER (
+      |             WHERE v.y * coalesce(sb.s, 0) > 0) AS BIGINT)
+      |             AS chall_ok,
+      |           CAST(count(*) AS BIGINT) AS n
+      |         FROM bv v LEFT JOIN s2a sa ON sa.doc_id = v.doc_id
+      |                   LEFT JOIN s2b sb ON sb.doc_id = v.doc_id)"""
+      .stripMargin
+
   /** Bounded streaming runs at test scale don't benefit from wide state
     * partitioning — fewer state stores means less per-micro-batch
     * commit overhead. Safe to scope per run: each run starts from a
@@ -1099,55 +1147,20 @@ object StreamingQueries {
     // hash-red.
     "st23_stream_promote" -> Q {
       val iters = graft.text.ClassifierTrain.Iters
-      val D = graft.text.ClassifierTrain.Dim
-      val splitFold =
-        """list_reduce(list_transform(
-          |              string_split(md5(CAST(doc_id AS VARCHAR)), ''),
-          |              c -> CAST(ascii(c) AS BIGINT)),
-          |              (acc, x) -> (acc * 31 + x) % 1000000007) % 100"""
-          .stripMargin
-      // val-split docs + hashed features + scored margin under a
-      // weight CTE, namespaced like perceptronCtes' chains
-      def valCtes(p: String, poolWhere: String): String =
-        s"""${p}v AS (SELECT doc_id,
-           |         CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
-           |         string_split($streamNorm, ' ') AS ws
-           |       FROM documents WHERE text IS NOT NULL$poolWhere
-           |         AND $splitFold >= 80),
-           |${p}vx AS (
-           |  SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS x FROM (
-           |    SELECT doc_id, unnest(list_transform(
-           |        list_concat(ws, list_transform(range(1, len(ws)),
-           |          i -> ws[i] || ' ' || ws[i+1])),
-           |        t -> CAST((${TextQueries.polyHashSql("t")}) % $D
-           |          AS BIGINT))) AS bucket
-           |    FROM ${p}v) GROUP BY 1, 2)""".stripMargin
-      def scoreCte(name: String, vx: String, w: String): String =
-        s"""$name AS (SELECT $vx.doc_id,
-           |    CAST(sum(w.w * $vx.x) AS BIGINT) AS s
-           |  FROM $vx JOIN $w w USING (bucket) GROUP BY 1)""".stripMargin
       s"""WITH ${TextQueries.perceptronCtes(iters,
-             s"\n    AND doc_id % 4 = 0 AND $splitFold < 80", "a")},
+             s"\n    AND doc_id % 4 = 0 AND $splitFoldSql < 80", "a")},
          |${TextQueries.perceptronCtes(iters,
-             s"\n    AND doc_id % 4 IN (0, 1) AND $splitFold < 80", "b")},
-         |${valCtes("a", "\n    AND doc_id % 4 = 0")},
-         |${valCtes("b", "\n    AND doc_id % 4 IN (0, 1)")},
-         |${scoreCte("sa0", "avx", s"aw$iters")},
-         |${scoreCte("s2a", "bvx", s"aw$iters")},
-         |${scoreCte("s2b", "bvx", s"bw$iters")},
+             s"\n    AND doc_id % 4 IN (0, 1) AND $splitFoldSql < 80", "b")},
+         |${promoteValCtes("a", "\n    AND doc_id % 4 = 0")},
+         |${promoteValCtes("b", "\n    AND doc_id % 4 IN (0, 1)")},
+         |${promoteScoreCte("sa0", "avx", s"aw$iters")},
+         |${promoteScoreCte("s2a", "bvx", s"aw$iters")},
+         |${promoteScoreCte("s2b", "bvx", s"bw$iters")},
          |acc0 AS (SELECT CAST(count(*) FILTER (
          |             WHERE v.y * coalesce(s.s, 0) > 0) AS BIGINT) AS ok,
          |           CAST(count(*) AS BIGINT) AS n
          |         FROM av v LEFT JOIN sa0 s ON s.doc_id = v.doc_id),
-         |acc2 AS (SELECT CAST(count(*) FILTER (
-         |             WHERE v.y * coalesce(sa.s, 0) > 0) AS BIGINT)
-         |             AS champ_ok,
-         |           CAST(count(*) FILTER (
-         |             WHERE v.y * coalesce(sb.s, 0) > 0) AS BIGINT)
-         |             AS chall_ok,
-         |           CAST(count(*) AS BIGINT) AS n
-         |         FROM bv v LEFT JOIN s2a sa ON sa.doc_id = v.doc_id
-         |                   LEFT JOIN s2b sb ON sb.doc_id = v.doc_id)
+         |$promoteAcc2Cte
          |SELECT fired_batch, bucket, weight, champ_ok, chall_ok, n_val,
          |       version, status FROM (
          |  SELECT CAST(0 AS BIGINT) AS fired_batch, w.bucket,
@@ -1168,6 +1181,47 @@ object StreamingQueries {
       val root = freshDir(s"st23-${d.replaceAll("[^0-9a-zA-Z.]", "_")}")
       withShufflePartitions(s, 8) {
         graft.streaming.StreamPromote.run(s, Tables.documents(s, d),
+          root.toString, nSlices = 4)
+      }
+    },
+
+    // curation LINEAGE — the actor family composed against ONE shared
+    // store-root (route the data + gate the model per batch, one
+    // decision derivation thanks to the dec/ read-through), emitting
+    // the per-document record a production curation system keeps:
+    // arrival batch, assigned route, and the model version SERVING at
+    // ingest (version published strictly before the batch; 0 = the
+    // pre-bootstrap sentinel for batch 0; a version published on
+    // firing batch b serves from b+1, never retroactively). The
+    // oracle replays the pinned firing pattern (batch 2) for the
+    // route, and derives the batch-3 serving version from the SAME
+    // champion/challenger comparison st23 pins — a divergent
+    // promotion decision re-labels a whole batch's lineage rows:
+    // hash-red.
+    "st24_stream_lineage" -> Q {
+      val iters = graft.text.ClassifierTrain.Iters
+      s"""WITH ${TextQueries.perceptronCtes(iters,
+             s"\n    AND doc_id % 4 = 0 AND $splitFoldSql < 80", "a")},
+         |${TextQueries.perceptronCtes(iters,
+             s"\n    AND doc_id % 4 IN (0, 1) AND $splitFoldSql < 80", "b")},
+         |${promoteValCtes("b", "\n    AND doc_id % 4 IN (0, 1)")},
+         |${promoteScoreCte("s2a", "bvx", s"aw$iters")},
+         |${promoteScoreCte("s2b", "bvx", s"bw$iters")},
+         |$promoteAcc2Cte
+         |SELECT doc_id, CAST(doc_id % 4 AS BIGINT) AS batch,
+         |       CASE WHEN doc_id % 4 = 2 THEN 'quarantine'
+         |            ELSE 'corpus' END AS route,
+         |       CASE WHEN doc_id % 4 = 0 THEN CAST(0 AS BIGINT)
+         |            WHEN doc_id % 4 = 3
+         |              AND acc2.chall_ok >= acc2.champ_ok
+         |              THEN CAST(2 AS BIGINT)
+         |            ELSE CAST(1 AS BIGINT) END AS serving_version
+         |FROM documents, acc2
+         |ORDER BY doc_id""".stripMargin
+    } { (s, d) =>
+      val root = freshDir(s"st24-${d.replaceAll("[^0-9a-zA-Z.]", "_")}")
+      withShufflePartitions(s, 8) {
+        graft.streaming.StreamLineage.run(s, Tables.documents(s, d),
           root.toString, nSlices = 4)
       }
     }

@@ -77,8 +77,7 @@ object StreamPromote {
       .write.mode("overwrite").parquet(s"$root/docs/batch=$batchId")
     StreamDrift.processBatch(batch, batchId, root, StreamRefit.axis,
       cumulative = true)
-    val own = StreamRefit.decisionFor(spark, root, batchId, thresholdPpm)
-    StreamRefit.writeDecision(spark, root, batchId, own)
+    val own = StreamRefit.ownDecision(spark, root, batchId, thresholdPpm)
     if (batchId == 0L || own) {
       val dec = StreamRefit.decisionsUpTo(spark, root, batchId,
         thresholdPpm)

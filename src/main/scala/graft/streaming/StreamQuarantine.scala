@@ -64,8 +64,7 @@ object StreamQuarantine {
     // append-only so audits/replays read instead of re-deriving (an
     // empty micro-batch has no histogram rows and its drift-test limit
     // is clean: drift_num = 0 — see StreamRefit)
-    val fired = StreamRefit.decisionFor(spark, root, batchId, thresholdPpm)
-    StreamRefit.writeDecision(spark, root, batchId, fired)
+    val fired = StreamRefit.ownDecision(spark, root, batchId, thresholdPpm)
     val route = if (fired) "quarantine" else "corpus"
     batch.select(col("doc_id"), col("text"), col("lang"))
       .write.mode("overwrite")

@@ -209,6 +209,19 @@ object StreamRefit {
     else Some(readSmall(fs, p).trim == "1")
   }
 
+  /** THIS batch's decision, read-through: the stored byte when present
+    * (a composed pipeline — st24 — runs several actors per batch and
+    * only the first derives; a stored decision equals a recomputation
+    * because it is a pure function of strictly-earlier state), derived
+    * via [[decisionFor]] and stored otherwise. */
+  private[streaming] def ownDecision(spark: SparkSession, root: String,
+      batchId: Long, thresholdPpm: Long): Boolean =
+    readDecision(spark, root, batchId).getOrElse {
+      val d = decisionFor(spark, root, batchId, thresholdPpm)
+      writeDecision(spark, root, batchId, d)
+      d
+    }
+
   /** Decisions for every histogram batch ≤ `batchId`: stored bytes
     * where present, [[decisionFor]] (then stored — self-heal) where
     * not. The batch set comes from the hist store's directories, so
@@ -250,8 +263,7 @@ object StreamRefit {
     // axis instead of re-deriving every stored batch per arrival.
     // An EMPTY micro-batch writes a zero-row histogram and its drift
     // limit is clean (drift_num = 0) — decisionFor returns false.
-    val own = decisionFor(spark, root, batchId, thresholdPpm)
-    writeDecision(spark, root, batchId, own)
+    val own = ownDecision(spark, root, batchId, thresholdPpm)
     val dec = decisionsUpTo(spark, root, batchId, thresholdPpm)
     if (batchId == 0L || own) {
       // clean pool: batches up to b that never fired (excludes a

@@ -647,6 +647,45 @@ class StreamingSpec extends SparkSpec {
     rows(StreamPromote.candidates(spark, root)) shouldBe streamed
   }
 
+  test("st24 lineage: stream == batch reference; serving version is " +
+      "the one published strictly before each batch; replay idempotent") {
+    import graft.streaming.StreamLineage
+    // st20's controlled-drift corpus: batch 2 fires -> quarantined
+    // AND evaluated; versions serve from the NEXT batch on
+    val long = ("stream " * 40).trim
+    val docs = (0 until 30).map { i =>
+      (i % 3, i % 2) match {
+        case (0, 0) => (i.toLong, "the cat sat on mat", "en")
+        case (0, _) => (i.toLong, "der hund lief im wald", "de")
+        case (1, 0) => (i.toLong, "a dog ran fast today", "en")
+        case (1, _) => (i.toLong, "am berg steht ein baum", "de")
+        case (_, 0) => (i.toLong, long, "en")
+        case _      => (i.toLong, long + " nacht", "de")
+      }
+    }.toDF("doc_id", "text", "lang")
+    val root = java.nio.file.Files
+      .createTempDirectory("st24spec").toString
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3))).toSeq
+    val streamed = rows(StreamLineage.run(spark, docs, root, nSlices = 3))
+    streamed shouldBe rows(StreamLineage.batchReference(docs, nSlices = 3))
+    streamed.size shouldBe 30
+    // route: exactly the firing batch (2) is quarantined
+    streamed.filter(_._3 == "quarantine").map(_._2).distinct shouldBe
+      Seq(2L)
+    // serving semantics: batch 0 pre-bootstrap (0); batches 1 and 2
+    // under version 1 (the batch-2 candidate publishes AFTER batch 2's
+    // ingest — never retroactively); there is no batch 3 here
+    streamed.filter(_._2 == 0L).map(_._4).distinct shouldBe Seq(0L)
+    streamed.filter(_._2 == 1L).map(_._4).distinct shouldBe Seq(1L)
+    streamed.filter(_._2 == 2L).map(_._4).distinct shouldBe Seq(1L)
+    // whole-batch replay through the COMPOSED actor: identical lineage
+    StreamLineage.processBatch(
+      docs.filter(pmod($"doc_id", lit(3L)) === 2L), 2L, root)
+    rows(StreamLineage.lineage(spark, root)) shouldBe streamed
+  }
+
   test("st23 reject path: a challenger that scores below the champion " +
       "on the val split is recorded rejected and never versioned") {
     import graft.streaming.StreamPromote
