@@ -39,7 +39,7 @@ object CodegenAbProbe {
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.register(spark)
 
-    val srcTag = new java.io.File(src).getName
+    val srcTag = ScaleProbe.srcTag(src)
     val dir = s"/tmp/graft-scale-$srcTag-$copies"
     val synthesized = ScaleProbe.synthesize(spark, src, dir, copies)
     val docs = sources.Tables.documents(spark, dir)

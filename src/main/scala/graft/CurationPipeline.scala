@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.TextQueries
+import graft.sources.Tables
+import graft.text.{Dedup, TextFns}
+
+/** The COMPOSED front door — the first thing a new user of this
+  * library runs: one main wiring the production curation arc over a
+  * data directory, reusing the registered operators verbatim:
+  *
+  *   ingest dedup (t11's exact-fingerprint keeper + d07/d13's
+  *     near-dup clusters with canonical keep)
+  *   → quality ensemble (t40's fused three-signal vote → tier)
+  *   → tier-aware mixing (t41's BIGINT ppm budget waterfall, via the
+  *     Managed pair — the cache is released deterministically)
+  *   → leakage-safe split (t26's whole-cluster hash gate: near-dup
+  *     clusters never straddle train/val)
+  *   → shard manifest (t28's shared tail: RangeRank shuffle, 64-doc
+  *     shards, 2048-token packing)
+  *
+  * Every stage is the SAME code path the correctness gate verifies
+  * query-by-query (tierMixManaged, shardManifest, splitAssign,
+  * ngramJaccardPairs + ConnectedComponents); this main certifies the
+  * column contracts chain into one pipeline and enforces the
+  * cross-stage invariants in CI fashion — any breach exits nonzero:
+  *
+  *  1. every stage is non-empty;
+  *  2. monotone containment: docs ≥ exact-kept ≥ cluster-kept ≥
+  *     mixed-kept ≥ train;
+  *  3. the manifest accounts for EXACTLY the train docs
+  *     (Σ n_docs = |train|), every non-final shard holds 64 docs, and
+  *     the pos ranges tile [1, |train|] contiguously;
+  *  4. the registered t28 composition on the same directory is green
+  *     (rows > 0) and its train set is contained in this pipeline's
+  *     stage-1 exact-keeper count (t28 adds quality + decontamination
+  *     gates, so it can only keep fewer).
+  *
+  * Run: `sbt "runMain graft.CurationPipeline [dir]"` (default
+  * /root/testdata/sf0.001 — the CI smoke the verify skill wires in).
+  */
+object CurationPipeline {
+
+  /** The arc as a library call: documents frame → (manifest, train,
+    * per-stage counts, release). The caller releases after
+    * materializing. */
+  def runArc(docs: DataFrame)
+      : (DataFrame, DataFrame, Seq[(String, Long)], () => Unit) = {
+    // 1. ingest dedup — exact fingerprint keeper (t11's rule) …
+    val keepers = docs
+      .select(col("doc_id"), TextFns.fingerprintMd5(col("text")).as("fp"))
+      .groupBy("fp").agg(min("doc_id").as("doc_id")).select("doc_id")
+    val exactKept = docs.join(keepers, Seq("doc_id"), "left_semi")
+    // … + near-dup clusters, canonical keep (d07/d13's rule); the
+    // labels double as t26's whole-cluster split keys below
+    val labels = graft.operators.ConnectedComponents.run(
+        Dedup.ngramJaccardPairs(exactKept, maxDF = 50, minJaccard = 0.8))
+      .withColumnRenamed("node", "doc_id")
+    val kept = exactKept.join(labels, Seq("doc_id"), "left")
+      .filter(col("label").isNull || col("doc_id") === col("label"))
+    // 2+3. quality ensemble over the survivors → tier-aware mixing
+    // (t40 → t41, the Managed pair: release is returned to the caller)
+    val (mixed, release) =
+      TextQueries.tierMixManaged(TextQueries.ensembleTiers(kept))
+    // 4. leakage-safe split (t26): the cluster id is the split key, so
+    // a near-dup pair can never straddle train/val
+    val train = mixed
+      .join(kept.select(col("doc_id"), col("label")), "doc_id")
+      .withColumn("split_key", coalesce(col("label"), col("doc_id")))
+      .filter(TextFns.splitAssign(col("split_key")) === "train")
+      .select("doc_id", "n_tok")
+    // 5. shard manifest (t28's shared tail)
+    val manifest = TextQueries.shardManifest(train)
+    val counts = Seq(
+      "documents" -> docs.count(),
+      "exact_kept" -> exactKept.count(),
+      "cluster_kept" -> kept.count(),
+      "mixed_kept" -> mixed.count(),
+      "train" -> train.count())
+    (manifest, train, counts, release)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftExtensions.register(spark)
+
+    val failures = scala.collection.mutable.ListBuffer[String]()
+    def check(name: String)(ok: => Boolean): Unit =
+      if (!ok) { failures += name; System.err.println(s"[curation] FAIL $name") }
+      else println(s"[curation] ok   $name")
+
+    val (manifest, train, counts, release) =
+      runArc(Tables.documents(spark, dir))
+    try {
+      val m = manifest.collect()
+      counts.foreach { case (k, v) => println(s"[curation] $k=$v") }
+      m.foreach(r => println(s"[curation] shard=$r"))
+      val byName = counts.toMap
+      // 1. every stage non-empty
+      check("stages_nonempty")(counts.forall(_._2 > 0) && m.nonEmpty)
+      // 2. monotone containment down the arc
+      check("monotone_containment")(
+        counts.map(_._2).sliding(2).forall(w => w(0) >= w(1)))
+      // 3. the manifest accounts for exactly the train docs, in
+      // 64-doc shards tiling [1, train] contiguously
+      val nTrain = byName("train")
+      check("manifest_accounts_train")(
+        m.map(_.getAs[Long]("n_docs")).sum == nTrain)
+      check("shards_full_except_last")(
+        m.sortBy(_.getAs[Long]("shard")).dropRight(1)
+          .forall(_.getAs[Long]("n_docs") == 64L))
+      val ranges = m.sortBy(_.getAs[Long]("shard"))
+        .map(r => (r.getAs[Long]("pos_lo"), r.getAs[Long]("pos_hi")))
+      check("pos_ranges_tile")(
+        ranges.headOption.forall(_._1 == 1L) &&
+          ranges.lastOption.forall(_._2 == nTrain) &&
+          ranges.sliding(2).filter(_.length == 2)
+            .forall(w => w(0)._2 + 1 == w(1)._1))
+      check("packs_positive")(m.forall(_.getAs[Long]("n_packs") >= 1L))
+      // 4. the registered t28 composition it reuses is green on the
+      // same directory, and containment holds: t28 gates harder
+      // (quality threshold + decontamination), so its manifest can
+      // only account for fewer docs than our stage-1 keeper set
+      val t28 = SparkEntry.queries("t28_corpus_build")(spark, dir).collect()
+      check("t28_green")(t28.nonEmpty)
+      check("t28_contained_in_exact_kept")(
+        t28.map(_.getAs[Long]("n_docs")).sum <= byName("exact_kept"))
+    } finally release()
+    spark.stop()
+    if (failures.nonEmpty) {
+      System.err.println(
+        s"[curation] ${failures.size} invariant(s) FAILED: " +
+          failures.mkString(", "))
+      sys.exit(1)
+    }
+    println("[curation] ALL GREEN")
+  }
+}

@@ -150,7 +150,15 @@ object ProbeLog {
     *     (total scalability loss — the exact failure CoresProbe
     *     exists to catch), and same-session ratios carry none of the
     *     cross-host drift rule 1's slack absorbs, so the tighter
-    *     bound is safe here and ONLY here. */
+    *     bound is safe here and ONLY here;
+    *  5. batches_axis rows (the stream-LIFETIME claim: per-batch cost
+    *     flat in batches already stored): a per_batch_ratio exceeding
+    *     the committed value by 1.25x + 0.25 absolute. Healthy runs
+    *     read ~0.85–1.10; per-batch work growing LINEARLY with batches
+    *     seen reads ≈ (nb8+1)/(nb4+1) ≈ 1.8 at the probed 8-vs-4
+    *     split, far outside the slack around any committed flat value.
+    *     Both legs run back-to-back in ONE session, so steal mostly
+    *     cancels — the tight same-session bound is safe here too. */
   def regressionsVs(oldLine: String, newLine: String): Seq[String] = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods.parse
@@ -244,7 +252,23 @@ object ProbeLog {
       }
       spdRegs ++ trRegs
     }
-    timeRegs ++ dropRegs ++ failRegs ++ coresRegs
+    def batchAxis(j: JValue): Map[String, Double] =
+      j \ "batches_axis" match {
+        case JObject(fs) => fs.toMap.flatMap { case (q, o2) =>
+          num(o2 \ "per_batch_ratio").map(q -> _)
+        }
+        case _ => Map.empty
+      }
+    val oAxis = batchAxis(o)
+    val axisRegs = batchAxis(n).toSeq.sortBy(_._1).flatMap { case (q, nr) =>
+      oAxis.get(q).collect {
+        case cr if nr > cr * 1.25 + 0.25 =>
+          s"$q: batches_axis per_batch_ratio ${fmt(nr, 2)} vs committed " +
+            s"${fmt(cr, 2)} (per-batch cost growing with batches seen)" +
+            stealNote
+      }
+    }
+    timeRegs ++ dropRegs ++ failRegs ++ coresRegs ++ axisRegs
   }
 
   /** Per-query JSON fragment for a (name, seconds, rows) result set. */

@@ -90,6 +90,26 @@ object ScaleProbe {
   /** Copy k keeps ids disjoint by a fixed stride. */
   private val IdStride = 10000000L
 
+  /** Probe scratch markers go through the Hadoop FileSystem API (the
+    * streaming byte-store precedent, StreamRefit.hfs): a probe root
+    * pointed at HDFS/S3/ABFS behaves exactly like the local /tmp
+    * roots, instead of silently never finding its `_READY` marker. */
+  private[graft] def readyExists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_READY")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private[graft] def markReady(spark: SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_READY")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .create(p, true).close()
+  }
+
+  /** Basename of a source dir for tagging scratch roots — pure path
+    * string math, any FS scheme. */
+  private[graft] def srcTag(src: String): String =
+    new org.apache.hadoop.fs.Path(src).getName
+
   /** Shared with [[CoresProbe]]: the same 10x near-dup docs+embeddings
     * corpus, so data-scaling and compute-scaling verdicts are
     * comparable. Returns true when THIS call synthesized (fresh dir) —
@@ -99,7 +119,7 @@ object ScaleProbe {
     * fresh-tmp round through r14). */
   private[graft] def synthesize(spark: SparkSession, src: String, dir: String,
       copies: Int): Boolean = {
-    if (new java.io.File(s"$dir/_READY").exists()) return false
+    if (ScaleProbe.readyExists(spark, dir)) return false
     val docs = sources.Tables.documents(spark, src)
     (0 until copies).map { k =>
       val suffix = s" variant $k"
@@ -124,7 +144,7 @@ object ScaleProbe {
     }.reduce(_ unionByName _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    new java.io.File(s"$dir/_READY").createNewFile()
+    ScaleProbe.markReady(spark, dir)
     true
   }
 
@@ -135,7 +155,7 @@ object ScaleProbe {
     // the synthesized-corpus dir encodes the SOURCE sf too: a stale
     // _READY dir from a different base would silently probe mixed
     // corpora (found when a 100x sf0.01 run reused the 10x sf0.1 dir)
-    val srcTag = new java.io.File(src).getName
+    val srcTag = ScaleProbe.srcTag(src)
     val dir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR",
       s"/tmp/graft-scale-$srcTag-$copies")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -332,7 +352,7 @@ object EventScaleProbe {
     * true when THIS call synthesized — see [[ScaleProbe.synthesize]]. */
   private[graft] def synthesize(spark: SparkSession, src: String, dir: String,
       copies: Int): Boolean = {
-    if (new java.io.File(s"$dir/_READY").exists()) return false
+    if (ScaleProbe.readyExists(spark, dir)) return false
     val ev = sources.Tables.events(spark, src)
     (0 until copies).map { k =>
       if (k == 0) ev
@@ -343,7 +363,7 @@ object EventScaleProbe {
     }.reduce(_ unionByName _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
-    new java.io.File(s"$dir/_READY").createNewFile()
+    ScaleProbe.markReady(spark, dir)
     true
   }
 
@@ -363,7 +383,7 @@ object EventScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.register(spark)
 
-    val dir = s"/tmp/graft-evscale-${new java.io.File(src).getName}-$copies"
+    val dir = s"/tmp/graft-evscale-${ScaleProbe.srcTag(src)}-$copies"
     val synthesized = synthesize(spark, src, dir, copies)
 
     val wev = sources.Tables.events(spark, src)
@@ -426,7 +446,7 @@ object SkewProbe {
 
   private def synthesize(spark: SparkSession, src: String, dir: String,
       copies: Int): Boolean = {
-    if (new java.io.File(s"$dir/_READY").exists()) return false
+    if (ScaleProbe.readyExists(spark, dir)) return false
     val docs = sources.Tables.documents(spark, src)
     (0 until copies).map { k =>
       val base = if (k == 0) docs else docs.select(
@@ -440,7 +460,7 @@ object SkewProbe {
     }.reduce(_ unionByName _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    new java.io.File(s"$dir/_READY").createNewFile()
+    ScaleProbe.markReady(spark, dir)
     true
   }
 
@@ -460,7 +480,7 @@ object SkewProbe {
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.register(spark)
 
-    val srcTag = new java.io.File(src).getName
+    val srcTag = ScaleProbe.srcTag(src)
     val dir1 = s"/tmp/graft-skew-$srcTag-1"
     val dirN = s"/tmp/graft-skew-$srcTag-$copies"
     val synthesized = synthesize(spark, src, dir1, 1) |
@@ -616,7 +636,7 @@ object StreamScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.register(spark)
 
-    val srcTag = new java.io.File(src).getName
+    val srcTag = ScaleProbe.srcTag(src)
     val dir = s"/tmp/graft-evscale-$srcTag-$copies"
     val synthesizedEv = EventScaleProbe.synthesize(spark, src, dir, copies)
     val docDir = s"/tmp/graft-scale-$srcTag-$copies"
@@ -765,7 +785,7 @@ object ZipfScaleProbe {
 
   private[graft] def synthesize(spark: SparkSession, src: String, dir: String,
       copies: Int): Boolean = {
-    if (new java.io.File(s"$dir/_READY").exists()) return false
+    if (ScaleProbe.readyExists(spark, dir)) return false
     val docs = sources.Tables.documents(spark, src)
     val abc = "abcdefghijklmnopqrstuvwxyz"
     val perms = (1 until copies).map(permFor)
@@ -788,7 +808,7 @@ object ZipfScaleProbe {
     }.reduce(_ unionByName _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    new java.io.File(s"$dir/_READY").createNewFile()
+    ScaleProbe.markReady(spark, dir)
     true
   }
 
@@ -808,7 +828,7 @@ object ZipfScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.register(spark)
 
-    val srcTag = new java.io.File(src).getName
+    val srcTag = ScaleProbe.srcTag(src)
     val dir = s"/tmp/graft-zipf-$srcTag-$copies"
     val synthesized = synthesize(spark, src, dir, copies)
 
@@ -909,7 +929,7 @@ object PageRankScaleProbe {
 
   private def synthesize(spark: SparkSession, src: String, dir: String,
       copies: Int): Boolean = {
-    if (new java.io.File(s"$dir/_READY").exists()) return false
+    if (ScaleProbe.readyExists(spark, dir)) return false
     // only the two graph columns: q51 prunes to them anyway, and the
     // probe corpus should not pay 14 unread lineitem columns of IO
     val li = sources.Tables.lineitem(spark, src)
@@ -920,7 +940,7 @@ object PageRankScaleProbe {
     }.reduce(_ unionByName _)
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
-    new java.io.File(s"$dir/_READY").createNewFile()
+    ScaleProbe.markReady(spark, dir)
     true
   }
 
@@ -940,7 +960,7 @@ object PageRankScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.register(spark)
 
-    val srcTag = new java.io.File(src).getName
+    val srcTag = ScaleProbe.srcTag(src)
     val dir = s"/tmp/graft-prscale-$srcTag-$copies"
     val synthesized = synthesize(spark, src, dir, copies)
 
@@ -1000,7 +1020,7 @@ object CcChainProbe {
 
   private[graft] def synthesizeChain(spark: SparkSession, dir: String,
       nDocs: Int): Unit = {
-    if (new java.io.File(s"$dir/_READY").exists()) return
+    if (ScaleProbe.readyExists(spark, dir)) return
     val text = concat_ws(" ",
       (0 until 20).map(j => concat(lit("tok"), col("id") + j)): _*)
     spark.range(nDocs)
@@ -1009,7 +1029,7 @@ object CcChainProbe {
         length(text).cast("long").as("n_chars"))
       .repartition(32)
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    new java.io.File(s"$dir/_READY").createNewFile()
+    ScaleProbe.markReady(spark, dir)
   }
 
   def main(args: Array[String]): Unit = {
@@ -1166,7 +1186,7 @@ object CoresProbe {
     val lo = sys.env.getOrElse("SPARK_GRAFT_CORES_LO", "8").toInt
     val hi = sys.env.getOrElse("SPARK_GRAFT_CORES_HI", "32").toInt
 
-    val srcTag = new java.io.File(src).getName
+    val srcTag = ScaleProbe.srcTag(src)
     val docDir = s"/tmp/graft-scale-$srcTag-$copies"
     val evDir = s"/tmp/graft-evscale-$srcTag-$copies"
     val zipfDir = s"/tmp/graft-zipf-$srcTag-$copies"

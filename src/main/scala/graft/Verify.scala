@@ -21,6 +21,8 @@ object Verify {
     // full engine surface: SQL-callable native functions + the argmax
     // optimizer rule — every gate query runs THROUGH the extensions
     GraftExtensions.register(spark)
+    // deliberately local java.io: outDir is the DRIVER's dump dir by
+    // contract (the grading harness reads it off the local disk)
     new java.io.File(outDir).mkdirs()
     // A query that throws must surface as a RED row, never a silent
     // absence: collect errors and publish them as errors.json so the

@@ -645,7 +645,9 @@ object StreamingQueries {
       // filesystem a tie could land a real-data file in the
       // post-sentinel batch, ~30 days below the advanced watermark —
       // a nondeterministic late-drop. An explicit +1 min bump makes
-      // "sentinels last" a property, not a race.
+      // "sentinels last" a property, not a race. (Deliberately local
+      // java.io: the mtime bump is the LOCAL-FS stand-in for broker
+      // arrival order — see Topic.publishOrderedSlices.)
       val topicDir = new java.io.File(s"$root/topic")
       val corpusFiles = topicDir.listFiles().map(_.getName).toSet
       val corpusMaxMtime = topicDir.listFiles().map(_.lastModified).max
@@ -1186,8 +1188,9 @@ object StreamingQueries {
     },
 
     // curation LINEAGE — the actor family composed against ONE shared
-    // store-root (route the data + gate the model per batch, one
-    // decision derivation thanks to the dec/ read-through), emitting
+    // store-root: the shared store/decide step runs ONCE per batch in
+    // the composing caller (hist/cumhist commit once, not once per
+    // actor) and routeBatch/gateBatch act on the same decision, emitting
     // the per-document record a production curation system keeps:
     // arrival batch, assigned route, and the model version SERVING at
     // ingest (version published strictly before the batch; 0 = the

@@ -204,6 +204,76 @@ object TextQueries {
       "reject" -> 0L)
   }
 
+  /** t41's LIBRARY form (the TopicBalance/ClassifierTrain precedent):
+    * the quality-tier-aware mixing plan plus an explicit release for
+    * the persisted tier frame — (kept DataFrame, release). The tier
+    * projection MUST be persisted: its expression inlines two native
+    * product kernels + the classifier scorer + the heuristic, and
+    * Catalyst substitutes it into every downstream reference (the
+    * rate when-chain, the keep gate, the output columns) — the
+    * unpersisted plan re-evaluated the kernels ~10x per row (9.5 s vs
+    * t40's 0.94 s, measured). A library caller embedding this shape
+    * in a longer pipeline releases the cache deterministically;
+    * release is safe to call twice. */
+  private[graft] def tierMixManaged(s: org.apache.spark.sql.SparkSession,
+      d: String): (org.apache.spark.sql.DataFrame, () => Unit) =
+    tierMixManaged(ensembleTiers(s, d))
+
+  /** The same Managed pair over an ALREADY-BUILT tier frame (columns
+    * doc_id, n_tok, votes, tier) — the form a composing pipeline
+    * (graft.CurationPipeline) uses after its own upstream gates. */
+  private[graft] def tierMixManaged(tierFrame: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, () => Unit) = {
+    val tiers = tierFrame.persist()
+    // bounded driver fold (≤ 4 rows): the waterfall is SEQUENTIAL —
+    // each tier's spend defines the next tier's remainder — so it is
+    // driver arithmetic on exact Longs, never a float in the plan
+    val tokOf = tiers.groupBy("tier")
+      .agg(sum("n_tok").cast("long").as("tok")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates = tierWaterfall(tokOf)
+    val out = tiers
+      .withColumn("rate_ppm",
+        when(col("tier") === "premium", rates("premium"))
+          .when(col("tier") === "standard", rates("standard"))
+          .when(col("tier") === "marginal", rates("marginal"))
+          .otherwise(0L).cast("long"))
+      .where(TextFns.keepPpm(col("doc_id"), col("tier"),
+        col("rate_ppm")))
+      .select("doc_id", "n_tok", "votes", "tier", "rate_ppm")
+      .orderBy("doc_id")
+    (out, () => { tiers.unpersist(); () })
+  }
+
+  /** t28's manifest tail, shared with [[graft.CurationPipeline]]: a
+    * train set of (doc_id, n_tok) → deterministic shuffle (RangeRank
+    * over md5(doc_id) — a range exchange, never a SinglePartition
+    * window) → fixed 64-doc shards → 2048-token packing in shuffle
+    * order WITHIN each shard (window state bounded per shard) → the
+    * shard manifest a data-loader resumes from. */
+  private[graft] def shardManifest(train: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = graft.operators.RangeRank.withGlobalRank(
+      train.select(col("doc_id"),
+        md5(col("doc_id").cast("string")).as("h"), col("n_tok")),
+      Seq(col("h"), col("doc_id")), "pos")
+    val sharded = ranked
+      .withColumn("shard", floor((col("pos") - 1) / 64.0).cast("long"))
+    val w = Window.partitionBy("shard").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sharded
+      .withColumn("cum_before", coalesce(sum("n_tok").over(w), lit(0L)))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").cast("long").as("n_tokens"),
+        (max(floor(col("cum_before") / 2048.0)) + 1).cast("long")
+          .as("n_packs"),
+        min("pos").as("pos_lo"),
+        max("pos").as("pos_hi"))
+      .orderBy("shard")
+  }
+
   /** The t40 ensemble chain shared by the t40 and t41 oracles: the
     * three quality signals (t02 heuristic, t31 trained score, t39 LM
     * bucket) → integer vote → tier, ending in CTE `tv` of (doc_id,
@@ -270,9 +340,15 @@ object TextQueries {
     * projection, LM ratio tables as plan reference objects — zero
     * joins/windows) with the vote and tier appended. */
   private def ensembleTiers(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    ensembleTiers(Tables.documents(s, d))
+
+  /** The ensemble over an arbitrary documents frame (doc_id, text,
+    * source, …) — the composing-pipeline form. */
+  private[graft] def ensembleTiers(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import graft.text.{LmQuality, QualityClassifier}
-    LmQuality.scored(Tables.documents(s, d),
+    LmQuality.scored(docs,
         col("source").isin("src0", "src1"))
       .select(col("doc_id"),
         TextFns.qualityScore(col("text")).as("quality"),
@@ -790,32 +866,12 @@ object TextQueries {
          |WHERE $keepFold < rate_ppm
          |ORDER BY doc_id""".stripMargin
     } { (s, d) =>
-      // PERSIST the tier projection: the tier expression inlines two
-      // native product kernels + the classifier scorer + the heuristic,
-      // and Catalyst SUBSTITUTES it into every downstream reference
-      // (the rate when-chain, the keep gate, the output columns) — the
-      // unpersisted plan re-evaluated the kernels ~10x per row (9.5 s
-      // vs t40's 0.94 s, measured). The cache holds 7 narrow columns
-      // (never the text); the one-live-frame SessionRelease bounds it.
-      val tiers = ensembleTiers(s, d).persist()
-      tierMixUnmanagedRelease.swap(s, () => { tiers.unpersist(); () })
-      // bounded driver fold (≤ 4 rows): the waterfall is SEQUENTIAL —
-      // each tier's spend defines the next tier's remainder — so it is
-      // driver arithmetic on exact Longs, never a float in the plan
-      val tokOf = tiers.groupBy("tier")
-        .agg(sum("n_tok").cast("long").as("tok")).collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
-      val rates = tierWaterfall(tokOf)
-      tiers
-        .withColumn("rate_ppm",
-          when(col("tier") === "premium", rates("premium"))
-            .when(col("tier") === "standard", rates("standard"))
-            .when(col("tier") === "marginal", rates("marginal"))
-            .otherwise(0L).cast("long"))
-        .where(TextFns.keepPpm(col("doc_id"), col("tier"),
-          col("rate_ppm")))
-        .select("doc_id", "n_tok", "votes", "tier", "rate_ppm")
-        .orderBy("doc_id")
+      // unmanaged registry wrapper over the Managed library form: the
+      // cache holds 7 narrow columns (never the text); the
+      // one-live-frame SessionRelease bounds it per session
+      val (out, release) = tierMixManaged(s, d)
+      tierMixUnmanagedRelease.swap(s, release)
+      out
     },
 
     // keyword-profile language/domain ID: left-fold argmax, first
@@ -1655,27 +1711,10 @@ object TextQueries {
       val train = clean
         .withColumn("split_key", coalesce(col("label"), col("doc_id")))
         .filter(TextFns.splitAssign(col("split_key")) === "train")
-      // 5. deterministic shuffle + fixed-size shards (t08/t27)
-      val ranked = graft.operators.RangeRank.withGlobalRank(
-        train.select(col("doc_id"),
-          md5(col("doc_id").cast("string")).as("h"),
-          TextFns.bpeTokenCount(col("text")).as("n_tok")),
-        Seq(col("h"), col("doc_id")), "pos")
-      // 6. pack in shuffle order within each shard (t06) + manifest
-      val sharded = ranked
-        .withColumn("shard", floor((col("pos") - 1) / 64.0).cast("long"))
-      val w = Window.partitionBy("shard").orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      sharded
-        .withColumn("cum_before", coalesce(sum("n_tok").over(w), lit(0L)))
-        .groupBy("shard")
-        .agg(count(lit(1)).as("n_docs"),
-          sum("n_tok").cast("long").as("n_tokens"),
-          (max(floor(col("cum_before") / 2048.0)) + 1).cast("long")
-            .as("n_packs"),
-          min("pos").as("pos_lo"),
-          max("pos").as("pos_hi"))
-        .orderBy("shard")
+      // 5+6. deterministic shuffle + fixed-size shards + packing —
+      // the shared manifest tail (graft.CurationPipeline reuses it)
+      shardManifest(train.select(col("doc_id"),
+        TextFns.bpeTokenCount(col("text")).as("n_tok")))
     },
 
     // temperature-based mixture sampling (the multilingual-LM data-mix

@@ -47,7 +47,11 @@ object Topic {
     * micro-batches. ONE definition of the ordering trick — the SCD2
     * change-log publisher and the drift monitors all ride this; two
     * hand-rolled copies of the listFiles-diff + setLastModified loop
-    * would drift independently. */
+    * would drift independently.
+    *
+    * Deliberately local java.io: setLastModified is a LOCAL-FS test
+    * trick that stands in for a broker's arrival order — on a real
+    * cluster the waves come from Kafka offsets, not file mtimes. */
   def publishOrderedSlices(topicDir: String, nSlices: Int)(
       publishSlice: (Int, Boolean) => Unit): Unit = {
     val dir = new java.io.File(topicDir)

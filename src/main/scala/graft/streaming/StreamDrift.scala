@@ -114,9 +114,12 @@ object StreamDrift {
     * consumers (refit/quarantine/promote) pay it — the pure monitors
     * (st17/st18/st19) never call decisionFor and skip it.
     * Replay-idempotent: `cumhist/b` is a pure function of `cumhist/b-1`
-    * and batch b's rows. A missing predecessor (pre-upgrade root, or a
-    * root built by a monitor) self-heals in decisionFor by summing the
-    * stored per-batch hists < b once. */
+    * and batch b's rows. A missing predecessor on a PRE-UPGRADE root
+    * (hist/ batches written before the checkpoint existed, with the
+    * threshold marker intact — a markerless hist-bearing root never
+    * reaches decisionFor: enforceThresholdLineage refuses it first)
+    * self-heals in decisionFor by summing the stored per-batch hists
+    * < b once. */
   def processBatch(batch: DataFrame, batchId: Long, root: String,
       bucket: Column = scoreBucket, cumulative: Boolean = false): Unit = {
     val spark = batch.sparkSession

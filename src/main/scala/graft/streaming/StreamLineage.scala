@@ -19,15 +19,18 @@ import graft.sources.Topic
   * serving at its ingest — the provenance needed to answer "which
   * gate admitted this training document?" months later.
   *
-  * Per micro-batch: [[StreamQuarantine.processBatch]] (histogram +
-  * own decision + routed write) then [[StreamPromote.processBatch]]
-  * (champion/challenger evaluation and promote-or-reject on firing
-  * batches). Both are pure functions of strictly-earlier state plus
-  * the batch, and both read the dec/ byte this batch just stored
-  * instead of re-deriving (the decisionsUpTo read-through), so the
-  * composition inherits replay idempotence from its parts — a
-  * replayed batch re-routes to the identical directory and re-writes
-  * the identical candidate rows.
+  * Per micro-batch the SHARED store/decide step runs ONCE — lineage
+  * marker check, docs store, histogram + cumhist checkpoint, own
+  * firing decision — then the two plane actions consume the derived
+  * decision directly: [[StreamQuarantine.routeBatch]] (the routed
+  * write) and [[StreamPromote.gateBatch]] (champion/challenger
+  * evaluation and promote-or-reject on firing batches). Composing at
+  * this seam is what makes the composition CHEAPER than its parts run
+  * back-to-back: hist/ and cumhist/ commit once per micro-batch, not
+  * once per actor. Every step is a pure function of strictly-earlier
+  * state plus the batch, so the composition inherits replay
+  * idempotence from its parts — a replayed batch re-routes to the
+  * identical directory and re-writes the identical candidate rows.
   *
   * SERVING version semantics: the docs of batch b were gated at
   * ingest by the latest version PUBLISHED STRICTLY BEFORE b — batch
@@ -44,12 +47,20 @@ import graft.sources.Topic
   */
 object StreamLineage {
 
-  /** One micro-batch: route the data, then gate the model — one
-    * shared decision, two planes acted on. */
+  /** One micro-batch: the shared store/decide step ONCE, then route
+    * the data and gate the model off the same derived decision. */
   def processBatch(batch: DataFrame, batchId: Long, root: String,
       thresholdPpm: Long = StreamRefit.ThresholdPpm): Unit = {
-    StreamQuarantine.processBatch(batch, batchId, root, thresholdPpm)
-    StreamPromote.processBatch(batch, batchId, root, thresholdPpm)
+    val spark = batch.sparkSession
+    StreamRefit.enforceThresholdLineage(spark, root, thresholdPpm)
+    batch.select(col("doc_id"), col("text"), col("lang"))
+      .write.mode("overwrite").parquet(s"$root/docs/batch=$batchId")
+    StreamDrift.processBatch(batch, batchId, root, StreamRefit.axis,
+      cumulative = true)
+    val fired = StreamRefit.ownDecision(spark, root, batchId,
+      thresholdPpm)
+    StreamQuarantine.routeBatch(batch, batchId, root, fired)
+    StreamPromote.gateBatch(spark, batchId, root, thresholdPpm, fired)
   }
 
   /** The per-document lineage: (doc_id, batch, route,

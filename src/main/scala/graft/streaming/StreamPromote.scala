@@ -45,9 +45,14 @@ import graft.text.{ClassifierTrain, TextFns}
   * sense as dec/: each row set is a pure function of strictly-earlier
   * state (stored decisions, stored candidates < b) plus batch b's
   * docs, so a whole-batch replay overwrites identical rows and later
-  * batches READ the store instead of re-deriving prior fits — per-
-  * batch cost never grows with candidates seen (the round-14
-  * quadratic-creep fix, applied from birth here).
+  * batches READ the store instead of re-deriving prior fits. The
+  * paired `pub/batch-<b>` checkpoint (post-b published count + latest
+  * published batch, same append-only discipline) is what makes that
+  * read FLAT on the candidates axis: a firing batch reads one tiny
+  * pub/ byte-file plus the ≤64-row latest-champion directory — never
+  * the whole candidate history (the round-14 quadratic-creep fix,
+  * applied from birth here; [[pubStateBefore]] self-heals a root
+  * whose pub/ trail is missing or behind cand/).
   *
   * Oracle: the pinned sf0.01 firing pattern (doc_id%4 fires exactly
   * at batch 2 — st20's ratios) replayed as two prefixed perceptron
@@ -72,43 +77,87 @@ object StreamPromote {
       thresholdPpm: Long = StreamRefit.ThresholdPpm): Unit = {
     val spark = batch.sparkSession
     StreamRefit.enforceThresholdLineage(spark, root, thresholdPpm)
-    import spark.implicits._
     batch.select(col("doc_id"), col("text"), col("lang"))
       .write.mode("overwrite").parquet(s"$root/docs/batch=$batchId")
     StreamDrift.processBatch(batch, batchId, root, StreamRefit.axis,
       cumulative = true)
     val own = StreamRefit.ownDecision(spark, root, batchId, thresholdPpm)
+    gateBatch(spark, batchId, root, thresholdPpm, own)
+  }
+
+  /** Promotion state STRICTLY BEFORE `batchId`:
+    * (published count, fired batch of the latest published candidate —
+    * −1 if none). The healthy path reads ONE tiny `pub/` checkpoint
+    * byte-file (the latest entry < b — each firing batch appends its
+    * post-state, a pure function of strictly-earlier state, so replays
+    * overwrite identical bytes and a late replay's `< b` filter stays
+    * blind to later entries); a root whose pub/ trail is missing or
+    * behind its cand/ store (pre-upgrade, or a crash between the cand
+    * and pub commits — the streaming contract replays such a batch,
+    * but a direct processBatch caller might not) SELF-HEALS by folding
+    * the candidate store once, exactly like dec/'s decisionFor heal.
+    * This is what keeps a firing batch's read O(64) champion rows
+    * forever instead of the whole candidate history. */
+  private[graft] def pubStateBefore(spark: SparkSession,
+      root: String, batchId: Long): (Long, Long) = {
+    val fs = StreamRefit.hfs(spark, root)
+    def entriesUnder(dir: String, prefix: String): Seq[Long] = {
+      val p = new org.apache.hadoop.fs.Path(root, dir)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.map(_.getPath.getName)
+        .collect { case n if n.startsWith(prefix) =>
+          n.stripPrefix(prefix).toLong }
+        .filter(_ < batchId)
+    }
+    val pubBatches = entriesUnder("pub", "batch-")
+    val candBatches = entriesUnder("cand", "batch=")
+    if (candBatches.isEmpty) (0L, -1L)
+    else if (pubBatches.nonEmpty && pubBatches.max >= candBatches.max) {
+      val raw = StreamRefit.readSmall(fs, new org.apache.hadoop.fs.Path(
+        s"$root/pub/batch-${pubBatches.max}")).trim.split(',')
+      (raw(0).toLong, raw(1).toLong)
+    } else {
+      // self-heal: fold the candidate store once (bounded: ≤ 64 rows
+      // per candidate), the derivation pub/ checkpoints
+      val published = spark.read.parquet(s"$root/cand")
+        .select(col("batch").cast("long").as("fired"), col("status"))
+        .filter(col("fired") < batchId && col("status") === "published")
+        .select("fired").distinct().collect().map(_.getLong(0)).sorted
+      (published.length.toLong, published.lastOption.getOrElse(-1L))
+    }
+  }
+
+  /** The MODEL-plane action alone, given an already-derived decision —
+    * invoked by [[processBatch]] and by the COMPOSING caller (st24's
+    * [[StreamLineage]]) after the shared store/decide step, so the
+    * composition never writes hist/cumhist or derives the decision
+    * twice per micro-batch. Requires `docs/batch=<id>` and the drift
+    * stores for this batch to be committed already. */
+  private[streaming] def gateBatch(spark: SparkSession, batchId: Long,
+      root: String, thresholdPpm: Long, own: Boolean): Unit = {
+    import spark.implicits._
     if (batchId == 0L || own) {
       val dec = StreamRefit.decisionsUpTo(spark, root, batchId,
         thresholdPpm)
       val clean = dec.toSeq.collect {
         case (c, fired) if c <= batchId && !fired => c
       }.sorted
-      // prior candidates: bounded read (≤ 64 rows per candidate);
-      // replays see later candidates too — filtered to fired < b
-      val candDir = new org.apache.hadoop.fs.Path(root, "cand")
-      val candFs = candDir.getFileSystem(
-        spark.sparkContext.hadoopConfiguration)
-      val prior =
-        if (!candFs.exists(candDir)) Array.empty[(Long,
-          Long, Long, String)]
-        else spark.read.parquet(s"$root/cand")
-          .select(col("batch").cast("long").as("fired"), col("bucket"),
-            col("weight"), col("status"))
-          .filter(col("fired") < batchId)
-          .collect()
-          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-            r.getString(3)))
-      val publishedBatches = prior.collect {
-        case (f, _, _, "published") => f
-      }.distinct.sorted
-      val champion: Option[IndexedSeq[Long]] = publishedBatches
-        .lastOption.map { f =>
-          val w = prior.collect { case (`f`, b, wt, "published") =>
-            b -> wt
-          }.toMap
-          IndexedSeq.tabulate(ClassifierTrain.Dim)(b =>
-            w.getOrElse(b.toLong, 0L))
+      // promotion state before b: one pub/ checkpoint read; the
+      // champion's weights then come from ONE ≤64-row candidate
+      // directory — never the whole candidate history
+      val (publishedCount, latestPublished) =
+        pubStateBefore(spark, root, batchId)
+      val champion: Option[IndexedSeq[Long]] =
+        if (latestPublished < 0L) None
+        else {
+          val w = spark.read
+            .parquet(s"$root/cand/batch=$latestPublished")
+            .filter(col("status") === "published")
+            .select(col("bucket"), col("weight"))
+            .collect() // bounded: ≤ 64 weight rows
+            .map(r => r.getLong(0) -> r.getLong(1)).toMap
+          Some(IndexedSeq.tabulate(ClassifierTrain.Dim)(b =>
+            w.getOrElse(b.toLong, 0L)))
         }
       val cleanDocs = spark.read.parquet(s"$root/docs")
         .filter(col("batch").isin(clean: _*))
@@ -134,13 +183,21 @@ object StreamPromote {
         (evalRow.getLong(0), evalRow.getLong(1), evalRow.getLong(2))
       val accepted = champion.isEmpty || challOk >= champOk
       val version: Option[Long] =
-        if (accepted) Some(1L + publishedBatches.length) else None
+        if (accepted) Some(1L + publishedCount) else None
       val status = if (accepted) "published" else "rejected"
       challenger.zipWithIndex.map { case (wt, b) =>
         (b.toLong, wt, champOk, challOk, nVal, version, status)
       }.toDF("bucket", "weight", "champ_ok", "chall_ok", "n_val",
           "version", "status")
         .write.mode("overwrite").parquet(s"$root/cand/batch=$batchId")
+      // this batch's post-state checkpoint, AFTER the cand commit (a
+      // crash in between leaves pub/ behind cand/ — the self-heal case)
+      val (nextCount, nextLatest) =
+        if (accepted) (publishedCount + 1L, batchId)
+        else (publishedCount, latestPublished)
+      StreamRefit.writeSmall(StreamRefit.hfs(spark, root),
+        new org.apache.hadoop.fs.Path(s"$root/pub/batch-$batchId"),
+        s"$nextCount,$nextLatest")
     }
   }
 

@@ -65,6 +65,16 @@ object StreamQuarantine {
     // empty micro-batch has no histogram rows and its drift-test limit
     // is clean: drift_num = 0 — see StreamRefit)
     val fired = StreamRefit.ownDecision(spark, root, batchId, thresholdPpm)
+    routeBatch(batch, batchId, root, fired)
+  }
+
+  /** The DATA-plane action alone, given an already-derived decision —
+    * the piece a COMPOSING caller (st24's [[StreamLineage]]) invokes
+    * after performing the shared store/decide step once, so the
+    * composed actor family never writes hist/cumhist or derives the
+    * decision twice per micro-batch. */
+  private[streaming] def routeBatch(batch: DataFrame, batchId: Long,
+      root: String, fired: Boolean): Unit = {
     val route = if (fired) "quarantine" else "corpus"
     batch.select(col("doc_id"), col("text"), col("lang"))
       .write.mode("overwrite")

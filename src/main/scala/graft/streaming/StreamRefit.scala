@@ -108,10 +108,10 @@ object StreamRefit {
   /** The byte stores go through the Hadoop FileSystem API (the
     * KeyedUpsert precedent), so a production root on HDFS/S3/ABFS
     * works the same as the local test roots. */
-  private[streaming] def hfs(spark: SparkSession, root: String): FileSystem =
+  private[graft] def hfs(spark: SparkSession, root: String): FileSystem =
     new HPath(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def readSmall(fs: FileSystem, p: HPath): String = {
+  private[graft] def readSmall(fs: FileSystem, p: HPath): String = {
     val in = fs.open(p)
     try {
       val out = new java.io.ByteArrayOutputStream()
@@ -122,7 +122,8 @@ object StreamRefit {
     } finally in.close()
   }
 
-  private def writeSmall(fs: FileSystem, p: HPath, body: String): Unit = {
+  private[graft] def writeSmall(fs: FileSystem, p: HPath,
+      body: String): Unit = {
     val out = fs.create(p, true)
     try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -264,8 +265,12 @@ object StreamRefit {
     // An EMPTY micro-batch writes a zero-row histogram and its drift
     // limit is clean (drift_num = 0) — decisionFor returns false.
     val own = ownDecision(spark, root, batchId, thresholdPpm)
-    val dec = decisionsUpTo(spark, root, batchId, thresholdPpm)
     if (batchId == 0L || own) {
+      // the FULL decision map is read only on bootstrap/firing batches
+      // (the only consumers of the clean pool): a non-firing arrival
+      // must never pay the O(batches-seen) dec/ listing+reads, or
+      // per-batch work quietly grows with stream lifetime again
+      val dec = decisionsUpTo(spark, root, batchId, thresholdPpm)
       // clean pool: batches up to b that never fired (excludes a
       // firing b itself; batch 0 has no prior so it never fires)
       val clean = dec.toSeq.collect {

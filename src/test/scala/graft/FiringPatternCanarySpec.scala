@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{StreamDrift, StreamRefit}
+
+/** Firing-pattern canary — the SchemaCanarySpec precedent applied to
+  * the four streaming oracles that PIN the sf0.01 drift firing
+  * pattern (st20_stream_drift_refit, st21_stream_quarantine,
+  * st23_stream_promote, st24_stream_lineage): on the driver's sf0.01
+  * documents table, doc_id-mod-4 slicing fires the st18 token-length
+  * drift test exactly at batch 2 under [[StreamRefit.ThresholdPpm]]
+  * (ratios ~112000 / 176000 / 48000 ppm vs the 150000 threshold). A
+  * testdata regeneration that shifts the token-length mix could move
+  * that firing batch and turn all four queries hash-red with the
+  * ENGINE still correct — this spec fails FIRST and BY NAME instead.
+  *
+  * RE-PIN procedure (one step): the pattern below IS the derivation —
+  * rerun [[firedSet]] on the regenerated sf0.01 documents, then update
+  * the four oracles' pinned predicates in StreamingQueries to the new
+  * fired set F: the clean-pool perceptron CTE prefixes (a-chain
+  * `doc_id % 4 = 0`, b-chain `doc_id % 4 IN (<clean batches ≤ firing
+  * batch>)`), st21/st24's route CASE (`doc_id % 4 = <firing batch>`),
+  * and st24's serving CASE boundaries. The streaming specs'
+  * batchReference invariance is the SEMANTIC pin (engine == one-shot
+  * fold on any corpus); this canary is the TESTDATA pin.
+  */
+class FiringPatternCanarySpec extends SparkSpec {
+
+  /** The SF the driver's correctness gate runs at — the one the
+    * pinned oracles were derived from. */
+  private val VerifySf = "/root/testdata/sf0.01"
+
+  /** The fired-batch set the engine derives: StreamDrift's one-shot
+    * batch reference on the st18 axis + the exact BigInt
+    * cross-multiplied threshold test — the same arithmetic
+    * StreamRefit.decisionFor applies per micro-batch. */
+  private def firedSet(docs: DataFrame, nSlices: Int = 4): Set[Long] =
+    StreamDrift.batchReference(docs, nSlices, StreamRefit.axis)
+      .collect()
+      .filter(r => BigInt(r.getLong(3)) * 1000000 >
+        BigInt(StreamRefit.ThresholdPpm) *
+          BigInt(r.getLong(1)) * BigInt(r.getLong(2)))
+      .map(_.getLong(0)).toSet
+
+  test("canary: sf0.01 doc_id-mod-4 drift fires exactly at batch 2 — " +
+      "st20/st21/st23/st24 oracles pin this pattern") {
+    val fired = firedSet(sources.Tables.documents(spark, VerifySf))
+    assert(fired == Set(2L),
+      s"sf0.01 firing pattern is ${fired.toSeq.sorted.mkString("{", ",", "}")}, " +
+        "not {2} — the testdata token-length mix shifted under a " +
+        "regeneration. The st20/st21/st23/st24 oracles hard-code the " +
+        "batch-2 pattern and will go hash-red with the engine still " +
+        "correct. RE-PIN (one step): update their pinned predicates in " +
+        "StreamingQueries to this fired set — see the class doc.")
+  }
+
+  test("rehearsal: a shifted token-length mix moves the firing batch " +
+      "and is caught here by name, not as four hash-reds") {
+    // the regen this canary exists for: batch 1's documents suddenly
+    // carry a different length profile (a truncating/padding scraper).
+    // Padding every batch-1 doc ~quadruples its token count, so the
+    // log2 length histogram jumps a bucket at batch 1 — the drift test
+    // must fire there, and the canary assertion above would fail by
+    // name on such a corpus.
+    val docs = sources.Tables.documents(spark, VerifySf)
+    val pad = (" pad" * 600).substring(1)
+    val shifted = docs.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(4L)) === 1L,
+        concat(coalesce(col("text"), lit("")), lit(" " + pad)))
+        .otherwise(col("text")).as("text"),
+      col("lang"), col("source"), col("n_chars"))
+    val fired = firedSet(shifted)
+    assert(fired.contains(1L),
+      s"rehearsed length-mix shift did not fire at batch 1 (fired=$fired)" +
+        " — the canary would miss this regen class")
+    assert(fired != Set(2L),
+      "rehearsed shift left the pinned pattern unchanged — rehearsal " +
+        "corpus too weak to exercise the canary")
+  }
+}

@@ -171,6 +171,24 @@ class ProbeLogSpec extends AnyFunSuite with Matchers {
       line(scaled = """"d05":{"sec":9.0,"rows":-1}""")) shouldBe Seq.empty
   }
 
+  test("batches_axis per_batch_ratio creep is a regression; flat is not") {
+    def axisLine(ratio: String): String =
+      s"""{"metric":"m","batches_axis":{"st21":{"sec4":4.0,"sec8":8.0,""" +
+        s""""per_batch_ratio":$ratio}},"sf":"x"}"""
+    // healthy committed 0.95; a fresh 1.00 is within slack
+    ProbeLog.regressionsVs(axisLine("0.95"),
+      axisLine("1.00")) shouldBe Seq.empty
+    // per-batch cost growing linearly with batches seen reads ~1.8 at
+    // the 8-vs-4 split — must fire, by name
+    val regs = ProbeLog.regressionsVs(axisLine("0.95"), axisLine("1.80"))
+    regs should have size 1
+    regs.head should include("st21")
+    regs.head should include("per_batch_ratio")
+    // a row without the committed axis gates clean (pre-axis rounds)
+    ProbeLog.regressionsVs(
+      """{"metric":"m","sf":"x"}""", axisLine("1.80")) shouldBe Seq.empty
+  }
+
   test("record replaces by parsed metric and gates against the old row") {
     val f = java.nio.file.Files.createTempDirectory("probelog")
       .resolve("PROBES.json")

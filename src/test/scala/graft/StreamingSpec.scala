@@ -738,6 +738,63 @@ class StreamingSpec extends SparkSpec {
       .map(_.getLong(0)).toSeq shouldBe Seq(1L)
   }
 
+  test("st23 pub/ checkpoint: every stored pointer equals the fold " +
+      "over cand/, and a root missing the trail self-heals identically") {
+    import graft.streaming.StreamPromote
+    import scala.jdk.CollectionConverters._
+    // the st20 controlled-drift corpus: candidates at batches 0 and 2
+    val long = ("stream " * 40).trim
+    val docs = (0 until 30).map { i =>
+      (i % 3, i % 2) match {
+        case (0, 0) => (i.toLong, "the cat sat on mat", "en")
+        case (0, _) => (i.toLong, "der hund lief im wald", "de")
+        case (1, 0) => (i.toLong, "a dog ran fast today", "en")
+        case (1, _) => (i.toLong, "am berg steht ein baum", "de")
+        case (_, 0) => (i.toLong, long, "en")
+        case _      => (i.toLong, long + " nacht", "de")
+      }
+    }.toDF("doc_id", "text", "lang")
+    val root = tmp("st23pub")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5),
+        if (r.isNullAt(6)) None else Some(r.getLong(6)),
+        r.getString(7))).toSeq
+    val streamed = rows(StreamPromote.run(spark, docs, root, nSlices = 3))
+    // the fold over cand/: (fired batch, published?) in batch order
+    val outcomes = streamed
+      .map(t => (t._1, t._8 == "published")).distinct.sortBy(_._1)
+    val pubDir = java.nio.file.Paths.get(root, "pub")
+    val entries = java.nio.file.Files.list(pubDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case n if n.startsWith("batch-") =>
+        n.stripPrefix("batch-").toLong }
+      .toSeq.sorted
+    // one pointer per candidate batch, each equal to the fold ≤ b
+    entries shouldBe outcomes.map(_._1)
+    for (b <- entries) {
+      val pub = new String(java.nio.file.Files.readAllBytes(
+        pubDir.resolve(s"batch-$b")), "UTF-8").trim.split(',')
+      val published = outcomes.filter(o => o._1 <= b && o._2).map(_._1)
+      pub(0).toLong shouldBe published.length.toLong
+      pub(1).toLong shouldBe published.lastOption.getOrElse(-1L)
+    }
+    // SELF-HEAL: wipe the pub/ trail (a pre-checkpoint root) and
+    // replay the firing batch — the candidate rows and the rebuilt
+    // pointer are identical, derived by folding cand/ once
+    java.nio.file.Files.list(pubDir).iterator().asScala.toSeq
+      .foreach(java.nio.file.Files.delete)
+    java.nio.file.Files.delete(pubDir)
+    StreamPromote.processBatch(
+      docs.filter(pmod($"doc_id", lit(3L)) === 2L), 2L, root)
+    rows(StreamPromote.candidates(spark, root)) shouldBe streamed
+    val healed = new String(java.nio.file.Files.readAllBytes(
+      pubDir.resolve("batch-2")), "UTF-8").trim.split(',')
+    val pubAll = outcomes.filter(_._2).map(_._1)
+    healed(0).toLong shouldBe pubAll.length.toLong
+    healed(1).toLong shouldBe pubAll.lastOption.getOrElse(-1L)
+  }
+
   test("st22 streaming HLL: stream == direct per-prefix reference, the " +
       "final merge equals the whole-corpus estimate, replay idempotent") {
     import graft.streaming.StreamSketch

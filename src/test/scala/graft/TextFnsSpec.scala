@@ -330,4 +330,18 @@ class TextFnsSpec extends SparkSpec {
       graft.vector.TopicBalance.plan(assign, tokBad)
     }.getMessage should include("cid")
   }
+
+  test("t41 managed tier mixing caches the tier frame and releases it " +
+      "deterministically (the DedupSpec managed-entry-point contract)") {
+    val cm = spark.sharedState.cacheManager
+    cm.clearCache()
+    val (df, release) = graft.queries.TextQueries.tierMixManaged(
+      spark, SfDir)
+    df.count() should be > 0L // materialize: the tier persist fills
+    cm.isEmpty shouldBe false
+    release()
+    cm.isEmpty shouldBe true
+    release() // idempotent
+    cm.isEmpty shouldBe true
+  }
 }

@@ -84,7 +84,10 @@ def diff(a, b, floor=1.0):
     print(f"tail (>= {floor}s on either side): {len(tail)} queries, "
           f"sum A {sum(a[q] for q in tail):.1f} s -> "
           f"B {sum(b[q] for q in tail):.1f} s")
-    ratios = {q: b[q] / a[q] for q in tail if a[q] > 0}
+    # both sides must be positive: a[q] = 0 divides by zero, and a
+    # b[q] = 0 tail entry would yield ratio 0.0, pass the mover filter,
+    # then crash math.log in the sort key
+    ratios = {q: b[q] / a[q] for q in tail if a[q] > 0 and b[q] > 0}
     if not ratios:
         print("no tail queries to compare")
         return
