@@ -38,12 +38,18 @@ import graft.text.{Dedup, TextFns}
   *     stage-1 exact-keeper count (t28 adds quality + decontamination
   *     gates, so it can only keep fewer).
   *
-  * Run: `sbt "runMain graft.CurationPipeline [dir]"` (default
-  * /root/testdata/sf0.001 — the CI smoke the verify skill wires in).
+  * Run: `sbt "runMain graft.CurationPipeline [dir] [outDir]"` (dir
+  * defaults to /root/testdata/sf0.001 — the CI smoke the verify skill
+  * wires in). With `outDir`, the curated corpus itself is WRITTEN —
+  * `outDir/shards` partitioned by shard (a data-loader prunes to one
+  * shard at the parquet-scan level) plus `outDir/manifest` — then
+  * re-read and reconciled against the manifest, so "written" is
+  * checked to mean "loadable".
   */
 object CurationPipeline {
 
-  /** The arc as a library call: documents frame → (manifest, train,
+  /** The arc as a library call: documents frame → (manifest, curated
+    * corpus with shard assignments — doc_id, n_tok, pos, shard, text —
     * per-stage counts, release). The caller releases after
     * materializing. */
   def runArc(docs: DataFrame)
@@ -71,15 +77,20 @@ object CurationPipeline {
       .withColumn("split_key", coalesce(col("label"), col("doc_id")))
       .filter(TextFns.splitAssign(col("split_key")) === "train")
       .select("doc_id", "n_tok")
-    // 5. shard manifest (t28's shared tail)
-    val manifest = TextQueries.shardManifest(train)
+    // 5. shard assignments + manifest (t28's shared tail, split so the
+    // curated corpus itself can be written partitioned by shard)
+    val assignments = TextQueries.shardAssignments(train)
+    val manifest = TextQueries.manifestOf(assignments)
+    val curated = assignments
+      .join(docs.select(col("doc_id"), col("text")), "doc_id")
+      .select("doc_id", "n_tok", "pos", "shard", "text")
     val counts = Seq(
       "documents" -> docs.count(),
       "exact_kept" -> exactKept.count(),
       "cluster_kept" -> kept.count(),
       "mixed_kept" -> mixed.count(),
       "train" -> train.count())
-    (manifest, train, counts, release)
+    (manifest, curated, counts, release)
   }
 
   def main(args: Array[String]): Unit = {
@@ -99,7 +110,7 @@ object CurationPipeline {
       if (!ok) { failures += name; System.err.println(s"[curation] FAIL $name") }
       else println(s"[curation] ok   $name")
 
-    val (manifest, train, counts, release) =
+    val (manifest, curated, counts, release) =
       runArc(Tables.documents(spark, dir))
     try {
       val m = manifest.collect()
@@ -135,6 +146,19 @@ object CurationPipeline {
       check("t28_green")(t28.nonEmpty)
       check("t28_contained_in_exact_kept")(
         t28.map(_.getAs[Long]("n_docs")).sum <= byName("exact_kept"))
+      // optional 2nd arg: WRITE the curated artifact — the sharded
+      // corpus (partition-pruned reads per shard) plus its manifest —
+      // then re-read and reconcile, so "written" means "loadable"
+      args.lift(1).foreach { out =>
+        curated.write.mode("overwrite").partitionBy("shard")
+          .parquet(s"$out/shards")
+        manifest.coalesce(1).write.mode("overwrite")
+          .parquet(s"$out/manifest")
+        val back = spark.read.parquet(s"$out/shards")
+        check("written_shards_reconcile")(back.count() == nTrain &&
+          back.groupBy("shard").count().count() == m.length.toLong)
+        println(s"[curation] wrote $out/shards + $out/manifest")
+      }
     } finally release()
     spark.stop()
     if (failures.nonEmpty) {

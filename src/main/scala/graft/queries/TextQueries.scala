@@ -252,14 +252,28 @@ object TextQueries {
     * order WITHIN each shard (window state bounded per shard) → the
     * shard manifest a data-loader resumes from. */
   private[graft] def shardManifest(train: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    manifestOf(shardAssignments(train))
+
+  /** The per-document half of the manifest tail: (doc_id, n_tok, pos,
+    * shard) in deterministic shuffle order — what a caller writing the
+    * actual sharded corpus (graft.CurationPipeline --out) partitions
+    * by. */
+  private[graft] def shardAssignments(train: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ranked = graft.operators.RangeRank.withGlobalRank(
       train.select(col("doc_id"),
         md5(col("doc_id").cast("string")).as("h"), col("n_tok")),
       Seq(col("h"), col("doc_id")), "pos")
-    val sharded = ranked
+    ranked
       .withColumn("shard", floor((col("pos") - 1) / 64.0).cast("long"))
+  }
+
+  /** The aggregation half: shard assignments → the manifest a
+    * data-loader resumes from. */
+  private[graft] def manifestOf(sharded: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("shard").orderBy("pos")
       .rowsBetween(Window.unboundedPreceding, -1)
     sharded

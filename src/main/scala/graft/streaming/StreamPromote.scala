@@ -139,8 +139,11 @@ object StreamPromote {
     if (batchId == 0L || own) {
       val dec = StreamRefit.decisionsUpTo(spark, root, batchId,
         thresholdPpm)
-      val clean = dec.toSeq.collect {
-        case (c, fired) if c <= batchId && !fired => c
+      // clean pool as the COMPLEMENT of the (rare) fired set — the
+      // plan carries O(firings) literals, not O(batches); see the
+      // same construction in StreamRefit.processBatch
+      val firedBatches = dec.toSeq.collect {
+        case (c, f) if c <= batchId && f => c
       }.sorted
       // promotion state before b: one pub/ checkpoint read; the
       // champion's weights then come from ONE ≤64-row candidate
@@ -160,7 +163,9 @@ object StreamPromote {
             w.getOrElse(b.toLong, 0L)))
         }
       val cleanDocs = spark.read.parquet(s"$root/docs")
-        .filter(col("batch").isin(clean: _*))
+        .filter(col("batch").cast("long") <= batchId &&
+          (if (firedBatches.isEmpty) lit(true)
+           else !col("batch").cast("long").isin(firedBatches: _*)))
       val trainPool = ClassifierTrain.pool(
         cleanDocs.filter(
           TextFns.splitAssign(col("doc_id")) === "train"),

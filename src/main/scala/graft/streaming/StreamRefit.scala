@@ -272,14 +272,21 @@ object StreamRefit {
       // per-batch work quietly grows with stream lifetime again
       val dec = decisionsUpTo(spark, root, batchId, thresholdPpm)
       // clean pool: batches up to b that never fired (excludes a
-      // firing b itself; batch 0 has no prior so it never fires)
-      val clean = dec.toSeq.collect {
-        case (c, fired) if c <= batchId && !fired => c
+      // firing b itself; batch 0 has no prior so it never fires).
+      // Expressed as the COMPLEMENT — NOT isin(fired) — so the plan
+      // carries O(firings) literals, not O(batches): on a stream with
+      // millions of stored batches an isin(clean) list is itself a
+      // scale bug (plan bloat + no partition pruning), while firings
+      // stay rare by construction.
+      val firedBatches = dec.toSeq.collect {
+        case (c, f) if c <= batchId && f => c
       }.sorted
-      val version = 1L + dec.count { case (c, f) => f && c <= batchId }
-      val pool = ClassifierTrain.pool(
-        spark.read.parquet(s"$root/docs")
-          .filter(col("batch").isin(clean: _*)),
+      val version = 1L + firedBatches.length
+      val cleanDocs = spark.read.parquet(s"$root/docs")
+        .filter(col("batch").cast("long") <= batchId &&
+          (if (firedBatches.isEmpty) lit(true)
+           else !col("batch").cast("long").isin(firedBatches: _*)))
+      val pool = ClassifierTrain.pool(cleanDocs,
         col("lang") === "en").persist()
       val w = try ClassifierTrain.fitWeights(pool)
         finally pool.unpersist()
