@@ -55,25 +55,40 @@ object CurationPipeline {
   def runArc(docs: DataFrame)
       : (DataFrame, DataFrame, Seq[(String, Long)], () => Unit) = {
     // 1. ingest dedup — exact fingerprint keeper (t11's rule) …
-    val keepers = docs
+    // the keeper-id frame is persisted (one id column): the
+    // fingerprint aggregation is a corpus scan feeding both the
+    // exact_kept count and the pair-generation leg
+    val keeperIds = docs
       .select(col("doc_id"), TextFns.fingerprintMd5(col("text")).as("fp"))
       .groupBy("fp").agg(min("doc_id").as("doc_id")).select("doc_id")
-    val exactKept = docs.join(keepers, Seq("doc_id"), "left_semi")
+      .persist()
+    val exactKept = docs.join(keeperIds, Seq("doc_id"), "left_semi")
     // … + near-dup clusters, canonical keep (d07/d13's rule); the
-    // labels double as t26's whole-cluster split keys below
+    // labels double as t26's whole-cluster split keys below.
+    // keptIds is PERSISTED: the pair-generation + connected-components
+    // subtree above it feeds every downstream leg (tier scan, split,
+    // manifest, the written corpus) and would otherwise recompute per
+    // consumer — the cache holds two id columns, never the text.
     val labels = graft.operators.ConnectedComponents.run(
         Dedup.ngramJaccardPairs(exactKept, maxDF = 50, minJaccard = 0.8))
       .withColumnRenamed("node", "doc_id")
-    val kept = exactKept.join(labels, Seq("doc_id"), "left")
+    val keptIds = exactKept.select("doc_id")
+      .join(labels, Seq("doc_id"), "left")
       .filter(col("label").isNull || col("doc_id") === col("label"))
+      .persist()
+    val kept = docs.join(keptIds.select("doc_id"), Seq("doc_id"),
+      "left_semi")
     // 2+3. quality ensemble over the survivors → tier-aware mixing
-    // (t40 → t41, the Managed pair: release is returned to the caller)
-    val (mixed, release) =
+    // (t40 → t41, the Managed pair); release composes both caches
+    val (mixed, releaseTiers) =
       TextQueries.tierMixManaged(TextQueries.ensembleTiers(kept))
+    val release = () => {
+      releaseTiers(); keptIds.unpersist(); keeperIds.unpersist(); ()
+    }
     // 4. leakage-safe split (t26): the cluster id is the split key, so
     // a near-dup pair can never straddle train/val
     val train = mixed
-      .join(kept.select(col("doc_id"), col("label")), "doc_id")
+      .join(keptIds, "doc_id")
       .withColumn("split_key", coalesce(col("label"), col("doc_id")))
       .filter(TextFns.splitAssign(col("split_key")) === "train")
       .select("doc_id", "n_tok")
@@ -86,8 +101,8 @@ object CurationPipeline {
       .select("doc_id", "n_tok", "pos", "shard", "text")
     val counts = Seq(
       "documents" -> docs.count(),
-      "exact_kept" -> exactKept.count(),
-      "cluster_kept" -> kept.count(),
+      "exact_kept" -> keeperIds.count(),
+      "cluster_kept" -> keptIds.count(),
       "mixed_kept" -> mixed.count(),
       "train" -> train.count())
     (manifest, curated, counts, release)

@@ -86,24 +86,32 @@ object St24ComposeAbProbe {
       ((System.nanoTime() - t0) / 1e9, rows)
     }
     // interleave legs (the CodegenAbProbe discipline) so neither leg
-    // systematically owns the warmer JVM: single, double, single,
-    // double — report each leg's best (JIT-steady) time
-    val s1 = runWith("single-1", StreamLineage.processBatch(_, _, _))
-    val d1 = runWith("double-1", doubleCommitBatch)
-    val s2 = runWith("single-2", StreamLineage.processBatch(_, _, _))
-    val d2 = runWith("double-2", doubleCommitBatch)
-    require(Set(s1._2, d1._2, s2._2, d2._2).size == 1,
-      s"A/B legs disagree on lineage rows: $s1 $d1 $s2 $d2")
-    val singleSec = math.min(s1._1, s2._1)
-    val doubleSec = math.min(d1._1, d2._1)
+    // systematically owns the warmer JVM, three reps each (a 2-rep
+    // best-of proved thin against steal spikes — one observed double
+    // leg read 35 s vs its sibling's 18.8 s under 5.73% steal):
+    // single, double, single, double, single, double — report each
+    // leg's best (JIT-steady, least-stolen) time
+    val legs = (1 to 3).flatMap { i =>
+      Seq(
+        "single" -> runWith(s"single-$i",
+          StreamLineage.processBatch(_, _, _)),
+        "double" -> runWith(s"double-$i", doubleCommitBatch))
+    }
+    val singles = legs.collect { case ("single", r) => r }
+    val doubles = legs.collect { case ("double", r) => r }
+    require((singles ++ doubles).map(_._2).toSet.size == 1,
+      s"A/B legs disagree on lineage rows: $singles $doubles")
+    val singleSec = singles.map(_._1).min
+    val doubleSec = doubles.map(_._1).min
     val ratio = singleSec / doubleSec
+    def arr(rs: Seq[(Double, Long)]) =
+      rs.map(r => ProbeLog.fmt(r._1, 3)).mkString("[", ",", "]")
     val line = s"""{"metric":"st24_compose_ab",""" +
       s""""single_commit_sec":${ProbeLog.fmt(singleSec, 3)},""" +
       s""""double_commit_sec":${ProbeLog.fmt(doubleSec, 3)},""" +
-      s""""runs":{"single":[${ProbeLog.fmt(s1._1, 3)},${ProbeLog.fmt(s2._1, 3)}],""" +
-      s""""double":[${ProbeLog.fmt(d1._1, 3)},${ProbeLog.fmt(d2._1, 3)}]},""" +
+      s""""runs":{"single":${arr(singles)},"double":${arr(doubles)}},""" +
       s""""ratios":{"st24_single_vs_double":{"time_ratio":${ProbeLog.fmt(ratio, 2)}}},""" +
-      s""""rows":${s1._2},"sf":"$src",${ProbeLog.hostJson()}}"""
+      s""""rows":${singles.head._2},"sf":"$src",${ProbeLog.hostJson()}}"""
     println(line)
     val regressions = ProbeLog.recordGated("st24_compose_ab", line)
     spark.stop()

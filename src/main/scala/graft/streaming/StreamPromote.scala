@@ -140,8 +140,9 @@ object StreamPromote {
       val dec = StreamRefit.decisionsUpTo(spark, root, batchId,
         thresholdPpm)
       // clean pool as the COMPLEMENT of the (rare) fired set — the
-      // plan carries O(firings) literals, not O(batches); see the
-      // same construction in StreamRefit.processBatch
+      // plan carries O(firings) literals, not O(batches); same
+      // construction and torn-batch contract note as
+      // StreamRefit.processBatch
       val firedBatches = dec.toSeq.collect {
         case (c, f) if c <= batchId && f => c
       }.sorted

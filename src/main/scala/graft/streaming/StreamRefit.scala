@@ -277,7 +277,11 @@ object StreamRefit {
       // carries O(firings) literals, not O(batches): on a stream with
       // millions of stored batches an isin(clean) list is itself a
       // scale bug (plan bloat + no partition pruning), while firings
-      // stay rare by construction.
+      // stay rare by construction. Contract note: a docs/batch dir
+      // whose hist/ never committed (a torn batch — reachable only by
+      // a direct caller that skips the streaming replay of it) counts
+      // as clean under the complement; in contract the engine replays
+      // the torn batch before any later one runs.
       val firedBatches = dec.toSeq.collect {
         case (c, f) if c <= batchId && f => c
       }.sorted
