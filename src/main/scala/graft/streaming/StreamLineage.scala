@@ -67,14 +67,10 @@ object StreamLineage {
     * serving_version) — serving_version 0 for batch 0 (no model
     * existed at its ingest). */
   def lineage(spark: SparkSession, root: String): DataFrame = {
-    // bounded: one row per candidate (fired_batch, version, status)
-    val cands = spark.read.parquet(s"$root/cand")
-      .select(col("batch").cast("long").as("fired"), col("version"),
-        col("status"))
-      .distinct().collect()
-      .collect { case r if r.getString(2) == "published" =>
-        r.getLong(0) -> r.getLong(1) }
-      .sortBy(_._1)
+    // the serving map comes from the pub/ byte trail (one FS listing +
+    // |candidates| tiny reads — never a parquet scan of the 64-rows-
+    // per-candidate store), cand-fold self-heal for pre-pub roots
+    val cands = StreamPromote.publishedVersions(spark, root)
     val routed = StreamQuarantine.routed(spark, root)
     // serving at batch b = version published on the LATEST fired < b;
     // folded into one literal CASE over the bounded candidate list

@@ -127,6 +127,52 @@ object StreamPromote {
     }
   }
 
+  /** Every published (fired batch → version) pair, in batch order —
+    * the serving map st24's lineage joins against. The healthy path
+    * derives it from the `pub/` byte trail ALONE (an entry at batch f
+    * records its post-f state, so f is a publish iff its recorded
+    * latest == f, and its version is its recorded count — equal by
+    * construction to the version gateBatch wrote into cand/): one FS
+    * listing + |candidates| tiny byte reads, no parquet scan of the
+    * 64-rows-per-candidate store. A root whose pub/ trail is missing
+    * or behind cand/ (pre-checkpoint) self-heals by folding the
+    * candidate store once — the same discipline as
+    * [[pubStateBefore]]. */
+  private[graft] def publishedVersions(spark: SparkSession,
+      root: String): Seq[(Long, Long)] = {
+    val fs = StreamRefit.hfs(spark, root)
+    def entriesUnder(dir: String, prefix: String): Seq[Long] = {
+      val p = new org.apache.hadoop.fs.Path(root, dir)
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.map(_.getPath.getName)
+        .collect { case n if n.startsWith(prefix) =>
+          n.stripPrefix(prefix).toLong }
+    }
+    val pubBatches = entriesUnder("pub", "batch-")
+    val candBatches = entriesUnder("cand", "batch=")
+    // enumeration needs the trail COMPLETE (every candidate batch has
+    // its pub entry) — a max-based check suffices for pubStateBefore,
+    // whose single latest entry carries cumulative state, but here a
+    // hole (pre-checkpoint root + one replayed firing batch) would
+    // silently drop the missing batches' publications from the map
+    if (candBatches.isEmpty) Seq.empty
+    else if (candBatches.toSet.subsetOf(pubBatches.toSet))
+      pubBatches.sorted.flatMap { f =>
+        val raw = StreamRefit.readSmall(fs,
+          new org.apache.hadoop.fs.Path(s"$root/pub/batch-$f"))
+          .trim.split(',')
+        if (raw(1).toLong == f) Some(f -> raw(0).toLong) else None
+      }
+    else
+      // self-heal: one bounded fold of the candidate store
+      spark.read.parquet(s"$root/cand")
+        .select(col("batch").cast("long").as("fired"), col("version"),
+          col("status"))
+        .filter(col("status") === "published")
+        .distinct().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toSeq.sortBy(_._1)
+  }
+
   /** The MODEL-plane action alone, given an already-derived decision —
     * invoked by [[processBatch]] and by the COMPOSING caller (st24's
     * [[StreamLineage]]) after the shared store/decide step, so the

@@ -779,12 +779,19 @@ class StreamingSpec extends SparkSpec {
       pub(0).toLong shouldBe published.length.toLong
       pub(1).toLong shouldBe published.lastOption.getOrElse(-1L)
     }
-    // SELF-HEAL: wipe the pub/ trail (a pre-checkpoint root) and
-    // replay the firing batch — the candidate rows and the rebuilt
-    // pointer are identical, derived by folding cand/ once
+    // the SERVING MAP derived from the pub/ trail alone equals the
+    // fold over the candidate store — st24's lineage reads it this way
+    val foldMap = rows(StreamPromote.candidates(spark, root))
+      .collect { case t if t._8 == "published" => (t._1, t._7.get) }
+      .distinct.sortBy(_._1)
+    StreamPromote.publishedVersions(spark, root) shouldBe foldMap
+    // SELF-HEAL: wipe the pub/ trail (a pre-checkpoint root) — the
+    // serving map self-heals from cand/, and replaying the firing
+    // batch rebuilds identical candidate rows and pointer
     java.nio.file.Files.list(pubDir).iterator().asScala.toSeq
       .foreach(java.nio.file.Files.delete)
     java.nio.file.Files.delete(pubDir)
+    StreamPromote.publishedVersions(spark, root) shouldBe foldMap
     StreamPromote.processBatch(
       docs.filter(pmod($"doc_id", lit(3L)) === 2L), 2L, root)
     rows(StreamPromote.candidates(spark, root)) shouldBe streamed
@@ -793,6 +800,11 @@ class StreamingSpec extends SparkSpec {
     val pubAll = outcomes.filter(_._2).map(_._1)
     healed(0).toLong shouldBe pubAll.length.toLong
     healed(1).toLong shouldBe pubAll.lastOption.getOrElse(-1L)
+    // the trail now has a HOLE (only batch-2 rebuilt — batch-0's entry
+    // is still gone): the serving-map enumeration must detect the
+    // incomplete trail and self-heal, never silently drop batch 0's
+    // publication from the map
+    StreamPromote.publishedVersions(spark, root) shouldBe foldMap
   }
 
   test("st22 streaming HLL: stream == direct per-prefix reference, the " +
