@@ -38,9 +38,12 @@ import graft.text.{Dedup, TextFns}
   *     stage-1 exact-keeper count (t28 adds quality + decontamination
   *     gates, so it can only keep fewer).
   *
-  * Run: `sbt "runMain graft.CurationPipeline [dir] [outDir]"` (dir
-  * defaults to /root/testdata/sf0.001 — the CI smoke the verify skill
-  * wires in). With `outDir`, the curated corpus itself is WRITTEN —
+  * Run: `sbt "runMain graft.CurationPipeline [dir] [outDir]
+  * [shardSize]"` (dir defaults to /root/testdata/sf0.001 — the CI
+  * smoke the verify skill wires in; shardSize defaults to t28's
+  * pinned 64 — a production run sizes it so the shard COUNT stays
+  * O(10^4–10^5): 64-doc shards at web scale mean tens of millions of
+  * partition directories, a filesystem-metadata bug). With `outDir`, the curated corpus itself is WRITTEN —
   * `outDir/shards` partitioned by shard (a data-loader prunes to one
   * shard at the parquet-scan level) plus `outDir/manifest` — then
   * re-read and reconciled against the manifest, so "written" is
@@ -52,7 +55,7 @@ object CurationPipeline {
     * corpus with shard assignments — doc_id, n_tok, pos, shard, text —
     * per-stage counts, release). The caller releases after
     * materializing. */
-  def runArc(docs: DataFrame)
+  def runArc(docs: DataFrame, shardSize: Int = 64)
       : (DataFrame, DataFrame, Seq[(String, Long)], () => Unit) = {
     // 1. ingest dedup — exact fingerprint keeper (t11's rule) …
     // the keeper-id frame is persisted (one id column): the
@@ -94,7 +97,7 @@ object CurationPipeline {
       .select("doc_id", "n_tok")
     // 5. shard assignments + manifest (t28's shared tail, split so the
     // curated corpus itself can be written partitioned by shard)
-    val assignments = TextQueries.shardAssignments(train)
+    val assignments = TextQueries.shardAssignments(train, shardSize)
     val manifest = TextQueries.manifestOf(assignments)
     val curated = assignments
       .join(docs.select(col("doc_id"), col("text")), "doc_id")
@@ -125,8 +128,11 @@ object CurationPipeline {
       if (!ok) { failures += name; System.err.println(s"[curation] FAIL $name") }
       else println(s"[curation] ok   $name")
 
+    // optional 3rd arg: shard size (default t28's pinned 64 — size it
+    // so the shard COUNT stays O(10^4-10^5) on a real corpus)
+    val shardSize = args.lift(2).map(_.toInt).getOrElse(64)
     val (manifest, curated, counts, release) =
-      runArc(Tables.documents(spark, dir))
+      runArc(Tables.documents(spark, dir), shardSize)
     try {
       val m = manifest.collect()
       counts.foreach { case (k, v) => println(s"[curation] $k=$v") }
@@ -144,7 +150,7 @@ object CurationPipeline {
         m.map(_.getAs[Long]("n_docs")).sum == nTrain)
       check("shards_full_except_last")(
         m.sortBy(_.getAs[Long]("shard")).dropRight(1)
-          .forall(_.getAs[Long]("n_docs") == 64L))
+          .forall(_.getAs[Long]("n_docs") == shardSize.toLong))
       val ranges = m.sortBy(_.getAs[Long]("shard"))
         .map(r => (r.getAs[Long]("pos_lo"), r.getAs[Long]("pos_hi")))
       check("pos_ranges_tile")(

@@ -258,15 +258,18 @@ object TextQueries {
   /** The per-document half of the manifest tail: (doc_id, n_tok, pos,
     * shard) in deterministic shuffle order — what a caller writing the
     * actual sharded corpus (graft.CurationPipeline --out) partitions
-    * by. */
-  private[graft] def shardAssignments(train: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
+    * by. `shardSize` defaults to t28's pinned 64 docs; a production
+    * run sizes it so the shard COUNT stays O(10^4–10^5) (64-doc shards
+    * at web scale mean tens of millions of partition directories —
+    * a filesystem-metadata bug, not a Spark one). */
+  private[graft] def shardAssignments(train: org.apache.spark.sql.DataFrame,
+      shardSize: Int = 64): org.apache.spark.sql.DataFrame = {
     val ranked = graft.operators.RangeRank.withGlobalRank(
       train.select(col("doc_id"),
         md5(col("doc_id").cast("string")).as("h"), col("n_tok")),
       Seq(col("h"), col("doc_id")), "pos")
-    ranked
-      .withColumn("shard", floor((col("pos") - 1) / 64.0).cast("long"))
+    ranked.withColumn("shard",
+      floor((col("pos") - 1) / shardSize.toDouble).cast("long"))
   }
 
   /** The aggregation half: shard assignments → the manifest a
