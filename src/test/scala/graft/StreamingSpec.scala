@@ -807,6 +807,54 @@ class StreamingSpec extends SparkSpec {
     StreamPromote.publishedVersions(spark, root) shouldBe foldMap
   }
 
+  test("promotion-state readers on a synthetic 5-candidate trail: " +
+      "rejects, non-contiguous ids, and a mid-trail hole") {
+    import graft.streaming.{StreamPromote, StreamRefit}
+    // outcomes exactly as gateBatch stores them: cand/batch=k rows +
+    // the cumulative pub/batch-k pointer. publish@0 (v1), reject@2,
+    // publish@5 (v2), reject@7, publish@9 (v3) — non-contiguous ids.
+    val root = tmp("st23synth")
+    val fs = StreamRefit.hfs(spark, root)
+    val outcomes = Seq( // (batch, published?, versionIfPublished)
+      (0L, true, Some(1L)), (2L, false, None), (5L, true, Some(2L)),
+      (7L, false, None), (9L, true, Some(3L)))
+    var count = 0L; var latest = -1L
+    for ((b, pub, v) <- outcomes) {
+      (0 until 4).map { bk =>
+        (bk.toLong, bk.toLong * 10 + b, if (pub) -1L else 0L, 1L, 1L,
+          v, if (pub) "published" else "rejected")
+      }.toDF("bucket", "weight", "champ_ok", "chall_ok", "n_val",
+          "version", "status")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$root/cand/batch=$b")
+      if (pub) { count += 1; latest = b }
+      StreamRefit.writeSmall(fs,
+        new org.apache.hadoop.fs.Path(s"$root/pub/batch-$b"),
+        s"$count,$latest")
+    }
+    val servingMap = Seq(0L -> 1L, 5L -> 2L, 9L -> 3L)
+    StreamPromote.publishedVersions(spark, root) shouldBe servingMap
+    // pubStateBefore = (published count, latest published) STRICTLY
+    // before b, across reject entries and id gaps
+    StreamPromote.pubStateBefore(spark, root, 0L) shouldBe ((0L, -1L))
+    StreamPromote.pubStateBefore(spark, root, 1L) shouldBe ((1L, 0L))
+    StreamPromote.pubStateBefore(spark, root, 5L) shouldBe ((1L, 0L))
+    StreamPromote.pubStateBefore(spark, root, 6L) shouldBe ((2L, 5L))
+    StreamPromote.pubStateBefore(spark, root, 9L) shouldBe ((2L, 5L))
+    StreamPromote.pubStateBefore(spark, root, 10L) shouldBe ((3L, 9L))
+    // punch a MID-TRAIL hole (batch-5's pointer lost): enumeration
+    // must self-heal to the identical map, and a pubStateBefore whose
+    // max surviving entry trails cand/ must fold instead of trusting
+    // the stale pointer
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(root, "pub", "batch-5"))
+    StreamPromote.publishedVersions(spark, root) shouldBe servingMap
+    StreamPromote.pubStateBefore(spark, root, 6L) shouldBe ((2L, 5L))
+    // entries AFTER the hole still carry correct cumulative state —
+    // the healthy single-pointer read stays valid past a hole
+    StreamPromote.pubStateBefore(spark, root, 10L) shouldBe ((3L, 9L))
+  }
+
   test("st22 streaming HLL: stream == direct per-prefix reference, the " +
       "final merge equals the whole-corpus estimate, replay idempotent") {
     import graft.streaming.StreamSketch
