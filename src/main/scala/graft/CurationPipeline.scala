@@ -65,50 +65,65 @@ object CurationPipeline {
       .select(col("doc_id"), TextFns.fingerprintMd5(col("text")).as("fp"))
       .groupBy("fp").agg(min("doc_id").as("doc_id")).select("doc_id")
       .persist()
-    val exactKept = docs.join(keeperIds, Seq("doc_id"), "left_semi")
-    // … + near-dup clusters, canonical keep (d07/d13's rule); the
-    // labels double as t26's whole-cluster split keys below.
-    // keptIds is PERSISTED: the pair-generation + connected-components
-    // subtree above it feeds every downstream leg (tier scan, split,
-    // manifest, the written corpus) and would otherwise recompute per
-    // consumer — the cache holds two id columns, never the text.
-    val labels = graft.operators.ConnectedComponents.run(
-        Dedup.ngramJaccardPairs(exactKept, maxDF = 50, minJaccard = 0.8))
-      .withColumnRenamed("node", "doc_id")
-    val keptIds = exactKept.select("doc_id")
-      .join(labels, Seq("doc_id"), "left")
-      .filter(col("label").isNull || col("doc_id") === col("label"))
-      .persist()
-    val kept = docs.join(keptIds.select("doc_id"), Seq("doc_id"),
-      "left_semi")
-    // 2+3. quality ensemble over the survivors → tier-aware mixing
-    // (t40 → t41, the Managed pair); release composes both caches
-    val (mixed, releaseTiers) =
-      TextQueries.tierMixManaged(TextQueries.ensembleTiers(kept))
-    val release = () => {
-      releaseTiers(); keptIds.unpersist(); keeperIds.unpersist(); ()
+    // everything below runs actions (tierMixManaged's tier fold, the
+    // stage counts) before the caller receives the release — a failure
+    // mid-arc must drop the id caches here or they leak for the
+    // session (the documented library-caller path, not just the main)
+    var keptIdsOpt: Option[DataFrame] = None
+    var releaseTiersOpt: Option[() => Unit] = None
+    try {
+      val exactKept = docs.join(keeperIds, Seq("doc_id"), "left_semi")
+      // … + near-dup clusters, canonical keep (d07/d13's rule); the
+      // labels double as t26's whole-cluster split keys below.
+      // keptIds is PERSISTED: the pair-generation + connected-components
+      // subtree above it feeds every downstream leg (tier scan, split,
+      // manifest, the written corpus) and would otherwise recompute per
+      // consumer — the cache holds two id columns, never the text.
+      val labels = graft.operators.ConnectedComponents.run(
+          Dedup.ngramJaccardPairs(exactKept, maxDF = 50, minJaccard = 0.8))
+        .withColumnRenamed("node", "doc_id")
+      val keptIds = exactKept.select("doc_id")
+        .join(labels, Seq("doc_id"), "left")
+        .filter(col("label").isNull || col("doc_id") === col("label"))
+        .persist()
+      keptIdsOpt = Some(keptIds)
+      val kept = docs.join(keptIds.select("doc_id"), Seq("doc_id"),
+        "left_semi")
+      // 2+3. quality ensemble over the survivors → tier-aware mixing
+      // (t40 → t41, the Managed pair); release composes both caches
+      val (mixed, releaseTiers) =
+        TextQueries.tierMixManaged(TextQueries.ensembleTiers(kept))
+      releaseTiersOpt = Some(releaseTiers)
+      val release = () => {
+        releaseTiers(); keptIds.unpersist(); keeperIds.unpersist(); ()
+      }
+      // 4. leakage-safe split (t26): the cluster id is the split key, so
+      // a near-dup pair can never straddle train/val
+      val train = mixed
+        .join(keptIds, "doc_id")
+        .withColumn("split_key", coalesce(col("label"), col("doc_id")))
+        .filter(TextFns.splitAssign(col("split_key")) === "train")
+        .select("doc_id", "n_tok")
+      // 5. shard assignments + manifest (t28's shared tail, split so the
+      // curated corpus itself can be written partitioned by shard)
+      val assignments = TextQueries.shardAssignments(train, shardSize)
+      val manifest = TextQueries.manifestOf(assignments)
+      val curated = assignments
+        .join(docs.select(col("doc_id"), col("text")), "doc_id")
+        .select("doc_id", "n_tok", "pos", "shard", "text")
+      val counts = Seq(
+        "documents" -> docs.count(),
+        "exact_kept" -> keeperIds.count(),
+        "cluster_kept" -> keptIds.count(),
+        "mixed_kept" -> mixed.count(),
+        "train" -> train.count())
+      (manifest, curated, counts, release)
+    } catch { case t: Throwable =>
+      releaseTiersOpt.foreach(_.apply())
+      keptIdsOpt.foreach(_.unpersist())
+      keeperIds.unpersist()
+      throw t
     }
-    // 4. leakage-safe split (t26): the cluster id is the split key, so
-    // a near-dup pair can never straddle train/val
-    val train = mixed
-      .join(keptIds, "doc_id")
-      .withColumn("split_key", coalesce(col("label"), col("doc_id")))
-      .filter(TextFns.splitAssign(col("split_key")) === "train")
-      .select("doc_id", "n_tok")
-    // 5. shard assignments + manifest (t28's shared tail, split so the
-    // curated corpus itself can be written partitioned by shard)
-    val assignments = TextQueries.shardAssignments(train, shardSize)
-    val manifest = TextQueries.manifestOf(assignments)
-    val curated = assignments
-      .join(docs.select(col("doc_id"), col("text")), "doc_id")
-      .select("doc_id", "n_tok", "pos", "shard", "text")
-    val counts = Seq(
-      "documents" -> docs.count(),
-      "exact_kept" -> keeperIds.count(),
-      "cluster_kept" -> keptIds.count(),
-      "mixed_kept" -> mixed.count(),
-      "train" -> train.count())
-    (manifest, curated, counts, release)
   }
 
   def main(args: Array[String]): Unit = {

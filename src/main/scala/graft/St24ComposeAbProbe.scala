@@ -82,8 +82,13 @@ object St24ComposeAbProbe {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // elapsed closes HERE: the lineage row-count parity check below
+      // is verification, not part of either composition's per-batch
+      // cost — inside the window it would dilute the single-vs-double
+      // commit contrast with a constant read both legs share
+      val sec = (System.nanoTime() - t0) / 1e9
       val rows = StreamLineage.lineage(spark, root).count()
-      ((System.nanoTime() - t0) / 1e9, rows)
+      (sec, rows)
     }
     // interleave legs (the CodegenAbProbe discipline) so neither leg
     // systematically owns the warmer JVM, three reps each (a 2-rep

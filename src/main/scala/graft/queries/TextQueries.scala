@@ -227,10 +227,14 @@ object TextQueries {
     val tiers = tierFrame.persist()
     // bounded driver fold (≤ 4 rows): the waterfall is SEQUENTIAL —
     // each tier's spend defines the next tier's remainder — so it is
-    // driver arithmetic on exact Longs, never a float in the plan
-    val tokOf = tiers.groupBy("tier")
-      .agg(sum("n_tok").cast("long").as("tok")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // driver arithmetic on exact Longs, never a float in the plan.
+    // The collect is an ACTION before the caller ever sees the release
+    // — on failure the cache must be dropped here or it leaks for the
+    // session (no one else holds a handle to it yet).
+    val tokOf = try tiers.groupBy("tier")
+        .agg(sum("n_tok").cast("long").as("tok")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      catch { case t: Throwable => tiers.unpersist(); throw t }
     val rates = tierWaterfall(tokOf)
     val out = tiers
       .withColumn("rate_ppm",

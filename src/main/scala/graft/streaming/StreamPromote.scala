@@ -98,19 +98,27 @@ object StreamPromote {
     * the candidate store once, exactly like dec/'s decisionFor heal.
     * This is what keeps a firing batch's read O(64) champion rows
     * forever instead of the whole candidate history. */
+  /** Batch ids under `root/dir` whose entry names carry `prefix`
+    * (optionally only those `< below`) — the ONE listing rule both
+    * trail readers share: [[pubStateBefore]] and [[publishedVersions]]
+    * must parse the pub/cand trails identically for their
+    * completeness checks to agree, so the parse lives here, once. */
+  private def trailEntries(fs: org.apache.hadoop.fs.FileSystem,
+      root: String, dir: String, prefix: String,
+      below: Option[Long] = None): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(root, dir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith(prefix) =>
+        n.stripPrefix(prefix).toLong }
+      .filter(b => below.forall(b < _))
+  }
+
   private[graft] def pubStateBefore(spark: SparkSession,
       root: String, batchId: Long): (Long, Long) = {
     val fs = StreamRefit.hfs(spark, root)
-    def entriesUnder(dir: String, prefix: String): Seq[Long] = {
-      val p = new org.apache.hadoop.fs.Path(root, dir)
-      if (!fs.exists(p)) Seq.empty
-      else fs.listStatus(p).toSeq.map(_.getPath.getName)
-        .collect { case n if n.startsWith(prefix) =>
-          n.stripPrefix(prefix).toLong }
-        .filter(_ < batchId)
-    }
-    val pubBatches = entriesUnder("pub", "batch-")
-    val candBatches = entriesUnder("cand", "batch=")
+    val pubBatches = trailEntries(fs, root, "pub", "batch-", Some(batchId))
+    val candBatches = trailEntries(fs, root, "cand", "batch=", Some(batchId))
     if (candBatches.isEmpty) (0L, -1L)
     else if (pubBatches.nonEmpty && pubBatches.max >= candBatches.max) {
       val raw = StreamRefit.readSmall(fs, new org.apache.hadoop.fs.Path(
@@ -141,15 +149,8 @@ object StreamPromote {
   private[graft] def publishedVersions(spark: SparkSession,
       root: String): Seq[(Long, Long)] = {
     val fs = StreamRefit.hfs(spark, root)
-    def entriesUnder(dir: String, prefix: String): Seq[Long] = {
-      val p = new org.apache.hadoop.fs.Path(root, dir)
-      if (!fs.exists(p)) Seq.empty
-      else fs.listStatus(p).toSeq.map(_.getPath.getName)
-        .collect { case n if n.startsWith(prefix) =>
-          n.stripPrefix(prefix).toLong }
-    }
-    val pubBatches = entriesUnder("pub", "batch-")
-    val candBatches = entriesUnder("cand", "batch=")
+    val pubBatches = trailEntries(fs, root, "pub", "batch-")
+    val candBatches = trailEntries(fs, root, "cand", "batch=")
     // enumeration needs the trail COMPLETE (every candidate batch has
     // its pub entry) — a max-based check suffices for pubStateBefore,
     // whose single latest entry carries cumulative state, but here a
