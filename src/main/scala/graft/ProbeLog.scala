@@ -56,29 +56,102 @@ object ProbeLog {
     } catch { case scala.util.control.NonFatal(_) => HostSnap(0L, 0L) }
 
   @volatile private var sessionStart: Option[HostSnap] = None
+  @volatile private var sessionLoad1Start: Double = 0.0
+  @volatile private var sessionCalibStart: Double = 0.0
+  @volatile private var calibSink: Long = 0L // defeats dead-code elim
+
+  /** The 1-minute loadavg right now; 0.0 when unreadable. */
+  def load1(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+      .split("\\s+")(0).toDouble
+    catch { case scala.util.control.NonFatal(_) => 0.0 }
+
+  /** CALIBRATION MICRO-LEG (round-17 ask): a fixed single-threaded
+    * integer workload (450M xorshift64 steps, ~1 s quiet on this host
+    * class) timed at BOTH ends of every telemetry window. Its wall
+    * time is a self-normalizing contamination signal no external
+    * telemetry can fake: the r16 driver bench read 2–4.4× inflated at
+    * steal 0.47% — co-tenant load the steal-only model certified as
+    * quiet (the only symptom, closing load1 6.15, was recorded but
+    * never used). A drifted calibration leg says "this JVM's timed
+    * work was contended, whatever /proc/stat claims". Deterministic
+    * (fixed iteration count, no allocation) so variance is host
+    * contention, not the workload. */
+  def calibrate(): Double = {
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0L
+    val t0 = System.nanoTime()
+    while (i < 450000000L) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      i += 1L
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    calibSink = x
+    sec
+  }
 
   /** Open the host-noise telemetry window — call first thing in every
     * probe/bench main, so [[hostJson]] reports steal over the RUN, not
-    * over an instant. */
-  def hostStart(): Unit = { sessionStart = Some(hostSnap()) }
+    * over an instant. Also snapshots load1 and times the calibration
+    * leg at window OPEN, so the close-side pair in [[hostJson]] can
+    * expose mid-run contamination. */
+  def hostStart(): Unit = {
+    sessionLoad1Start = load1()
+    sessionCalibStart = calibrate()
+    sessionStart = Some(hostSnap())
+  }
 
-  /** The `"host"` block every Bench/probe row carries (round-14 ask):
-    * hypervisor steal as a percentage of total cpu ticks over the
-    * telemetry window, plus the 1-minute loadavg at window close.
-    * Rounds 11–13 each burned bench runs attributing uniform drift to
-    * host contention the narrative way; with steal recorded alongside
-    * every row, a uniform-inversion day adjudicates itself from data. */
+  /** The `"host"` block every Bench/probe row carries (round-14 ask;
+    * extended round 17): hypervisor steal as a percentage of total cpu
+    * ticks over the telemetry window, the 1-minute loadavg at window
+    * open AND close, and the calibration micro-leg's seconds at both
+    * ends. Rounds 11–13 each burned bench runs attributing uniform
+    * drift to host contention the narrative way; round 16 burned an
+    * adjudication cycle on co-tenant load invisible to the steal-only
+    * model — with both signals recorded alongside every row, a
+    * contaminated run adjudicates itself from data. */
   def hostJson(): String = {
     val end = hostSnap()
     val start = sessionStart.getOrElse(end)
     val dt = end.totalTicks - start.totalTicks
     val stealPct =
       if (dt > 0) 100.0 * (end.stealTicks - start.stealTicks) / dt else 0.0
-    val load1 =
-      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
-        .split("\\s+")(0).toDouble
-      catch { case scala.util.control.NonFatal(_) => 0.0 }
-    s""""host":{"steal_pct":${fmt(stealPct, 2)},"load1":${fmt(load1, 2)}}"""
+    val calibEnd = calibrate()
+    val calibStart =
+      if (sessionCalibStart > 0.0) sessionCalibStart else calibEnd
+    s""""host":{"steal_pct":${fmt(stealPct, 2)},""" +
+      s""""load1":${fmt(load1(), 2)},""" +
+      s""""load1_start":${fmt(sessionLoad1Start, 2)},""" +
+      s""""calib_start_sec":${fmt(calibStart, 3)},""" +
+      s""""calib_end_sec":${fmt(calibEnd, 3)}}"""
+  }
+
+  /** Quiet-host nominal for one calibration leg (BASELINE.md §1
+    * documents the measured band) and the contamination thresholds the
+    * gate + bench_diff annotate at: a leg beyond 1.3× the nominal, or
+    * the two legs of one run disagreeing beyond 1.3×, reads as
+    * co-tenant contention during the run. */
+  val CalibNominalSec = 1.0
+  val CalibDriftFactor = 1.3
+
+  /** The calibration-drift annotation for a fresh row's host block —
+    * None when the row carries no calib fields or they read quiet. */
+  def calibNoteOf(calibStart: Option[Double],
+      calibEnd: Option[Double]): Option[String] = {
+    val legs = calibStart.toSeq ++ calibEnd.toSeq
+    if (legs.isEmpty) None
+    else {
+      val worst = legs.max
+      val ratio = if (legs.min > 0) legs.max / legs.min else 1.0
+      if (worst > CalibNominalSec * CalibDriftFactor ||
+          ratio > CalibDriftFactor)
+        Some(s" [calibration leg drifted: start=" +
+          calibStart.map(fmt(_, 3)).getOrElse("n/a") +
+          "s end=" + calibEnd.map(fmt(_, 3)).getOrElse("n/a") +
+          s"s vs ~${fmt(CalibNominalSec, 1)}s quiet nominal — co-tenant " +
+          "contention during the run; adjudicate against a quiet re-read]")
+      else None
+    }
   }
 
   /** Replace-or-append `line` (a one-line JSON object containing
@@ -199,7 +272,14 @@ object ProbeLog {
     val stealNote = num(n \ "host" \ "steal_pct").filter(_ > 0.0)
       .map(s => s" [ran under host steal_pct=${fmt(s, 2)} — hypervisor" +
         " contention likely; adjudicate against a quiet-host re-read]")
-      .getOrElse("") + (n \ "synthesis_run" match {
+      .getOrElse("") +
+      // round-17: the calibration micro-leg is the co-tenant signal
+      // steal cannot see (the r16 driver bench read 2–4.4x inflated at
+      // steal 0.47%); a drifted leg annotates every timing firing the
+      // same way steal does
+      calibNoteOf(num(n \ "host" \ "calib_start_sec"),
+        num(n \ "host" \ "calib_end_sec")).getOrElse("") +
+      (n \ "synthesis_run" match {
         // first run on a fresh corpus dir: the timed JVM carried the
         // synthesis churn in its GC profile (the class that cost one
         // adjudication per fresh-tmp round through r14) — the probe

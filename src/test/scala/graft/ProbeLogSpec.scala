@@ -84,6 +84,49 @@ class ProbeLogSpec extends AnyFunSuite with Matchers {
     val j = org.json4s.jackson.JsonMethods.parse(frag)
     (j \ "host" \ "steal_pct") should not be org.json4s.JNothing
     (j \ "host" \ "load1") should not be org.json4s.JNothing
+    // round-17 fields: load1 at window open + the calibration legs
+    (j \ "host" \ "load1_start") should not be org.json4s.JNothing
+    (j \ "host" \ "calib_start_sec") should not be org.json4s.JNothing
+    (j \ "host" \ "calib_end_sec") should not be org.json4s.JNothing
+  }
+
+  test("calibration micro-leg: fixed work, plausible wall band") {
+    // deterministic workload; wall time varies only with contention.
+    // The band is deliberately loose (a loaded CI host may read 3-4x
+    // nominal) — the point here is "really ran", not "ran quiet".
+    val sec = ProbeLog.calibrate()
+    sec should be > 0.05
+    sec should be < 30.0
+  }
+
+  test("timing firings are ANNOTATED when the calibration leg drifted " +
+      "— the co-tenant signal steal cannot see") {
+    def cline(ratios: String, host: String) =
+      s"""{"metric":"m","ratios":{$ratios},"host":$host}"""
+    val old = cline(""""q1":{"time_ratio":2.0}""",
+      """{"steal_pct":0.00,"load1":0.5}""")
+    // the r16 class: steal reads quiet, but the calibration legs say
+    // the JVM's timed work was contended — the firing must carry the
+    // calibration annotation
+    val contaminated = ProbeLog.regressionsVs(old,
+      cline(""""q1":{"time_ratio":16.0}""",
+        """{"steal_pct":0.00,"load1":6.15,"load1_start":0.4,""" +
+          """"calib_start_sec":0.980,"calib_end_sec":2.510}"""))
+    contaminated should not be empty
+    contaminated.foreach(_ should include("calibration leg drifted"))
+    // quiet legs on a real firing: no calibration annotation
+    val quiet = ProbeLog.regressionsVs(old,
+      cline(""""q1":{"time_ratio":16.0}""",
+        """{"steal_pct":0.00,"load1":0.5,"load1_start":0.4,""" +
+          """"calib_start_sec":0.970,"calib_end_sec":1.020}"""))
+    quiet should not be empty
+    quiet.foreach(_ should not include "calibration leg drifted")
+    // one slow leg alone (start quiet, end contended) also annotates:
+    // contamination that ARRIVES mid-run is exactly the r16 shape
+    val midRun = ProbeLog.calibNoteOf(Some(0.98), Some(1.55))
+    midRun should not be None
+    // pre-r17 rows carry no legs: no note, never a crash
+    ProbeLog.calibNoteOf(None, None) shouldBe None
   }
 
   test("timing firings are ANNOTATED (not suppressed) when the fresh " +

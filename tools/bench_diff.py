@@ -57,6 +57,30 @@ def load(path):
             "host": json.loads(host.group(1)) if host else {}}
 
 
+# Quiet-host nominal for one ProbeLog calibration leg and the drift
+# factor that flags contamination (mirrors ProbeLog.CalibNominalSec /
+# CalibDriftFactor — the round-17 fix for the r16 blind spot: the
+# driver's bench read 2-4.4x inflated at steal 0.47% because co-tenant
+# load is invisible to the steal-only model).
+CALIB_NOMINAL_SEC = 1.0
+CALIB_DRIFT_FACTOR = 1.3
+
+
+def calib_note(host):
+    legs = [host[k] for k in ("calib_start_sec", "calib_end_sec")
+            if isinstance(host.get(k), (int, float))]
+    if not legs:
+        return " [no calibration legs — pre-r17 row; contamination " \
+            "adjudicates the narrative way]"
+    ratio = max(legs) / min(legs) if min(legs) > 0 else 1.0
+    if max(legs) > CALIB_NOMINAL_SEC * CALIB_DRIFT_FACTOR \
+            or ratio > CALIB_DRIFT_FACTOR:
+        return (f" [CALIBRATION DRIFTED: legs {legs} s vs "
+                f"~{CALIB_NOMINAL_SEC}s quiet nominal — co-tenant "
+                f"contention during this run; its tail is suspect]")
+    return ""
+
+
 def describe(path, j):
     qs = j.get("queries", {})
     ok = {k: v for k, v in qs.items() if v >= 0}
@@ -66,7 +90,11 @@ def describe(path, j):
     print(f"{path}: {len(ok)} queries ok, total {sum(ok.values()):.1f} s, "
           f"errors={j.get('errors', [])}, "
           f"steal_pct={host.get('steal_pct', 'n/a')}, "
-          f"load1={host.get('load1', 'n/a')}{frag}")
+          f"load1={host.get('load1_start', 'n/a')}->"
+          f"{host.get('load1', 'n/a')}, "
+          f"calib={host.get('calib_start_sec', 'n/a')}->"
+          f"{host.get('calib_end_sec', 'n/a')}"
+          f"{calib_note(host)}{frag}")
     return ok
 
 
