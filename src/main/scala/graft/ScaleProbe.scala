@@ -618,7 +618,12 @@ object StreamScaleProbe {
     // one decision derivation per batch (dec/ read-through); the row
     // pins that the composition costs ~the sum of its parts, never a
     // re-derivation multiple
-    "st24_stream_lineage")
+    "st24_stream_lineage",
+    // round-17: the quarantine-protected corpus build (st21 routing +
+    // st16 build at the st24 single-commit seam) — the row pins that
+    // the composition stays at the st16 build price plus O(batch)
+    // routing, with a fired batch costing LESS (the build skip)
+    "st25_stream_curated_corpus")
 
   def main(args: Array[String]): Unit = {
     ProbeLog.hostStart()

@@ -149,6 +149,124 @@ object StreamingQueries {
     p
   }
 
+
+  /** The st16/st25 SHARED oracle: t28's one-shot topology (quality
+    * gate → MinHash-LSH pairs → CC canonical keep → decontaminate →
+    * leakage-safe split → md5-ranked 64-doc shards → pack manifest)
+    * over `documents` restricted by `ndWhere` on the shared nd CTE —
+    * st16 passes the empty restriction (every arrival builds), st25
+    * the pinned non-fired-batch one (doc_id % 4 <> 2 at sf0.01). One
+    * WHERE is the whole difference, so the two oracles can never
+    * drift apart structurally. */
+  private def corpusBuildOracle(ndWhere: String): String =
+    s"""WITH RECURSIVE
+       |nd AS (SELECT doc_id,
+       |         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+       |       FROM documents$ndWhere),
+         |q AS (
+         |  SELECT doc_id,
+         |         round(least(n::DOUBLE / 50.0, 1.0) * 0.5 +
+         |               (stop_n::DOUBLE / n::DOUBLE) * 0.3 +
+         |               (1.0 - CASE WHEN chars = 0 THEN 0.0 ELSE punct_n::DOUBLE / chars::DOUBLE END) * 0.2, 4)
+         |           AS quality
+         |  FROM (
+         |    SELECT doc_id,
+         |           len(string_split(t, ' ')) AS n,
+         |           len(list_filter(string_split(t, ' '),
+         |               w -> w IN ${TextQueries.stopList})) AS stop_n,
+         |           len(regexp_extract_all(t, '[^a-z0-9 ]', 0)) AS punct_n,
+         |           len(t) AS chars
+         |    FROM nd)),
+         |gated AS (SELECT doc_id FROM q WHERE quality >= 0.5),
+         |w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM nd),
+         |ssh AS (
+         |  SELECT doc_id, unnest(list_distinct(
+         |           list_transform(range(1, len(ws) - 1),
+         |             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
+         |  FROM w JOIN gated USING (doc_id) WHERE len(ws) >= 3),
+         |sigs AS (
+         |  SELECT doc_id,
+         |         list_transform(range(0, 12), s ->
+         |           list_min(list_transform(shs, x ->
+         |             md5(CAST(s AS VARCHAR) || '|' || x)))) AS sig
+         |  FROM (SELECT doc_id, list(s) AS shs FROM ssh GROUP BY 1)),
+         |buckets AS (
+         |  SELECT doc_id, unnest(list_transform(range(0, 4), b ->
+         |           md5(CAST(b AS VARCHAR) || '|' || sig[b*3+1] || '|' ||
+         |               sig[b*3+2] || '|' || sig[b*3+3]))) AS bucket
+         |  FROM sigs),
+         |cnd AS (
+         |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+         |  FROM buckets a JOIN buckets b
+         |    ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |prs AS (
+         |  SELECT a, b
+         |  FROM cnd JOIN sigs sa ON a = sa.doc_id JOIN sigs sb ON b = sb.doc_id
+         |  WHERE len(list_filter(range(1, 13),
+         |        i -> sa.sig[i] = sb.sig[i])) / 12.0 >= 0.5),
+         |und AS (SELECT a AS src, b AS dst FROM prs
+         |        UNION SELECT b, a FROM prs),
+         |cc AS (
+         |  SELECT src AS node, src AS label FROM und
+         |  UNION
+         |  SELECT u.dst, cc.label FROM cc JOIN und u ON cc.node = u.src),
+         |labels AS (SELECT node, min(label) AS cluster_id FROM cc GROUP BY 1),
+         |kept AS (SELECT g.doc_id FROM gated g LEFT JOIN labels l
+         |           ON g.doc_id = l.node
+         |         WHERE l.node IS NULL OR g.doc_id = l.cluster_id),
+         |hsh AS (
+         |  SELECT doc_id, unnest(list_transform(list_distinct(
+         |           list_transform(range(1, len(ws) - 1),
+         |             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])), s ->
+         |           list_reduce(list_transform(string_split(s, ''),
+         |               c -> CAST(ascii(c) AS BIGINT)),
+         |             (acc, x) -> (acc * 31 + x) % 1073741789) * 1073741824 +
+         |           list_reduce(list_transform(string_split(s, ''),
+         |               c -> CAST(ascii(c) AS BIGINT)),
+         |             (acc, x) -> (acc * 131 + x) % 1073741783))) AS sh
+         |  FROM w WHERE len(ws) >= 3),
+         |ev AS (SELECT DISTINCT sh FROM hsh WHERE doc_id % 97 = 0),
+         |trn AS (SELECT h.doc_id, h.sh FROM hsh h JOIN kept USING (doc_id)
+         |        WHERE h.doc_id % 97 <> 0),
+         |tsz AS (SELECT doc_id, count(*) AS n_sh FROM trn GROUP BY 1),
+         |shared AS (SELECT doc_id, count(*) AS n_shared
+         |           FROM trn JOIN ev USING (sh) GROUP BY 1),
+         |contam AS (SELECT t.doc_id FROM tsz t JOIN shared h USING (doc_id)
+         |           WHERE h.n_shared * 1.0 / t.n_sh >= 0.5),
+         |clean AS (SELECT doc_id FROM kept
+         |          WHERE doc_id % 97 <> 0
+         |            AND doc_id NOT IN (SELECT doc_id FROM contam)),
+         |tr2 AS (
+         |  SELECT c.doc_id FROM (
+         |    SELECT cl.doc_id, coalesce(l.cluster_id, cl.doc_id) AS split_key
+         |    FROM clean cl LEFT JOIN labels l ON cl.doc_id = l.node) c
+         |  WHERE list_reduce(list_transform(
+         |          string_split(md5(CAST(c.split_key AS VARCHAR)), ''),
+         |          ch -> CAST(ascii(ch) AS BIGINT)),
+         |          (acc, x) -> (acc * 31 + x) % 1000000007) % 100 < 80),
+         |r AS (
+         |  SELECT t2.doc_id,
+         |         row_number() OVER (ORDER BY md5(CAST(t2.doc_id AS VARCHAR)),
+         |                            t2.doc_id) AS pos,
+         |         len(regexp_extract_all(nd.t, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))
+         |           AS n_tok
+         |  FROM tr2 t2 JOIN nd ON t2.doc_id = nd.doc_id),
+         |p AS (
+         |  SELECT pos, n_tok,
+         |         CAST(floor((pos - 1) / 64.0) AS BIGINT) AS shard,
+         |         coalesce(CAST(sum(n_tok) OVER (
+         |           PARTITION BY CAST(floor((pos - 1) / 64.0) AS BIGINT)
+         |           ORDER BY pos
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |           AS BIGINT), 0) AS cum_before
+         |  FROM r)
+         |SELECT shard, count(*) AS n_docs,
+         |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |       CAST(max(floor(cum_before / 2048.0)) + 1 AS BIGINT) AS n_packs,
+         |       CAST(min(pos) AS BIGINT) AS pos_lo,
+         |       CAST(max(pos) AS BIGINT) AS pos_hi
+         |FROM p GROUP BY shard ORDER BY shard""".stripMargin
+
   val all: Map[String, Q] = Map(
 
     // ST1/ST2/ST3/K4 end-to-end: streamed day rollup == batch day rollup.
@@ -790,118 +908,33 @@ object StreamingQueries {
     // clusters -> canonical keep -> shingle-overlap decontam ->
     // cluster-keyed md5 split -> md5-ranked 64-doc shards -> 2048-token
     // pack manifest.
-    "st16_stream_corpus_build" -> Q(
-      s"""WITH RECURSIVE
-         |nd AS (SELECT doc_id,
-         |         trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
-         |       FROM documents),
-         |q AS (
-         |  SELECT doc_id,
-         |         round(least(n::DOUBLE / 50.0, 1.0) * 0.5 +
-         |               (stop_n::DOUBLE / n::DOUBLE) * 0.3 +
-         |               (1.0 - CASE WHEN chars = 0 THEN 0.0 ELSE punct_n::DOUBLE / chars::DOUBLE END) * 0.2, 4)
-         |           AS quality
-         |  FROM (
-         |    SELECT doc_id,
-         |           len(string_split(t, ' ')) AS n,
-         |           len(list_filter(string_split(t, ' '),
-         |               w -> w IN ${TextQueries.stopList})) AS stop_n,
-         |           len(regexp_extract_all(t, '[^a-z0-9 ]', 0)) AS punct_n,
-         |           len(t) AS chars
-         |    FROM nd)),
-         |gated AS (SELECT doc_id FROM q WHERE quality >= 0.5),
-         |w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM nd),
-         |ssh AS (
-         |  SELECT doc_id, unnest(list_distinct(
-         |           list_transform(range(1, len(ws) - 1),
-         |             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS s
-         |  FROM w JOIN gated USING (doc_id) WHERE len(ws) >= 3),
-         |sigs AS (
-         |  SELECT doc_id,
-         |         list_transform(range(0, 12), s ->
-         |           list_min(list_transform(shs, x ->
-         |             md5(CAST(s AS VARCHAR) || '|' || x)))) AS sig
-         |  FROM (SELECT doc_id, list(s) AS shs FROM ssh GROUP BY 1)),
-         |buckets AS (
-         |  SELECT doc_id, unnest(list_transform(range(0, 4), b ->
-         |           md5(CAST(b AS VARCHAR) || '|' || sig[b*3+1] || '|' ||
-         |               sig[b*3+2] || '|' || sig[b*3+3]))) AS bucket
-         |  FROM sigs),
-         |cnd AS (
-         |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-         |  FROM buckets a JOIN buckets b
-         |    ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
-         |prs AS (
-         |  SELECT a, b
-         |  FROM cnd JOIN sigs sa ON a = sa.doc_id JOIN sigs sb ON b = sb.doc_id
-         |  WHERE len(list_filter(range(1, 13),
-         |        i -> sa.sig[i] = sb.sig[i])) / 12.0 >= 0.5),
-         |und AS (SELECT a AS src, b AS dst FROM prs
-         |        UNION SELECT b, a FROM prs),
-         |cc AS (
-         |  SELECT src AS node, src AS label FROM und
-         |  UNION
-         |  SELECT u.dst, cc.label FROM cc JOIN und u ON cc.node = u.src),
-         |labels AS (SELECT node, min(label) AS cluster_id FROM cc GROUP BY 1),
-         |kept AS (SELECT g.doc_id FROM gated g LEFT JOIN labels l
-         |           ON g.doc_id = l.node
-         |         WHERE l.node IS NULL OR g.doc_id = l.cluster_id),
-         |hsh AS (
-         |  SELECT doc_id, unnest(list_transform(list_distinct(
-         |           list_transform(range(1, len(ws) - 1),
-         |             i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])), s ->
-         |           list_reduce(list_transform(string_split(s, ''),
-         |               c -> CAST(ascii(c) AS BIGINT)),
-         |             (acc, x) -> (acc * 31 + x) % 1073741789) * 1073741824 +
-         |           list_reduce(list_transform(string_split(s, ''),
-         |               c -> CAST(ascii(c) AS BIGINT)),
-         |             (acc, x) -> (acc * 131 + x) % 1073741783))) AS sh
-         |  FROM w WHERE len(ws) >= 3),
-         |ev AS (SELECT DISTINCT sh FROM hsh WHERE doc_id % 97 = 0),
-         |trn AS (SELECT h.doc_id, h.sh FROM hsh h JOIN kept USING (doc_id)
-         |        WHERE h.doc_id % 97 <> 0),
-         |tsz AS (SELECT doc_id, count(*) AS n_sh FROM trn GROUP BY 1),
-         |shared AS (SELECT doc_id, count(*) AS n_shared
-         |           FROM trn JOIN ev USING (sh) GROUP BY 1),
-         |contam AS (SELECT t.doc_id FROM tsz t JOIN shared h USING (doc_id)
-         |           WHERE h.n_shared * 1.0 / t.n_sh >= 0.5),
-         |clean AS (SELECT doc_id FROM kept
-         |          WHERE doc_id % 97 <> 0
-         |            AND doc_id NOT IN (SELECT doc_id FROM contam)),
-         |tr2 AS (
-         |  SELECT c.doc_id FROM (
-         |    SELECT cl.doc_id, coalesce(l.cluster_id, cl.doc_id) AS split_key
-         |    FROM clean cl LEFT JOIN labels l ON cl.doc_id = l.node) c
-         |  WHERE list_reduce(list_transform(
-         |          string_split(md5(CAST(c.split_key AS VARCHAR)), ''),
-         |          ch -> CAST(ascii(ch) AS BIGINT)),
-         |          (acc, x) -> (acc * 31 + x) % 1000000007) % 100 < 80),
-         |r AS (
-         |  SELECT t2.doc_id,
-         |         row_number() OVER (ORDER BY md5(CAST(t2.doc_id AS VARCHAR)),
-         |                            t2.doc_id) AS pos,
-         |         len(regexp_extract_all(nd.t, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))
-         |           AS n_tok
-         |  FROM tr2 t2 JOIN nd ON t2.doc_id = nd.doc_id),
-         |p AS (
-         |  SELECT pos, n_tok,
-         |         CAST(floor((pos - 1) / 64.0) AS BIGINT) AS shard,
-         |         coalesce(CAST(sum(n_tok) OVER (
-         |           PARTITION BY CAST(floor((pos - 1) / 64.0) AS BIGINT)
-         |           ORDER BY pos
-         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-         |           AS BIGINT), 0) AS cum_before
-         |  FROM r)
-         |SELECT shard, count(*) AS n_docs,
-         |       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
-         |       CAST(max(floor(cum_before / 2048.0)) + 1 AS BIGINT) AS n_packs,
-         |       CAST(min(pos) AS BIGINT) AS pos_lo,
-         |       CAST(max(pos) AS BIGINT) AS pos_hi
-         |FROM p GROUP BY shard ORDER BY shard""".stripMargin) { (s, d) =>
+    "st16_stream_corpus_build" -> Q(corpusBuildOracle(""))
+    { (s, d) =>
       val root = freshDir(s"st16-${d.replaceAll("[^0-9a-zA-Z.]", "_")}")
       withShufflePartitions(s, 8) {
         graft.streaming.StreamingCorpusBuild.run(s, Tables.documents(s, d),
           root.toString, nFiles = 4, maxFilesPerTrigger = 1)
+      }
+    },
+
+    // quarantine-PROTECTED corpus build (st25) — st21's routing and
+    // st16's incremental build composed on ONE store-root at the st24
+    // single-commit seam: the shared store/decide step runs once per
+    // micro-batch, every arrival is routed, and ONLY clean batches
+    // reach the build's per-batch work — a firing batch's documents
+    // (train AND eval side) contribute nothing to the published shard
+    // manifest. Oracle = the st16 one-shot topology restricted to the
+    // non-fired batches of the pinned sf0.01 doc_id-mod-4 slicing
+    // (batch 2 fires — the FiringPatternCanarySpec pattern): one WHERE
+    // on the shared nd CTE, everything downstream identical. A
+    // divergent Spark-side firing decision feeds a whole batch into
+    // (or starves it from) the manifest: hash-red.
+    "st25_stream_curated_corpus" ->
+      Q(corpusBuildOracle(" WHERE doc_id % 4 <> 2")) { (s, d) =>
+      val root = freshDir(s"st25-${d.replaceAll("[^0-9a-zA-Z.]", "_")}")
+      withShufflePartitions(s, 8) {
+        graft.streaming.StreamingCuratedCorpus.run(s,
+          Tables.documents(s, d), root.toString, nSlices = 4)
       }
     },
 

@@ -6,23 +6,25 @@ import org.apache.spark.sql.functions._
 import graft.streaming.{StreamDrift, StreamRefit}
 
 /** Firing-pattern canary — the SchemaCanarySpec precedent applied to
-  * the four streaming oracles that PIN the sf0.01 drift firing
+  * the five streaming oracles that PIN the sf0.01 drift firing
   * pattern (st20_stream_drift_refit, st21_stream_quarantine,
-  * st23_stream_promote, st24_stream_lineage): on the driver's sf0.01
+  * st23_stream_promote, st24_stream_lineage,
+  * st25_stream_curated_corpus): on the driver's sf0.01
   * documents table, doc_id-mod-4 slicing fires the st18 token-length
   * drift test exactly at batch 2 under [[StreamRefit.ThresholdPpm]]
   * (ratios ~112000 / 176000 / 48000 ppm vs the 150000 threshold). A
   * testdata regeneration that shifts the token-length mix could move
-  * that firing batch and turn all four queries hash-red with the
+  * that firing batch and turn all five queries hash-red with the
   * ENGINE still correct — this spec fails FIRST and BY NAME instead.
   *
   * RE-PIN procedure (one step): the pattern below IS the derivation —
   * rerun [[firedSet]] on the regenerated sf0.01 documents, then update
-  * the four oracles' pinned predicates in StreamingQueries to the new
+  * the five oracles' pinned predicates in StreamingQueries to the new
   * fired set F: the clean-pool perceptron CTE prefixes (a-chain
   * `doc_id % 4 = 0`, b-chain `doc_id % 4 IN (<clean batches ≤ firing
   * batch>)`), st21/st24's route CASE (`doc_id % 4 = <firing batch>`),
-  * and st24's serving CASE boundaries. The streaming specs'
+  * st24's serving CASE boundaries, and st25's nd-CTE restriction
+  * (`WHERE doc_id % 4 <> <firing batch>` in corpusBuildOracle). The streaming specs'
   * batchReference invariance is the SEMANTIC pin (engine == one-shot
   * fold on any corpus); this canary is the TESTDATA pin.
   */
@@ -53,7 +55,7 @@ class FiringPatternCanarySpec extends SparkSpec {
       .map(_.getLong(0)).toSet
 
   test("canary: sf0.01 doc_id-mod-4 drift fires exactly at batch 2 — " +
-      "st20/st21/st23/st24 oracles pin this pattern") {
+      "st20/st21/st23/st24/st25 oracles pin this pattern") {
     requireTestdata()
     val fired = firedSet(sources.Tables.documents(spark, VerifySf))
     assert(fired == Set(2L),
@@ -66,7 +68,7 @@ class FiringPatternCanarySpec extends SparkSpec {
   }
 
   test("rehearsal: a shifted token-length mix moves the firing batch " +
-      "and is caught here by name, not as four hash-reds") {
+      "and is caught here by name, not as five hash-reds") {
     requireTestdata()
     // the regen this canary exists for: batch 1's documents suddenly
     // carry a different length profile (a truncating/padding scraper).

@@ -686,6 +686,77 @@ class StreamingSpec extends SparkSpec {
     rows(StreamLineage.lineage(spark, root)) shouldBe streamed
   }
 
+  test("st25 quarantine-protected corpus build: the manifest derives " +
+      "from clean batches only, the fired batch never touches the " +
+      "build stores, replay idempotent, invariant per slicing") {
+    import graft.streaming.{StreamingCorpusBuild, StreamingCuratedCorpus}
+    // controlled-drift corpus where the CLEAN batches carry the gated
+    // corpus (so the manifest is non-trivial) and the firing batch a
+    // shifted length profile: slices 0/1 = 40 mutually-distinct words
+    // per doc (quality-gated IN, one shared length bucket -> no drift
+    // between them), slice 2 = ~300-word documents (length-bucket
+    // jump -> fires). Docs 3/6 are a near-dup pair in slice 0 (pins
+    // the CC canonical keep); doc 0 (0 % 97) is the decontamination
+    // eval side, with its own vocabulary so it contaminates nothing.
+    def wordsOf(prefix: String, n: Int = 40) =
+      (1 to n).map(w => s"${prefix}x$w").mkString(" ")
+    val long = ("stream data " * 150).trim
+    val docs = (0 until 30).map { i =>
+      if (i % 3 == 2) (i.toLong, s"$long tail$i", "en")
+      else if (i == 0) (0L, wordsOf("e0"), "en")
+      else if (i == 6) (6L, wordsOf("w3", 39) + " w6x40", "en")
+      else (i.toLong, wordsOf(s"w$i"), "en")
+    }.toDF("doc_id", "text", "lang")
+    // the corpus fires exactly at batch 2 under the mod-3 slicing —
+    // the assumption every assertion below builds on, made explicit
+    StreamingCuratedCorpus.firedBatches(docs, nSlices = 3) shouldBe
+      Set(2L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().toSeq.map(_.toSeq)
+    val root = java.nio.file.Files
+      .createTempDirectory("st25spec").toString
+    val streamed = rows(
+      StreamingCuratedCorpus.run(spark, docs, root, nSlices = 3))
+    streamed should not be empty
+    // == the one-shot st16 topology over NON-FIRED batches only
+    streamed shouldBe rows(
+      StreamingCuratedCorpus.batchReference(docs, nSlices = 3))
+    // and the PROTECTION is real: the unprotected build (st16 over
+    // every arrival) publishes a different manifest on this corpus
+    streamed should not be rows(StreamingCorpusBuild.batchReference(docs))
+    // the fired batch never touched the build stores: no meta/ dir
+    // (and by the same skip, no index/trainsh/shared contribution) …
+    java.nio.file.Files.exists(java.nio.file.Paths.get(
+      root, "meta", "batch=2")) shouldBe false
+    java.nio.file.Files.exists(java.nio.file.Paths.get(
+      root, "meta", "batch=1")) shouldBe true
+    java.nio.file.Files.exists(java.nio.file.Paths.get(
+      root, "index", "batch=2")) shouldBe false
+    // … while the quarantine audit trail has exactly its documents
+    graft.streaming.StreamQuarantine.routed(spark, root)
+      .filter($"route" === "quarantine").select("doc_id")
+      .collect().map(_.getLong(0)).sorted shouldBe
+      (0 until 30).filter(_ % 3 == 2).map(_.toLong)
+    // whole-batch replay, fired AND clean: decisions recompute
+    // identically — the fired replay still skips the build, the clean
+    // replay overwrites identical store content
+    StreamingCuratedCorpus.processBatch(
+      docs.filter(pmod($"doc_id", lit(3L)) === 2L), 2L, root)
+    java.nio.file.Files.exists(java.nio.file.Paths.get(
+      root, "meta", "batch=2")) shouldBe false
+    rows(StreamingCorpusBuild.publish(spark, root)) shouldBe streamed
+    StreamingCuratedCorpus.processBatch(
+      docs.filter(pmod($"doc_id", lit(3L)) === 1L), 1L, root)
+    rows(StreamingCorpusBuild.publish(spark, root)) shouldBe streamed
+    // a DIFFERENT slicing (mod 5 mixes the length profiles, so no
+    // batch fires and the composition degrades to st16 + routing):
+    // stream == that slicing's own non-fired reference
+    val root5 = java.nio.file.Files
+      .createTempDirectory("st25spec5").toString
+    rows(StreamingCuratedCorpus.run(spark, docs, root5, nSlices = 5)) shouldBe
+      rows(StreamingCuratedCorpus.batchReference(docs, nSlices = 5))
+  }
+
   test("st23 reject path: a challenger that scores below the champion " +
       "on the val split is recorded rejected and never versioned") {
     import graft.streaming.StreamPromote
