@@ -40,10 +40,12 @@ import graft.text.{Dedup, TextFns}
   *
   * Run: `sbt "runMain graft.CurationPipeline [dir] [outDir]
   * [shardSize]"` (dir defaults to /root/testdata/sf0.001 — the CI
-  * smoke the verify skill wires in; shardSize defaults to t28's
-  * pinned 64 — a production run sizes it so the shard COUNT stays
-  * O(10^4–10^5): 64-doc shards at web scale mean tens of millions of
-  * partition directories, a filesystem-metadata bug). With `outDir`, the curated corpus itself is WRITTEN —
+  * smoke the verify skill wires in; shardSize DEFAULTS TO DERIVED
+  * from the train-set count — [[TextQueries.derivedShardSize]] keeps
+  * the shard COUNT in O(1..10^5), because 64-doc shards at web scale
+  * mean tens of millions of partition directories, a
+  * filesystem-metadata bug; pass an explicit value — t28's pinned
+  * 64, say — to override). With `outDir`, the curated corpus itself is WRITTEN —
   * `outDir/shards` partitioned by shard (a data-loader prunes to one
   * shard at the parquet-scan level) plus `outDir/manifest` — then
   * re-read and reconciled against the manifest, so "written" is
@@ -53,10 +55,13 @@ object CurationPipeline {
 
   /** The arc as a library call: documents frame → (manifest, curated
     * corpus with shard assignments — doc_id, n_tok, pos, shard, text —
-    * per-stage counts, release). The caller releases after
-    * materializing. */
-  def runArc(docs: DataFrame, shardSize: Int = 64)
-      : (DataFrame, DataFrame, Seq[(String, Long)], () => Unit) = {
+    * per-stage counts, the EFFECTIVE shard size, release). The caller
+    * releases after materializing. `shardSize` None (the default)
+    * derives a scale-safe size from the train-set count
+    * ([[TextQueries.derivedShardSize]]: shard count capped at 10^5);
+    * pass Some(64) for t28's pinned testdata shape. */
+  def runArc(docs: DataFrame, shardSize: Option[Int] = None)
+      : (DataFrame, DataFrame, Seq[(String, Long)], Int, () => Unit) = {
     // 1. ingest dedup — exact fingerprint keeper (t11's rule) …
     // the keeper-id frame is persisted (one id column): the
     // fingerprint aggregation is a corpus scan feeding both the
@@ -104,9 +109,18 @@ object CurationPipeline {
         .withColumn("split_key", coalesce(col("label"), col("doc_id")))
         .filter(TextFns.splitAssign(col("split_key")) === "train")
         .select("doc_id", "n_tok")
-      // 5. shard assignments + manifest (t28's shared tail, split so the
-      // curated corpus itself can be written partitioned by shard)
-      val assignments = TextQueries.shardAssignments(train, shardSize)
+      // 5. shard assignments + manifest (t28's shared tail, split so
+      // the curated corpus itself can be written partitioned by
+      // shard). The DEFAULT shard size derives from the train count —
+      // the production path must not ship the documented
+      // filesystem-metadata bug (10^7+ shard dirs at web scale); the
+      // count below is the same action the counts seq was already
+      // paying, hoisted
+      val nTrain = train.count()
+      val effectiveShardSize =
+        shardSize.getOrElse(TextQueries.derivedShardSize(nTrain))
+      val assignments =
+        TextQueries.shardAssignments(train, effectiveShardSize)
       val manifest = TextQueries.manifestOf(assignments)
       val curated = assignments
         .join(docs.select(col("doc_id"), col("text")), "doc_id")
@@ -116,8 +130,8 @@ object CurationPipeline {
         "exact_kept" -> keeperIds.count(),
         "cluster_kept" -> keptIds.count(),
         "mixed_kept" -> mixed.count(),
-        "train" -> train.count())
-      (manifest, curated, counts, release)
+        "train" -> nTrain)
+      (manifest, curated, counts, effectiveShardSize, release)
     } catch { case t: Throwable =>
       releaseTiersOpt.foreach(_.apply())
       keptIdsOpt.foreach(_.unpersist())
@@ -143,11 +157,14 @@ object CurationPipeline {
       if (!ok) { failures += name; System.err.println(s"[curation] FAIL $name") }
       else println(s"[curation] ok   $name")
 
-    // optional 3rd arg: shard size (default t28's pinned 64 — size it
-    // so the shard COUNT stays O(10^4-10^5) on a real corpus)
-    val shardSize = args.lift(2).map(_.toInt).getOrElse(64)
-    val (manifest, curated, counts, release) =
-      runArc(Tables.documents(spark, dir), shardSize)
+    // optional 3rd arg: explicit shard size (t28's pinned 64, say);
+    // DEFAULT derives from the train count so the shard count stays
+    // O(1..10^5) at any scale — the scale-safe behavior is no longer
+    // advice in a doc comment, it is what runs when you pass nothing
+    val (manifest, curated, counts, shardSize, release) =
+      runArc(Tables.documents(spark, dir), args.lift(2).map(_.toInt))
+    println(s"[curation] shard_size=$shardSize" +
+      (if (args.lift(2).isEmpty) " (derived)" else " (explicit)"))
     try {
       val m = manifest.collect()
       counts.foreach { case (k, v) => println(s"[curation] $k=$v") }

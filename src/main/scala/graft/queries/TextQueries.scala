@@ -276,6 +276,20 @@ object TextQueries {
       floor((col("pos") - 1) / shardSize.toDouble).cast("long"))
   }
 
+  /** Scale-safe DEFAULT shard size for a train set of `nTrain` docs
+    * (the [[graft.vector.Ann]].planesFor precedent — corpus-derived
+    * sizing as the default, the pinned constant behind an explicit
+    * argument): keeps the shard COUNT ≈ min(max(nTrain/64, 1), 10^5),
+    * so testdata-sized corpora keep t28's pinned 64-doc shards while
+    * a web-scale corpus caps at 10^5 shards with the size growing
+    * instead — 64-doc shards at web scale mean tens of millions of
+    * partition directories, a filesystem-metadata bug the front
+    * door's doc used to merely warn about. */
+  private[graft] def derivedShardSize(nTrain: Long): Int = {
+    val shards = math.min(math.max(nTrain / 64L, 1L), 100000L)
+    math.max(64L, (nTrain + shards - 1L) / shards).toInt
+  }
+
   /** The aggregation half: shard assignments → the manifest a
     * data-loader resumes from. */
   private[graft] def manifestOf(sharded: org.apache.spark.sql.DataFrame)

@@ -186,13 +186,15 @@ object StreamPromote {
     if (batchId == 0L || own) {
       val dec = StreamRefit.decisionsUpTo(spark, root, batchId,
         thresholdPpm)
-      // clean pool as the COMPLEMENT of the (rare) fired set — the
-      // plan carries O(firings) literals, not O(batches); same
-      // construction and torn-batch contract note as
-      // StreamRefit.processBatch
+      // clean pool as the COMPLEMENT of the (rare) fired set plus the
+      // (in-contract empty) torn set — the plan carries
+      // O(firings + torn) literals, not O(batches); same construction
+      // and rationale as StreamRefit.processBatch
       val firedBatches = dec.toSeq.collect {
         case (c, f) if c <= batchId && f => c
       }.sorted
+      val excluded = (firedBatches ++
+        StreamRefit.tornBatches(spark, root, batchId)).distinct.sorted
       // promotion state before b: one pub/ checkpoint read; the
       // champion's weights then come from ONE ≤64-row candidate
       // directory — never the whole candidate history
@@ -212,8 +214,8 @@ object StreamPromote {
         }
       val cleanDocs = spark.read.parquet(s"$root/docs")
         .filter(col("batch").cast("long") <= batchId &&
-          (if (firedBatches.isEmpty) lit(true)
-           else !col("batch").cast("long").isin(firedBatches: _*)))
+          (if (excluded.isEmpty) lit(true)
+           else !col("batch").cast("long").isin(excluded: _*)))
       val trainPool = ClassifierTrain.pool(
         cleanDocs.filter(
           TextFns.splitAssign(col("doc_id")) === "train"),

@@ -247,6 +247,31 @@ object StreamRefit {
     }.toMap
   }
 
+  /** `docs/batch=` directories ≤ `batchId` with NO committed `hist/`
+    * twin — TORN batches: reachable only by an out-of-contract direct
+    * processBatch caller that crashed between the docs and hist
+    * commits and never replayed the batch (the streaming contract
+    * replays a torn batch before any later one runs). The clean-pool
+    * complement (`NOT isin(fired)`) would otherwise let such a
+    * directory's documents silently join a training pool with no
+    * decision ever recorded for them. Two bounded FS listings; torn
+    * is EMPTY in contract, so excluding it leaves the in-contract
+    * plan literally unchanged (O(firings) literals, never
+    * O(batches)). */
+  private[graft] def tornBatches(spark: SparkSession, root: String,
+      batchId: Long): Seq[Long] = {
+    val fs = hfs(spark, root)
+    def batchesUnder(dir: String): Set[Long] = {
+      val p = new HPath(root, dir)
+      if (!fs.exists(p)) Set.empty
+      else fs.listStatus(p).toSeq.map(_.getPath.getName)
+        .collect { case n if n.startsWith("batch=") =>
+          n.stripPrefix("batch=").toLong }
+        .filter(_ <= batchId).toSet
+    }
+    (batchesUnder("docs") -- batchesUnder("hist")).toSeq.sorted
+  }
+
   /** One micro-batch's work — store, decide, maybe refit. Idempotent
     * under whole-batch replay (see class doc). */
   def processBatch(batch: DataFrame, batchId: Long, root: String,
@@ -273,23 +298,25 @@ object StreamRefit {
       val dec = decisionsUpTo(spark, root, batchId, thresholdPpm)
       // clean pool: batches up to b that never fired (excludes a
       // firing b itself; batch 0 has no prior so it never fires).
-      // Expressed as the COMPLEMENT — NOT isin(fired) — so the plan
-      // carries O(firings) literals, not O(batches): on a stream with
-      // millions of stored batches an isin(clean) list is itself a
-      // scale bug (plan bloat + no partition pruning), while firings
-      // stay rare by construction. Contract note: a docs/batch dir
-      // whose hist/ never committed (a torn batch — reachable only by
-      // a direct caller that skips the streaming replay of it) counts
-      // as clean under the complement; in contract the engine replays
-      // the torn batch before any later one runs.
+      // Expressed as the COMPLEMENT — NOT isin(fired ++ torn) — so
+      // the plan carries O(firings + torn) literals, not O(batches):
+      // on a stream with millions of stored batches an isin(clean)
+      // list is itself a scale bug (plan bloat + no partition
+      // pruning), while firings stay rare by construction and torn is
+      // empty in contract. The torn exclusion (round-17) intersects
+      // the complement with the dec-known batch set: a docs/ dir
+      // whose hist/ never committed — an out-of-contract direct
+      // caller's crash — can no longer silently join a training pool.
       val firedBatches = dec.toSeq.collect {
         case (c, f) if c <= batchId && f => c
       }.sorted
       val version = 1L + firedBatches.length
+      val excluded =
+        (firedBatches ++ tornBatches(spark, root, batchId)).distinct.sorted
       val cleanDocs = spark.read.parquet(s"$root/docs")
         .filter(col("batch").cast("long") <= batchId &&
-          (if (firedBatches.isEmpty) lit(true)
-           else !col("batch").cast("long").isin(firedBatches: _*)))
+          (if (excluded.isEmpty) lit(true)
+           else !col("batch").cast("long").isin(excluded: _*)))
       val pool = ClassifierTrain.pool(cleanDocs,
         col("lang") === "en").persist()
       val w = try ClassifierTrain.fitWeights(pool)

@@ -757,6 +757,62 @@ class StreamingSpec extends SparkSpec {
       rows(StreamingCuratedCorpus.batchReference(docs, nSlices = 5))
   }
 
+  test("a torn docs/ directory (no hist/ twin) never joins a training " +
+      "pool — the clean-pool complement intersects the dec-known set " +
+      "in BOTH the refit and the promotion gate") {
+    import graft.streaming.{StreamPromote, StreamRefit}
+    val long = ("stream " * 40).trim
+    val docs = (0 until 30).map { i =>
+      (i % 3, i % 2) match {
+        case (0, 0) => (i.toLong, "the cat sat on mat", "en")
+        case (0, _) => (i.toLong, "der hund lief im wald", "de")
+        case (1, 0) => (i.toLong, "a dog ran fast today", "en")
+        case (1, _) => (i.toLong, "am berg steht ein baum", "de")
+        case (_, 0) => (i.toLong, long, "en")
+        case _      => (i.toLong, long + " nacht", "de")
+      }
+    }.toDF("doc_id", "text", "lang")
+    def slice(k: Long) = docs.filter(pmod($"doc_id", lit(3L)) === k)
+    // poison: slice-0 texts with LABELS FLIPPED — if a torn directory
+    // leaked into the clean pool the perceptron gradient cancels
+    // against the real batch-0 docs and the weights move
+    val poison = slice(0L).select(($"doc_id" + 1000L).as("doc_id"),
+      $"text", when($"lang" === "en", "de").otherwise("en").as("lang"))
+    def refitWeights(root: String) = StreamRefit.weights(spark, root)
+      .collect().map(_.toSeq).toSeq
+    // reference: batches 0 and 2 only (2 fires -> refit on {0})
+    val ref = tmp("torn-ref")
+    StreamRefit.processBatch(slice(0L), 0L, ref)
+    StreamRefit.processBatch(slice(2L), 2L, ref)
+    val refW = refitWeights(ref)
+    // the poison is genuinely weight-changing: processed as a CLEAN
+    // batch 1 it lands in the firing refit's pool and the weights move
+    val leaked = tmp("torn-leaked")
+    StreamRefit.processBatch(slice(0L), 0L, leaked)
+    StreamRefit.processBatch(poison, 1L, leaked)
+    StreamRefit.processBatch(slice(2L), 2L, leaked)
+    refitWeights(leaked) should not be refW
+    // TORN: docs/batch=1 exists, hist/batch=1 never committed — the
+    // refit must exclude it and reproduce the reference weights
+    val torn = tmp("torn-refit")
+    StreamRefit.processBatch(slice(0L), 0L, torn)
+    poison.write.parquet(s"$torn/docs/batch=1")
+    StreamRefit.tornBatches(spark, torn, 2L) shouldBe Seq(1L)
+    StreamRefit.processBatch(slice(2L), 2L, torn)
+    refitWeights(torn) shouldBe refW
+    // same contract through the promotion gate
+    def cands(root: String) = StreamPromote.candidates(spark, root)
+      .collect().map(_.toSeq).toSeq
+    val refP = tmp("torn-ref-promote")
+    StreamPromote.processBatch(slice(0L), 0L, refP)
+    StreamPromote.processBatch(slice(2L), 2L, refP)
+    val tornP = tmp("torn-promote")
+    StreamPromote.processBatch(slice(0L), 0L, tornP)
+    poison.write.parquet(s"$tornP/docs/batch=1")
+    StreamPromote.processBatch(slice(2L), 2L, tornP)
+    cands(tornP) shouldBe cands(refP)
+  }
+
   test("st23 reject path: a challenger that scores below the champion " +
       "on the val split is recorded rejected and never versioned") {
     import graft.streaming.StreamPromote

@@ -331,6 +331,65 @@ class TextFnsSpec extends SparkSpec {
     }.getMessage should include("cid")
   }
 
+  test("shardManifest helpers produce exact rows on a fixed input — " +
+      "the t28 <-> CurationPipeline shared tail pinned at the helper " +
+      "level, not by the cross-arc containment inequality") {
+    import graft.queries.TextQueries
+    // n_tok = 500·id so every full shard's running sum crosses the
+    // 2048-token pack boundary at least once (packs > 1 exercised)
+    val input = (1L to 10L).map(i => (i, 500L * i))
+    val df = input.toDF("doc_id", "n_tok")
+    val shardSize = 4
+    // independent reimplementation of the contract, driver-side: rank
+    // by (md5(doc_id), doc_id), 4-doc shards, 2048-token packs
+    def md5hex(s: String) = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val expAssign = input.sortBy { case (id, _) => (md5hex(id.toString), id) }
+      .zipWithIndex.map { case ((id, tok), idx) =>
+        (id, tok, idx + 1L, idx.toLong / shardSize) }
+    val gotAssign = TextQueries.shardAssignments(df, shardSize)
+      .select("doc_id", "n_tok", "pos", "shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._3).toSeq
+    gotAssign shouldBe expAssign
+    val expManifest = expAssign.groupBy(_._4).toSeq.sortBy(_._1)
+      .map { case (sh, rs) =>
+        val toks = rs.sortBy(_._3).map(_._2)
+        val cumBefore = toks.scanLeft(0L)(_ + _).dropRight(1)
+        (sh, rs.size.toLong, toks.sum, cumBefore.map(_ / 2048L).max + 1L,
+          rs.map(_._3).min, rs.map(_._3).max)
+      }
+    // the fixed input must actually exercise a multi-pack shard
+    expManifest.map(_._4).max should be > 1L
+    val gotManifest = TextQueries.manifestOf(
+        TextQueries.shardAssignments(df, shardSize)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    gotManifest shouldBe expManifest
+  }
+
+  test("derivedShardSize keeps the shard count in O(1..10^5): pinned " +
+      "64 at testdata scale, capped count at web scale") {
+    import graft.queries.TextQueries.derivedShardSize
+    // testdata scales: small train sets keep t28-sized shards
+    derivedShardSize(10L) shouldBe 64
+    derivedShardSize(64L) shouldBe 64
+    derivedShardSize(168L) shouldBe 84 // 2 shards of 84
+    // the 64-docs-per-shard regime holds until the count cap binds
+    derivedShardSize(6400000L) shouldBe 64 // exactly 10^5 shards
+    // web scale: the count cap drives the size up instead of the
+    // shard count exploding (the filesystem-metadata bug)
+    derivedShardSize(1000000000L) shouldBe 10000 // 10^9 docs
+    derivedShardSize(100000000000L) shouldBe 1000000 // 10^11 docs
+    // invariant sweep: size >= 64 and ceil(n/size) <= 10^5 everywhere
+    for (n <- Seq(1L, 63L, 65L, 1000L, 123457L, 999999937L)) {
+      val s = derivedShardSize(n)
+      s should be >= 64
+      (n + s - 1) / s should be <= 100000L
+    }
+  }
+
   test("t41 managed tier mixing caches the tier frame and releases it " +
       "deterministically (the DedupSpec managed-entry-point contract)") {
     val cm = spark.sharedState.cacheManager
