@@ -50,6 +50,13 @@ import graft.text.{Dedup, TextFns}
   * shard at the parquet-scan level) plus `outDir/manifest` — then
   * re-read and reconciled against the manifest, so "written" is
   * checked to mean "loadable".
+  *
+  * STREAMING mode: `sbt "runMain graft.CurationPipeline --stream
+  * [dir]"` drives the arrival-time twin instead — the st25
+  * composition ([[graft.streaming.StreamingCuratedCorpus]]: drift
+  * gate → quarantine routing → incremental corpus build on one
+  * store-root), release cut from accumulated state, the same
+  * invariant discipline plus published-manifest == batch-reference.
   */
 object CurationPipeline {
 
@@ -141,7 +148,9 @@ object CurationPipeline {
   }
 
   def main(args: Array[String]): Unit = {
-    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val streamMode = args.headOption.contains("--stream")
+    val rest = if (streamMode) args.drop(1) else args
+    val dir = rest.headOption.getOrElse("/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -152,11 +161,103 @@ object CurationPipeline {
     spark.sparkContext.setLogLevel("WARN")
     GraftExtensions.register(spark)
 
-    val failures = scala.collection.mutable.ListBuffer[String]()
-    def check(name: String)(ok: => Boolean): Unit =
-      if (!ok) { failures += name; System.err.println(s"[curation] FAIL $name") }
-      else println(s"[curation] ok   $name")
+    val check = new Checks
+    if (streamMode) runStream(spark, dir, check)
+    else runBatch(spark, dir, rest, check)
+    spark.stop()
+    if (check.failures.nonEmpty) {
+      System.err.println(
+        s"[curation] ${check.failures.size} invariant(s) FAILED: " +
+          check.failures.mkString(", "))
+      sys.exit(1)
+    }
+    println("[curation] ALL GREEN")
+  }
 
+  /** CI-style invariant collector: a failed check prints and records,
+    * never throws — the main exits nonzero with the full list. */
+  private final class Checks {
+    val failures = scala.collection.mutable.ListBuffer[String]()
+    def apply(name: String)(ok: => Boolean): Unit =
+      if (!ok) {
+        failures += name
+        System.err.println(s"[curation] FAIL $name")
+      } else println(s"[curation] ok   $name")
+  }
+
+  /** STREAMING front-door mode (round 17): the arrival-time twin of
+    * the batch arc — publish the directory as doc_id-mod-4 waves,
+    * run the st25 composition (drift gate → quarantine routing →
+    * incremental corpus build on one store-root), cut the release
+    * from accumulated state, and enforce the batch front door's
+    * invariant discipline PLUS published-manifest == batch-reference.
+    * The batch mode proves the column contracts chain; this proves
+    * the production ingest path end to end — suspect batches visibly
+    * quarantined, and the released manifest equal to the one-shot
+    * topology over the clean arrivals.
+    *
+    * Run: `sbt "runMain graft.CurationPipeline --stream [dir]"`. */
+  private def runStream(spark: SparkSession, dir: String,
+      check: Checks): Unit = {
+    import graft.streaming.{StreamingCuratedCorpus, StreamQuarantine}
+    val rootP = java.nio.file.Paths.get("/tmp/graft-curation-stream/run")
+    if (java.nio.file.Files.exists(rootP))
+      java.nio.file.Files.walk(rootP)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+    java.nio.file.Files.createDirectories(rootP)
+    val root = rootP.toString
+    val docs = Tables.documents(spark, dir)
+    val m = StreamingCuratedCorpus.run(spark, docs, root, nSlices = 4)
+      .collect()
+    val nDocs = docs.count()
+    val routed = StreamQuarantine.routed(spark, root)
+    val nRouted = routed.count()
+    val routedCorpus = routed.filter(col("route") === "corpus").count()
+    val gated = spark.read.parquet(s"$root/meta").count()
+    val nTrain = m.map(_.getAs[Long]("n_docs")).sum
+    val fired = StreamingCuratedCorpus.firedBatches(docs, nSlices = 4)
+    println(s"[curation] documents=$nDocs routed_corpus=$routedCorpus " +
+      s"gated=$gated train=$nTrain fired_batches=" +
+      fired.toSeq.sorted.mkString("{", ",", "}"))
+    m.foreach(r => println(s"[curation] shard=$r"))
+    // 1-2: every stage non-empty, monotone containment down the arc
+    check("stages_nonempty")(
+      nDocs > 0 && routedCorpus > 0 && gated > 0 && m.nonEmpty)
+    check("monotone_containment")(nDocs >= routedCorpus &&
+      routedCorpus >= gated && gated >= nTrain)
+    // 3: routing is COMPLETE (every arrival routed exactly once) and
+    // the quarantined batch set is exactly the fired set
+    check("routed_complete")(nRouted == nDocs)
+    check("quarantine_matches_fired")(
+      routed.filter(col("route") === "quarantine")
+        .select("batch").distinct().collect()
+        .map(_.getLong(0)).toSet == fired)
+    // 4-6: the manifest discipline of the batch mode (st16's publish
+    // pins 64-doc shards)
+    check("manifest_accounts_train")(
+      m.map(_.getAs[Long]("n_docs")).sum == nTrain)
+    check("shards_full_except_last")(
+      m.sortBy(_.getAs[Long]("shard")).dropRight(1)
+        .forall(_.getAs[Long]("n_docs") == 64L))
+    val ranges = m.sortBy(_.getAs[Long]("shard"))
+      .map(r => (r.getAs[Long]("pos_lo"), r.getAs[Long]("pos_hi")))
+    check("pos_ranges_tile")(
+      ranges.headOption.forall(_._1 == 1L) &&
+        ranges.lastOption.forall(_._2 == nTrain) &&
+        ranges.sliding(2).filter(_.length == 2)
+          .forall(w => w(0)._2 + 1 == w(1)._1))
+    check("packs_positive")(m.forall(_.getAs[Long]("n_packs") >= 1L))
+    // 7: the released manifest EQUALS the one-shot batch topology
+    // over the non-fired arrivals — the st25 contract, enforced here
+    // on the driver's own data directory
+    check("manifest_equals_batch_reference")(
+      m.map(_.toSeq).toSeq == StreamingCuratedCorpus
+        .batchReference(docs, nSlices = 4).collect().map(_.toSeq).toSeq)
+  }
+
+  private def runBatch(spark: SparkSession, dir: String,
+      args: Array[String], check: Checks): Unit = {
     // optional 3rd arg: explicit shard size (t28's pinned 64, say);
     // DEFAULT derives from the train count so the shard count stays
     // O(1..10^5) at any scale — the scale-safe behavior is no longer
@@ -213,13 +314,5 @@ object CurationPipeline {
         println(s"[curation] wrote $out/shards + $out/manifest")
       }
     } finally release()
-    spark.stop()
-    if (failures.nonEmpty) {
-      System.err.println(
-        s"[curation] ${failures.size} invariant(s) FAILED: " +
-          failures.mkString(", "))
-      sys.exit(1)
-    }
-    println("[curation] ALL GREEN")
   }
 }
