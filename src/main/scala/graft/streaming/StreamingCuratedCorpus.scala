@@ -93,6 +93,16 @@ object StreamingCuratedCorpus {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // a corpus whose EVERY batch fired leaves no build state at all —
+    // there is no clean release to cut, and a raw missing-path read
+    // error would misreport that as an engine bug. Fail loudly with
+    // the real story instead (pathological by construction: drift is
+    // relative to accumulated prior, so batch 0 never fires and an
+    // all-fired stream requires every later batch to break from it).
+    require(StreamRefit.hfs(spark, root)
+        .exists(new org.apache.hadoop.fs.Path(root, "meta")),
+      s"StreamingCuratedCorpus: every batch of $root fired — no clean " +
+        "arrival ever reached the build; there is no corpus to publish")
     StreamingCorpusBuild.publish(spark, root)
   }
 
