@@ -200,13 +200,11 @@ object CurationPipeline {
   private def runStream(spark: SparkSession, dir: String,
       check: Checks): Unit = {
     import graft.streaming.{StreamingCuratedCorpus, StreamQuarantine}
-    val rootP = java.nio.file.Paths.get("/tmp/graft-curation-stream/run")
-    if (java.nio.file.Files.exists(rootP))
-      java.nio.file.Files.walk(rootP)
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => java.nio.file.Files.delete(f))
-    java.nio.file.Files.createDirectories(rootP)
-    val root = rootP.toString
+    // a FRESH store-root per invocation (deliberately local — this
+    // main is the local CI smoke): two concurrent runs on a fixed
+    // path would interleave writes into one stream's checkpoint
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-curation-stream").toString
     val docs = Tables.documents(spark, dir)
     val m = StreamingCuratedCorpus.run(spark, docs, root, nSlices = 4)
       .collect()
@@ -233,13 +231,22 @@ object CurationPipeline {
       routed.filter(col("route") === "quarantine")
         .select("batch").distinct().collect()
         .map(_.getLong(0)).toSet == fired)
-    // 4-6: the manifest discipline of the batch mode (st16's publish
-    // pins 64-doc shards)
-    check("manifest_accounts_train")(
-      m.map(_.getAs[Long]("n_docs")).sum == nTrain)
+    // 4-6: the manifest discipline of the batch mode. The publish ran
+    // with the DERIVED scale-safe shard size (the production default,
+    // round 17) — recompute the same deterministic derivation from the
+    // train count and hold the manifest to it
+    val expectShard = graft.queries.TextQueries.derivedShardSize(nTrain)
+    println(s"[curation] shard_size=$expectShard (derived)")
+    // n_docs == its pos range, per shard — counts and ranges computed
+    // consistently (the batch mode's train-count tie is check 8 here:
+    // manifest == batch-reference, an INDEPENDENT recomputation; a
+    // sum-vs-nTrain check would be a tautology, nTrain IS that sum)
+    check("manifest_accounts_train")(m.forall(r =>
+      r.getAs[Long]("n_docs") ==
+        r.getAs[Long]("pos_hi") - r.getAs[Long]("pos_lo") + 1L))
     check("shards_full_except_last")(
       m.sortBy(_.getAs[Long]("shard")).dropRight(1)
-        .forall(_.getAs[Long]("n_docs") == 64L))
+        .forall(_.getAs[Long]("n_docs") == expectShard.toLong))
     val ranges = m.sortBy(_.getAs[Long]("shard"))
       .map(r => (r.getAs[Long]("pos_lo"), r.getAs[Long]("pos_hi")))
     check("pos_ranges_tile")(
@@ -254,6 +261,14 @@ object CurationPipeline {
     check("manifest_equals_batch_reference")(
       m.map(_.toSeq).toSeq == StreamingCuratedCorpus
         .batchReference(docs, nSlices = 4).collect().map(_.toSeq).toSeq)
+    // clean exit reclaims the store-root (repeated CI smokes would
+    // otherwise accumulate full document copies in /tmp); a failed
+    // invariant KEEPS it — the debuggable artifact — and says where
+    if (check.failures.isEmpty) {
+      java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.delete(f))
+    } else println(s"[curation] store-root kept for debugging: $root")
   }
 
   private def runBatch(spark: SparkSession, dir: String,

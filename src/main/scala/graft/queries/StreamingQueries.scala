@@ -912,8 +912,12 @@ object StreamingQueries {
     { (s, d) =>
       val root = freshDir(s"st16-${d.replaceAll("[^0-9a-zA-Z.]", "_")}")
       withShufflePartitions(s, 8) {
+        // Some(64): the t28 testdata shard shape the DuckDB oracle
+        // pins; a production caller omits it and gets the derived
+        // scale-safe size
         graft.streaming.StreamingCorpusBuild.run(s, Tables.documents(s, d),
-          root.toString, nFiles = 4, maxFilesPerTrigger = 1)
+          root.toString, nFiles = 4, maxFilesPerTrigger = 1,
+          shardSize = Some(64))
       }
     },
 
@@ -933,8 +937,10 @@ object StreamingQueries {
       Q(corpusBuildOracle(" WHERE doc_id % 4 <> 2")) { (s, d) =>
       val root = freshDir(s"st25-${d.replaceAll("[^0-9a-zA-Z.]", "_")}")
       withShufflePartitions(s, 8) {
+        // Some(64): the oracle-pinned t28 shard shape (see st16)
         graft.streaming.StreamingCuratedCorpus.run(s,
-          Tables.documents(s, d), root.toString, nSlices = 4)
+          Tables.documents(s, d), root.toString, nSlices = 4,
+          shardSize = Some(64))
       }
     },
 

@@ -1,7 +1,5 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.Trigger
@@ -82,8 +80,12 @@ object IngestDedup {
     val sp = batch.sparkSession
     // previous batches' signatures only: batch < current id, which
     // also excludes a crashed attempt's own partial index write
+    // Hadoop-FS existence probe (not java.nio): a local-only check
+    // reads "absent" on an HDFS/S3 store-root every batch — the index
+    // would silently reset and every batch dedup only against itself
     val index =
-      if (Files.exists(Paths.get(s"$root/index")))
+      if (StreamRefit.hfs(sp, root)
+          .exists(new org.apache.hadoop.fs.Path(root, "index")))
         sp.read.parquet(s"$root/index")
           .filter(col("batch") < batchId).select("id", "sig")
       else sp.createDataFrame(new java.util.ArrayList[Row](), sigSchema)

@@ -109,7 +109,14 @@ object StreamPromote {
     val p = new org.apache.hadoop.fs.Path(root, dir)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq.map(_.getPath.getName)
-      .collect { case n if n.startsWith(prefix) =>
+      // digits-only guard: a foreign entry (stray temp file, partial
+      // copy) is SKIPPED, not a NumberFormatException — these readers
+      // are also the self-heal path for damaged roots, exactly where
+      // a foreign file is most plausible; the completeness check
+      // still decides heal-vs-trust on what remains
+      .collect { case n if n.startsWith(prefix) &&
+          n.length > prefix.length &&
+          n.drop(prefix.length).forall(_.isDigit) =>
         n.stripPrefix(prefix).toLong }
       .filter(b => below.forall(b < _))
   }

@@ -223,6 +223,23 @@ object StreamRefit {
       d
     }
 
+  /** Batch ids under `root/dir` from `batch=<id>` entry names, ≤
+    * `upTo` — the ONE store-listing parser every dec/hist/docs reader
+    * shares. Digits-only guard: a foreign entry (stray temp file,
+    * partial copy) is SKIPPED, not a NumberFormatException — these
+    * listings also back the self-heal paths for damaged roots,
+    * exactly where a foreign file is most plausible. */
+  private[graft] def batchIdsUnder(fs: FileSystem, root: String,
+      dir: String, upTo: Long): Seq[Long] = {
+    val p = new HPath(root, dir)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("batch=") &&
+          n.length > 6 && n.drop(6).forall(_.isDigit) =>
+        n.stripPrefix("batch=").toLong }
+      .filter(_ <= upTo).sorted
+  }
+
   /** Decisions for every histogram batch ≤ `batchId`: stored bytes
     * where present, [[decisionFor]] (then stored — self-heal) where
     * not. The batch set comes from the hist store's directories, so
@@ -230,14 +247,7 @@ object StreamRefit {
     * resolve correctly. */
   private[streaming] def decisionsUpTo(spark: SparkSession, root: String,
       batchId: Long, thresholdPpm: Long): Map[Long, Boolean] = {
-    val fs = hfs(spark, root)
-    val histDir = new HPath(root, "hist")
-    val known =
-      if (!fs.exists(histDir)) Seq.empty[Long]
-      else fs.listStatus(histDir).toSeq.map(_.getPath.getName)
-        .collect { case n if n.startsWith("batch=") =>
-          n.stripPrefix("batch=").toLong }
-        .filter(_ <= batchId).sorted
+    val known = batchIdsUnder(hfs(spark, root), root, "hist", batchId)
     known.map { b =>
       b -> readDecision(spark, root, b).getOrElse {
         val d = decisionFor(spark, root, b, thresholdPpm)
@@ -261,15 +271,8 @@ object StreamRefit {
   private[graft] def tornBatches(spark: SparkSession, root: String,
       batchId: Long): Seq[Long] = {
     val fs = hfs(spark, root)
-    def batchesUnder(dir: String): Set[Long] = {
-      val p = new HPath(root, dir)
-      if (!fs.exists(p)) Set.empty
-      else fs.listStatus(p).toSeq.map(_.getPath.getName)
-        .collect { case n if n.startsWith("batch=") =>
-          n.stripPrefix("batch=").toLong }
-        .filter(_ <= batchId).toSet
-    }
-    (batchesUnder("docs") -- batchesUnder("hist")).toSeq.sorted
+    (batchIdsUnder(fs, root, "docs", batchId).toSet --
+      batchIdsUnder(fs, root, "hist", batchId)).toSeq.sorted
   }
 
   /** One micro-batch's work — store, decide, maybe refit. Idempotent

@@ -1,9 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.{ArrayType, LongType, StringType, StructField, StructType}
@@ -80,9 +77,12 @@ object StreamingCorpusBuild {
 
   /** Publish `docs` as a topic, stream it through the per-batch build,
     * then cut the release: returns the shard manifest
-    * (shard, n_docs, n_tokens, n_packs, pos_lo, pos_hi). */
+    * (shard, n_docs, n_tokens, n_packs, pos_lo, pos_hi). `shardSize`
+    * None (the default) derives a scale-safe size from the train
+    * count at publish time — see [[publish]]. */
   def run(spark: SparkSession, docs: DataFrame, root: String,
-      nFiles: Int = 4, maxFilesPerTrigger: Int = 1): DataFrame = {
+      nFiles: Int = 4, maxFilesPerTrigger: Int = 1,
+      shardSize: Option[Int] = None): DataFrame = {
     Topic.publishDocuments(docs, s"$root/topic", nFiles = nFiles)
     val src = Topic.decodeDocuments(
       Topic.readStream(spark, s"$root/topic", maxFilesPerTrigger))
@@ -94,7 +94,7 @@ object StreamingCorpusBuild {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    publish(spark, root)
+    publish(spark, root, shardSize)
   }
 
   /** One micro-batch's arrival-time work, idempotent in `batchId`:
@@ -102,8 +102,13 @@ object StreamingCorpusBuild {
     * every write overwrites this batch's own subdirectory. */
   def processBatch(batch: DataFrame, batchId: Long, root: String): Unit = {
     val sp = batch.sparkSession
+    // accumulated-state existence goes through the Hadoop FileSystem
+    // API — a java.nio probe answers for the LOCAL fs only, and on an
+    // HDFS/S3 store-root it would read "absent" every batch, silently
+    // resetting the signature index and both shingle stores
+    val fs = StreamRefit.hfs(sp, root)
     def prev(dir: String): Option[DataFrame] =
-      if (Files.exists(Paths.get(s"$root/$dir")))
+      if (fs.exists(new org.apache.hadoop.fs.Path(root, dir)))
         Some(sp.read.parquet(s"$root/$dir").filter(col("batch") < batchId))
       else None
     val scored = batch.select(col("doc_id"), col("text"), isEval.as("ev"),
@@ -178,8 +183,14 @@ object StreamingCorpusBuild {
 
   /** Cut the corpus release from accumulated state: the shard manifest
     * a training run consumes. Touches only the compact derived tables
-    * (pairs, meta, overlap sums) — never document text. */
-  def publish(spark: SparkSession, root: String): DataFrame = {
+    * (pairs, meta, overlap sums) — never document text. `shardSize`
+    * None (the default) derives a scale-safe size from the train count
+    * ([[graft.queries.TextQueries.derivedShardSize]]: shard count
+    * capped at 10^5 — 64-doc shards at web scale are a
+    * filesystem-metadata bug); the oracled st16/st25 entries pass
+    * Some(64), the t28 testdata shape their DuckDB SQL pins. */
+  def publish(spark: SparkSession, root: String,
+      shardSize: Option[Int] = None): DataFrame = {
     val meta = spark.read.parquet(s"$root/meta").select("doc_id", "n_tok")
     val pairs = spark.read.parquet(s"$root/pairs").select("a", "b")
     val labels = graft.operators.ConnectedComponents.run(pairs)
@@ -190,7 +201,8 @@ object StreamingCorpusBuild {
     val nSh = spark.read.parquet(s"$root/trainsh")
       .groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val contam =
-      if (Files.exists(Paths.get(s"$root/shared")))
+      if (StreamRefit.hfs(spark, root)
+          .exists(new org.apache.hadoop.fs.Path(root, "shared")))
         spark.read.parquet(s"$root/shared")
           .groupBy("doc_id").agg(sum("n_shared_delta").as("n_shared"))
           .join(nSh, "doc_id")
@@ -203,26 +215,46 @@ object StreamingCorpusBuild {
     val train = clean
       .withColumn("split_key", coalesce(col("label"), col("doc_id")))
       .filter(TextFns.splitAssign(col("split_key")) === "train")
-    // deterministic shuffle + fixed-size shards + pack manifest —
-    // identical to t28's steps 5–6
-    val ranked = graft.operators.RangeRank.withGlobalRank(
-      train.select(col("doc_id"),
-        md5(col("doc_id").cast("string")).as("h"), col("n_tok")),
-      Seq(col("h"), col("doc_id")), "pos")
-    val sharded = ranked
-      .withColumn("shard", floor((col("pos") - 1) / 64.0).cast("long"))
-    val w = Window.partitionBy("shard").orderBy("pos")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    sharded
-      .withColumn("cum_before", coalesce(sum("n_tok").over(w), lit(0L)))
-      .groupBy("shard")
-      .agg(count(lit(1)).as("n_docs"),
-        sum("n_tok").cast("long").as("n_tokens"),
-        (max(floor(col("cum_before") / 2048.0)) + 1).cast("long")
-          .as("n_packs"),
-        min("pos").as("pos_lo"),
-        max("pos").as("pos_hi"))
-      .orderBy("shard")
+    manifestTail(train, shardSize)
+  }
+
+  /** The shared manifest tail — t28's steps 5–6 (deterministic
+    * md5-ranked shuffle → fixed-size shards → 2048-token pack
+    * manifest), delegated to the SAME helpers t28 and the batch front
+    * door use ([[graft.queries.TextQueries.shardAssignments]] /
+    * manifestOf — unit-pinned by TextFnsSpec), so the streamed and
+    * batch arcs cannot drift.
+    *
+    * None → derived scale-safe size. The derivation needs the train
+    * count BEFORE the manifest plan exists, so the derived path
+    * persists the compact (doc_id, n_tok) train frame (the publish
+    * subtree above it — CC labels, contam anti-join, split filter —
+    * would otherwise run once for the count and again for the
+    * manifest) and returns the manifest MATERIALIZED: its row count
+    * is capped at 10^5 + 1 by the very derivation that sized it, so
+    * localizing is bounded by construction, and it lets the cache be
+    * released here instead of leaking to the caller. The pinned path
+    * (the oracled st16/st25 entries) is untouched — same lazy plan as
+    * ever. */
+  private def manifestTail(train: DataFrame,
+      shardSize: Option[Int]): DataFrame = {
+    import graft.queries.TextQueries
+    val compact = train.select("doc_id", "n_tok")
+    shardSize match {
+      case Some(s) =>
+        TextQueries.manifestOf(TextQueries.shardAssignments(compact, s))
+      case None =>
+        val spark = train.sparkSession
+        val t = compact.persist()
+        try {
+          val size = TextQueries.derivedShardSize(t.count())
+          val m = TextQueries.manifestOf(
+            TextQueries.shardAssignments(t, size))
+          val rows = m.collect() // ≤ 10^5 + 1 rows — the size cap's bound
+          spark.createDataFrame(
+            java.util.Arrays.asList(rows: _*), m.schema)
+        } finally t.unpersist()
+    }
   }
 
   /** The SAME topology in one batch shot (quality gate → MinHash-LSH
@@ -230,7 +262,8 @@ object StreamingCorpusBuild {
     * reference the streamed build must equal under any slicing. Kept
     * next to the streaming code because the equality IS the operator's
     * contract; the spec asserts it across slicings. */
-  def batchReference(docs: DataFrame): DataFrame = {
+  def batchReference(docs: DataFrame,
+      shardSize: Option[Int] = None): DataFrame = {
     val gated = docs
       .filter(TextFns.qualityScore(col("text")) >= 0.5)
       .select("doc_id", "text")
@@ -254,23 +287,6 @@ object StreamingCorpusBuild {
     val train = clean
       .withColumn("split_key", coalesce(col("label"), col("doc_id")))
       .filter(TextFns.splitAssign(col("split_key")) === "train")
-    val ranked = graft.operators.RangeRank.withGlobalRank(
-      train.select(col("doc_id"),
-        md5(col("doc_id").cast("string")).as("h"), col("n_tok")),
-      Seq(col("h"), col("doc_id")), "pos")
-    val sharded = ranked
-      .withColumn("shard", floor((col("pos") - 1) / 64.0).cast("long"))
-    val w = Window.partitionBy("shard").orderBy("pos")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    sharded
-      .withColumn("cum_before", coalesce(sum("n_tok").over(w), lit(0L)))
-      .groupBy("shard")
-      .agg(count(lit(1)).as("n_docs"),
-        sum("n_tok").cast("long").as("n_tokens"),
-        (max(floor(col("cum_before") / 2048.0)) + 1).cast("long")
-          .as("n_packs"),
-        min("pos").as("pos_lo"),
-        max("pos").as("pos_hi"))
-      .orderBy("shard")
+    manifestTail(train, shardSize)
   }
 }

@@ -76,10 +76,14 @@ object StreamingCuratedCorpus {
 
   /** Publish, stream, route-and-build per batch, cut the release —
     * the registered st25 entry: the shard manifest a training run
-    * consumes, derived from clean-batch arrivals only. */
+    * consumes, derived from clean-batch arrivals only. `shardSize`
+    * None (the default) derives a scale-safe size from the clean train
+    * count ([[StreamingCorpusBuild.publish]]); the oracled entry
+    * passes Some(64), the testdata shape its DuckDB SQL pins. */
   def run(spark: SparkSession, docs: DataFrame, root: String,
       nSlices: Int = 4,
-      thresholdPpm: Long = StreamRefit.ThresholdPpm): DataFrame = {
+      thresholdPpm: Long = StreamRefit.ThresholdPpm,
+      shardSize: Option[Int] = None): DataFrame = {
     StreamRefit.hfs(spark, root)
       .mkdirs(new org.apache.hadoop.fs.Path(root))
     StreamDrift.publishSliced(docs, s"$root/topic", nSlices)
@@ -103,7 +107,7 @@ object StreamingCuratedCorpus {
         .exists(new org.apache.hadoop.fs.Path(root, "meta")),
       s"StreamingCuratedCorpus: every batch of $root fired — no clean " +
         "arrival ever reached the build; there is no corpus to publish")
-    StreamingCorpusBuild.publish(spark, root)
+    StreamingCorpusBuild.publish(spark, root, shardSize)
   }
 
   /** The fired-batch set of `docs` under the doc_id-mod-nSlices
@@ -122,12 +126,13 @@ object StreamingCuratedCorpus {
     * spec's invariance reference and the shape the sf0.01 oracle
     * hard-codes (batch 2 fired). */
   def batchReference(docs: DataFrame, nSlices: Int = 4,
-      thresholdPpm: Long = StreamRefit.ThresholdPpm): DataFrame = {
+      thresholdPpm: Long = StreamRefit.ThresholdPpm,
+      shardSize: Option[Int] = None): DataFrame = {
     val fired = firedBatches(docs, nSlices, thresholdPpm)
     val clean =
       if (fired.isEmpty) docs
       else docs.filter(!pmod(col("doc_id"), lit(nSlices.toLong))
         .isin(fired.toSeq: _*))
-    StreamingCorpusBuild.batchReference(clean)
+    StreamingCorpusBuild.batchReference(clean, shardSize)
   }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.streaming.{StreamDrift, StreamRefit}
+import graft.streaming.StreamRefit
 
 /** Firing-pattern canary — the SchemaCanarySpec precedent applied to
   * the five streaming oracles that PIN the sf0.01 drift firing
@@ -42,17 +42,16 @@ class FiringPatternCanarySpec extends SparkSpec {
       s"$VerifySf absent — the firing-pattern canary is only " +
         "meaningful against the driver's testdata")
 
-  /** The fired-batch set the engine derives: StreamDrift's one-shot
-    * batch reference on the st18 axis + the exact BigInt
-    * cross-multiplied threshold test — the same arithmetic
-    * StreamRefit.decisionFor applies per micro-batch. */
+  /** The fired-batch set the engine derives — delegated to the
+    * library's own derivation
+    * ([[graft.streaming.StreamingCuratedCorpus.firedBatches]]:
+    * StreamDrift's one-shot batch reference on the st18 axis + the
+    * exact BigInt cross-multiplied threshold test, the same
+    * arithmetic StreamRefit.decisionFor applies per micro-batch).
+    * One copy of the formula: a canary that drifted from the engine's
+    * actual derivation would pin the wrong pattern. */
   private def firedSet(docs: DataFrame, nSlices: Int = 4): Set[Long] =
-    StreamDrift.batchReference(docs, nSlices, StreamRefit.axis)
-      .collect()
-      .filter(r => BigInt(r.getLong(3)) * 1000000 >
-        BigInt(StreamRefit.ThresholdPpm) *
-          BigInt(r.getLong(1)) * BigInt(r.getLong(2)))
-      .map(_.getLong(0)).toSet
+    graft.streaming.StreamingCuratedCorpus.firedBatches(docs, nSlices)
 
   test("canary: sf0.01 doc_id-mod-4 drift fires exactly at batch 2 — " +
       "st20/st21/st23/st24/st25 oracles pin this pattern") {

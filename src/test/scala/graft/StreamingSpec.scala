@@ -757,6 +757,30 @@ class StreamingSpec extends SparkSpec {
       rows(StreamingCuratedCorpus.batchReference(docs, nSlices = 5))
   }
 
+  test("streaming publish derives the scale-safe shard size by " +
+      "default — the pinned 64 lives behind the explicit argument " +
+      "the oracled st16/st25 entries pass") {
+    import graft.streaming.StreamingCorpusBuild
+    // 320 mutually-distinct-vocabulary docs: all quality-gated, no
+    // near-dup pairs, ids 0/97/194/291 the eval side — big enough
+    // that the derived size departs from 64 (the assertion below
+    // makes that premise explicit rather than assumed)
+    def wordsOf(i: Int) = (1 to 40).map(w => s"d${i}x$w").mkString(" ")
+    val docs = (0 until 320).map(i => (i.toLong, wordsOf(i), "en"))
+      .toDF("doc_id", "text", "lang")
+    val derived = StreamingCorpusBuild.batchReference(docs).collect()
+    val pinned =
+      StreamingCorpusBuild.batchReference(docs, Some(64)).collect()
+    val nTrain = derived.map(_.getAs[Long]("n_docs")).sum
+    pinned.map(_.getAs[Long]("n_docs")).sum shouldBe nTrain
+    val s = graft.queries.TextQueries.derivedShardSize(nTrain)
+    s should be > 64
+    derived.dropRight(1)
+      .foreach(_.getAs[Long]("n_docs") shouldBe s.toLong)
+    pinned.dropRight(1).foreach(_.getAs[Long]("n_docs") shouldBe 64L)
+    derived.map(_.toSeq) should not be pinned.map(_.toSeq)
+  }
+
   test("a torn docs/ directory (no hist/ twin) never joins a training " +
       "pool — the clean-pool complement intersects the dec-known set " +
       "in BOTH the refit and the promotion gate") {
