@@ -143,7 +143,11 @@ object Multimodal {
     // block boundary after it and diverge from the char-counting
     // oracle
     val decoded = col("content").cast("string")
-    val codes = media.filter(length(decoded) >= 1)
+    // respread (guide §2.5): the per-CHARACTER posexplode below is the
+    // heaviest row amplification in the multimodal family — one task
+    // would own it all on a single-row-group input
+    val codes = graft.functions.Spread.across(media)
+      .filter(length(decoded) >= 1)
       .select(col("media_id"), length(decoded).cast("long").as("n"),
         posexplode(transform(split(decoded, ""),
           c => ascii(c).cast("long"))))

@@ -371,7 +371,10 @@ object AnalyticsQueries {
     "q51_pagerank" -> Q(pagerankOracle(3)) { (s, d) =>
       import graft.operators.PageRank
       import org.apache.spark.sql.expressions.Window
-      val li = Tables.lineitem(s, d)
+      // respread (guide §2.5): the edge-list aggregation's map side is
+      // a 600k-row partial agg that a single-row-group input runs
+      // one-task
+      val li = graft.functions.Spread.across(Tables.lineitem(s, d))
       // long node ids (part = 2k, supplier = 2k+1): the edge list
       // shuffles every round, so keys stay fixed-width; labels are
       // rendered only on the final 25 rows
@@ -572,11 +575,15 @@ object AnalyticsQueries {
         |FROM co JOIN np na ON co.pa = na.p
         |        JOIN np nb ON co.pb = nb.p
         |ORDER BY jaccard_ppm DESC, pa, pb LIMIT 25""".stripMargin) { (s, d) =>
-      val cp = Tables.orders(s, d)
+      // respread (guide §2.5): the broadcast-join map side over the
+      // orders/lineitem scans is single-task on single-row-group
+      // inputs; all downstream aggregates are exact counts
+      val cp = graft.functions.Spread.across(Tables.orders(s, d))
         .join(Tables.customer(s, d)
             .filter(col("c_mktsegment") === "BUILDING"),
           col("o_custkey") === col("c_custkey"))
-        .join(Tables.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(graft.functions.Spread.across(Tables.lineitem(s, d)),
+          col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
         .distinct()
       val ok = cp.groupBy("c").agg(count(lit(1)).as("sz"))

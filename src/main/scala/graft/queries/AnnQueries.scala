@@ -820,7 +820,10 @@ object AnnQueries {
       val dense = Ann.bruteForceTopK(
           emb.filter(col("vec_id") % 50 === 0), emb, k = 10)
         .select(col("q"), col("b").as("cand"), col("rank").as("dr"))
-      val ws = Tables.documents(s, d)
+      // respread (guide §2.5): the words split feeds three explode
+      // consumers below — all scan-rooted per-word work that a
+      // single-row-group input would run one-task
+      val ws = graft.functions.Spread.across(Tables.documents(s, d))
         .select(col("doc_id"), TextFns.words(col("text")).as("ws"))
       val qt0 = ws.filter(col("doc_id") % 50 === 0)
         .select(col("doc_id").as("q"), explode(col("ws")).as("term"))

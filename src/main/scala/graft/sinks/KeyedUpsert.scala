@@ -164,7 +164,6 @@ object KeyedUpsert {
       tieBreak: Option[String] = None,
       keepMaxOnMerge: Boolean = false,
       retainVersions: Int = 8): Unit = {
-    if (batch.isEmpty) return
     def top1(df: DataFrame): DataFrame = tieBreak match {
       case Some(tb) =>
         import org.apache.spark.sql.expressions.Window
@@ -176,6 +175,14 @@ object KeyedUpsert {
     // one row per key within the batch
     val b = bucketed(top1(batch), keyCols, numBuckets).persist()
     try {
+      // ONE pass decides emptiness AND the touched buckets (filling
+      // the persist on the way): the former separate
+      // `if (batch.isEmpty) return` cost a full extra evaluation of
+      // the batch plan — often an aggregation — per upsert call
+      // (guide §1.2: don't compute things twice)
+      val touched = b.select(BucketCol).distinct()
+        .collect().map(_.getLong(0)).sorted // bounded by numBuckets
+      if (touched.isEmpty) return // empty batch: nothing to commit
       val target = new Path(targetDir)
       val fs = fsOf(spark, target)
       val current = versions(spark, targetDir).lastOption
@@ -200,8 +207,6 @@ object KeyedUpsert {
           "directory (or delete the legacy data) first")
       val mapping = current.map(loadManifest(fs, target, _))
         .getOrElse(Map.empty[Long, String])
-      val touched = b.select(BucketCol).distinct()
-        .collect().map(_.getLong(0)).sorted // bounded by numBuckets
       val newVersion = current.getOrElse(0L) + 1
       val commitRel = f"$DataDir/c$newVersion%08d-${System.nanoTime()}"
       val commitDir = new Path(target, commitRel)
@@ -248,17 +253,19 @@ object KeyedUpsert {
   def delete(spark: SparkSession, targetDir: String, keys: DataFrame,
       keyCols: Seq[String], numBuckets: Int = 64,
       retainVersions: Int = 8): Unit = {
-    if (keys.isEmpty) return
     val k = bucketed(keys.select(keyCols.map(col): _*)
       .dropDuplicates(keyCols), keyCols, numBuckets).persist()
     try {
+      // one pass decides emptiness AND the touched buckets (the former
+      // separate isEmpty cost a full extra evaluation of `keys`)
+      val touchedAll = k.select(BucketCol).distinct()
+        .collect().map(_.getLong(0)).sorted // bounded by numBuckets
+      if (touchedAll.isEmpty) return // no keys: nothing to delete
       val target = new Path(targetDir)
       val fs = fsOf(spark, target)
       val current = resolveVersion(spark, targetDir, None)
       val mapping = loadManifest(fs, target, current)
-      val touched = k.select(BucketCol).distinct()
-        .collect().map(_.getLong(0)).sorted
-        .filter(mapping.contains) // bounded by numBuckets
+      val touched = touchedAll.filter(mapping.contains)
       if (touched.isEmpty) return // no key hashes into a live bucket
       val newVersion = current + 1
       val commitRel = f"$DataDir/c$newVersion%08d-${System.nanoTime()}"

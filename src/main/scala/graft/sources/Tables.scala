@@ -12,8 +12,26 @@ import org.apache.spark.sql.functions._
   * gets full column-pruning + predicate-pushdown on every scan.
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Footer-schema cache, keyed by path. A registry run reads the same
+    * handful of immutable testdata files hundreds of times, and every
+    * schema-less `spark.read.parquet` re-infers the schema from the
+    * footer (a driver round-trip + footer decode per call). The file
+    * at a given path never changes schema mid-run, so the decoded
+    * StructType is a pure function of the path — cache it and pass it
+    * explicitly. METADATA only: every row of data is still read from
+    * parquet on every query (nothing here caches results or
+    * intermediates). Scratch/stream stores never route through this
+    * (they use their own session reads), so the map stays bounded by
+    * the table count. */
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val sch = schemaCache.computeIfAbsent(path,
+      _ => spark.read.parquet(path).schema)
+    spark.read.schema(sch).parquet(path)
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

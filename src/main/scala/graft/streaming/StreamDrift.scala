@@ -123,7 +123,11 @@ object StreamDrift {
   def processBatch(batch: DataFrame, batchId: Long, root: String,
       bucket: Column = scoreBucket, cumulative: Boolean = false): Unit = {
     val spark = batch.sparkSession
-    batch
+    // respread (guide §2.5): the bucket axis is per-word hash-fold
+    // work (t31 scoring / token counts) and a 1-file micro-batch
+    // arrives as one partition — the scan-side of the histogram agg
+    // would run on one task
+    graft.functions.Spread.across(batch)
       .select(coalesce(bucket, lit(NullBucket)).as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("cnt"))
       .write.mode("overwrite").parquet(s"$root/hist/batch=$batchId")

@@ -111,6 +111,13 @@ object StreamingCorpusBuild {
       if (fs.exists(new org.apache.hadoop.fs.Path(root, dir)))
         Some(sp.read.parquet(s"$root/$dir").filter(col("batch") < batchId))
       else None
+    // NOT respread: measured 3–5 s SLOWER with Spread.across(batch)
+    // here — the per-batch stores written straight off this cache
+    // (meta, trainsh) would go from 1 file to shuffle-partitions
+    // files each, and the added exchange latency compounds across the
+    // ~50 bounded jobs a batch already runs. The one genuinely heavy
+    // consumer (the signature aggregation) is respread inside
+    // Dedup.shingles instead.
     val scored = batch.select(col("doc_id"), col("text"), isEval.as("ev"),
         (TextFns.qualityScore(col("text")) >= 0.5).as("gated"))
       .persist()

@@ -52,7 +52,6 @@ object StreamingScd2 {
   def foldBatch(changes: DataFrame, dimDir: String, keys: Seq[String],
       attrs: Seq[String], tsCol: String, seqCol: String,
       numBuckets: Int = 8): Unit = {
-    if (changes.isEmpty) return
     val spark = changes.sparkSession
     val stored =
       if (KeyedUpsert.versions(spark, dimDir).nonEmpty)
@@ -78,10 +77,18 @@ object StreamingScd2 {
     // producer is fixed) rather than corrupt the dimension. The check
     // is O(late x per-key intervals) and only runs when late changes
     // exist at all.
-    val lateChanges = tagged
-      .filter(col("__open_from").isNotNull && col(tsCol) < col("__open_from"))
-      .drop("__open_from")
-    if (!lateChanges.isEmpty) {
+    // ONE aggregate over the persisted tag frame answers every
+    // emptiness question of this fold (late? anything to fold at
+    // all?) — the former three separate isEmpty probes (raw batch,
+    // late split, ordered split) each cost their own job, one of them
+    // a full re-decode of the batch (guide §1.2)
+    val isLate = col("__open_from").isNotNull && col(tsCol) < col("__open_from")
+    val probe = tagged.agg(
+      count(when(isLate, 1)).as("n_late"),
+      count(when(!isLate, 1)).as("n_ordered")).head()
+    val (nLate, nOrdered) = (probe.getLong(0), probe.getLong(1))
+    val lateChanges = tagged.filter(isLate).drop("__open_from")
+    if (nLate > 0) {
       val c = lateChanges.select(
         lateChanges.columns.map(n => col(n).as(s"c_$n")): _*)
       val s = stored
@@ -109,10 +116,8 @@ object StreamingScd2 {
     // no open row) fold; a whole-batch replay thus reduces to the open
     // row's own re-derivation — a clean no-op — and a mixed batch folds
     // exactly its genuinely-new suffix.
-    val ordered = tagged
-      .filter(col("__open_from").isNull || col(tsCol) >= col("__open_from"))
-      .drop("__open_from")
-    if (ordered.isEmpty) return // pure replay of closed history
+    val ordered = tagged.filter(!isLate).drop("__open_from")
+    if (nOrdered == 0) return // empty batch or pure replay of closed history
     val foldOpen = openAffected
       .join(ordered.select(keys.map(col): _*).distinct(), keys, "left_semi")
     val updated = Scd2.applyChanges(foldOpen, ordered, keys, attrs,

@@ -61,7 +61,10 @@ object ClassifierTrain {
     * would null-propagate the score). */
   def pool(docs: DataFrame, label: Column,
       textCol: String = "text"): DataFrame =
-    docs.filter(col(textCol).isNotNull)
+    // respread (guide §2.5): the pool feeds k gradient scans plus the
+    // accuracy scan — all per-word hash-fold work that a
+    // single-row-group input would run one-task per iteration
+    graft.functions.Spread.across(docs.filter(col(textCol).isNotNull))
       .select(when(label, 1L).otherwise(-1L).as("y"),
         TextFns.words(col(textCol)).as("ws"))
 

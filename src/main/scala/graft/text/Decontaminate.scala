@@ -33,7 +33,10 @@ object Decontaminate {
     */
   def overlapStats(docs: DataFrame, isEval: Column, idCol: String = "doc_id",
       textCol: String = "text", n: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), isEval.as("is_eval"),
+    // respread (guide §2.5 — single-row-group inputs would shingle the
+    // whole corpus in one task)
+    val sh = graft.functions.Spread.across(docs)
+      .select(col(idCol).as("id"), isEval.as("is_eval"),
         explode(graft.functions.ShingleHashes(
           TextFns.words(col(textCol)), n)).as("sh"))
       .persist()
@@ -66,7 +69,8 @@ object Decontaminate {
     */
   def attribution(docs: DataFrame, isEval: Column, idCol: String = "doc_id",
       textCol: String = "text", n: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), isEval.as("is_eval"),
+    val sh = graft.functions.Spread.across(docs)
+      .select(col(idCol).as("id"), isEval.as("is_eval"),
         explode(graft.functions.ShingleHashes(
           TextFns.words(col(textCol)), n)).as("sh"))
       .persist()
@@ -110,7 +114,8 @@ object Decontaminate {
       idCol: String = "doc_id", textCol: String = "text", n: Int = 3)
       : DataFrame = {
     import graft.functions.BloomMightContain
-    val sh = docs.select(col(idCol).as("id"), isEval.as("is_eval"),
+    val sh = graft.functions.Spread.across(docs)
+      .select(col(idCol).as("id"), isEval.as("is_eval"),
         explode(graft.functions.ShingleHashes(
           TextFns.words(col(textCol)), n)).as("sh"))
       .persist()

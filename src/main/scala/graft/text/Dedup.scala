@@ -41,10 +41,14 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
-  /** (id, shingle) exploded distinct shingles. */
+  /** (id, shingle) exploded distinct shingles. The input is respread
+    * first (guide §2.5): the shingle explode + per-shingle md5 work
+    * stacked on this scan is the dominant map-side cost of the whole
+    * MinHash/Jaccard family, and a single-row-group input would run
+    * it all in one task. */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int = 3)
       : DataFrame =
-    docs.select(col(idCol).as("id"),
+    graft.functions.Spread.across(docs).select(col(idCol).as("id"),
       explode(shingleArray(col(textCol), n)).as("sh"))
 
   /** n-gram Jaccard near-dup pairs: candidate pairs come from shared
@@ -63,8 +67,10 @@ object Dedup {
     // through severalfold-narrower shuffles. Shingling itself is the
     // fused native [[graft.functions.ShingleHashes]] pass — n-gram
     // build, string-level distinct, and PolyHash64 in one loop — not a
-    // tree of interpreted higher-order lambdas.
-    val sh = docs.select(col(idCol).as("id"),
+    // tree of interpreted higher-order lambdas. The input is respread
+    // first (guide §2.5 — see [[graft.functions.Spread]]).
+    val sh = graft.functions.Spread.across(docs)
+      .select(col(idCol).as("id"),
         explode(graft.functions.ShingleHashes(
           TextFns.words(col(textCol)), n)).as("sh"))
       .persist()
@@ -119,7 +125,8 @@ object Dedup {
   def containmentPairs(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", n: Int = 3, maxDF: Int = 50,
       minContainment: Double = 0.8): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
+    val sh = graft.functions.Spread.across(docs)
+      .select(col(idCol).as("id"),
         explode(graft.functions.ShingleHashes(
           TextFns.words(col(textCol)), n)).as("sh"))
       .persist()
@@ -389,8 +396,12 @@ object Dedup {
   def substringSpans(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 20): DataFrame = {
     require(k >= 4, s"substringSpans: gram length k=$k too short to block on")
-    val normed = docs.select(col(idCol).as("id"),
-      TextFns.normalize(col(textCol)).as("t"))
+    // respread (guide §2.5): the md5-per-position gram stage below is
+    // the heaviest per-char scan in the registry — a single-row-group
+    // input ran it 3.3 s in one task while 31 cores idled
+    val normed = graft.functions.Spread.across(docs)
+      .select(col(idCol).as("id"),
+        TextFns.normalize(col(textCol)).as("t"))
     // persisted: the gram table feeds the cross-doc aggregate AND the
     // hits join; without it every position's md5 computes twice
     val grams = normed
@@ -475,30 +486,39 @@ object Dedup {
     * shuffles whose map-side partial aggregation bounds the data
     * movement by #(id, bit) groups, not token count. */
   def simhashes(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val words = docs.select(col(idCol).as("id"),
-      explode(TextFns.words(col(textCol))).as("w"))
+    // respread (guide §2.5): the per-word polynomial hash folds below
+    // are per-char work over the whole corpus — skew-bound on
+    // single-row-group inputs without it
+    val words = graft.functions.Spread.across(docs)
+      .select(col(idCol).as("id"),
+        explode(TextFns.words(col(textCol))).as("w"))
     val counted = words.select(col("id"),
         wordHash(col("w"), HashMult1, HashMod1).as("h1"),
         wordHash(col("w"), HashMult2, HashMod2).as("h2"))
       .groupBy("id", "h1", "h2").agg(count(lit(1)).as("c"))
     // literal bit positions -> functions.shiftright applies (no
-    // lambda-bound shift), keeping the votes fully codegen'd
-    val voteExprs = (0 until SimBits).map { j =>
+    // lambda-bound shift), keeping the votes fully codegen'd.
+    //
+    // All 64 bit-votes aggregate as 64 sum columns of ONE groupBy(id)
+    // (guide §2.3/§2.4): the earlier posexplode form blew each
+    // (id,h1,h2,c) row up 64x and paid a third shuffle on (id, bit) —
+    // and because AQE coalesces the small post-agg output to one
+    // partition before the explode, that 64x amplification ran in a
+    // single task (measured 3.2–4.5 s at bench scale). Same exact
+    // integer votes, same sign test, two shuffles instead of three,
+    // no row amplification.
+    val voteCols = (0 until SimBits).map { j =>
       val (h, b) = if (j < HalfBits) (col("h1"), j)
                    else (col("h2"), j - HalfBits)
-      (shiftright(h, b).bitwiseAND(1L) * 2 - 1) * col("c")
+      sum((shiftright(h, b).bitwiseAND(1L) * 2 - 1) * col("c")).as(s"v$j")
     }
-    val votes = counted
-      .select(col("id"), posexplode(array(voteExprs: _*)))
-      .toDF("id", "bit", "vote")
-    votes.groupBy("id", "bit").agg(sum("vote").as("v"))
-      .groupBy("id")
-      .agg(
-        sum(when(col("v") > 0 && col("bit") < HalfBits,
-          pow(lit(2.0), col("bit")).cast("long")).otherwise(0L)).as("sim_lo"),
-        sum(when(col("v") > 0 && col("bit") >= HalfBits,
-          pow(lit(2.0), col("bit") - HalfBits).cast("long")).otherwise(0L))
-          .as("sim_hi"))
+    val votes = counted.groupBy("id").agg(voteCols.head, voteCols.tail: _*)
+    def half(lo: Int): Column =
+      (lo until lo + HalfBits).map { j =>
+        when(col(s"v$j") > 0, pow(lit(2.0), j - lo).cast("long"))
+          .otherwise(0L)
+      }.reduce(_ + _)
+    votes.select(col("id"), half(0).as("sim_lo"), half(HalfBits).as("sim_hi"))
   }
 
   /** SimHash near-dup pairs: block on any shared 16-bit band (4 bands

@@ -142,7 +142,12 @@ object Dsir {
         s"Dsir.resample: input already has a '$c' column — the output " +
           s"appends ${ReservedCols.mkString("/")}; rename it first")
     }
-    val pool = docs.filter(col(textCol).isNotNull)
+    // respread (guide §2.5): both the ratio-table fit scan and the
+    // per-doc weight kernel below are per-word hash folds — the two
+    // heaviest stages of t34, and both skew-bound on single-row-group
+    // inputs without it
+    val pool = graft.functions.Spread.across(
+      docs.filter(col(textCol).isNotNull))
     val ratios = ratioTable(pool, isTarget, textCol)
     val weighted = pool
       .withColumn("n_feat",
