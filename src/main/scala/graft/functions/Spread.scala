@@ -51,9 +51,14 @@ object Spread {
   def across(df: DataFrame): DataFrame = {
     val conf = df.sparkSession.sessionState.conf
     val target = conf.numShufflePartitions
-    val cheap = BigInt(conf.filesMaxPartitionBytes) * target
-    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= cheap)
-      df.repartition(target)
-    else df
+    val floor = BigInt(conf.filesMaxPartitionBytes)
+    val cheap = floor * target
+    val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    // floor: an input that fits in ONE scan split is too small for the
+    // exchange to pay for itself — measured +3 s on st16/st25, whose
+    // per-micro-batch frames are a few hundred KB and re-enter this
+    // probe once per batch; a single task IS the right plan there.
+    // ceiling: see class doc (a well-laid-out big table never pays).
+    if (size > floor && size <= cheap) df.repartition(target) else df
   }
 }
