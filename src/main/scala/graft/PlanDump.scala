@@ -13,10 +13,16 @@ object PlanDump {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // mirror Bench's file-split confs so the audited plans carry the
+    // same scan splits and Spread probe decisions the bench session
+    // sees (the defaults' 128 MB splits keep every input under one
+    // split and hide the respread exchanges from the dump)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.files.maxPartitionBytes", "524288")
+      .config("spark.sql.files.openCostInBytes", "65536")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -28,9 +34,26 @@ object PlanDump {
       df.queryExecution.explainString(ExplainMode.fromString("formatted"))
     }
 
+    // SPARK_GRAFT_PLAN_OUT=<dir> [+ SPARK_GRAFT_PLAN_SUFFIX=before|after]
+    // writes each named query's plan to <dir>/<query>_<suffix>.txt —
+    // the committed plans/rNN evidence files
+    val outDir = sys.env.get("SPARK_GRAFT_PLAN_OUT")
+    val suffix = sys.env.getOrElse("SPARK_GRAFT_PLAN_SUFFIX", "plan")
     if (args.nonEmpty) args.foreach { n =>
-      println(s"========== $n ==========")
-      println(planOf(n))
+      outDir match {
+        case Some(dir) =>
+          val p = try planOf(n) catch {
+            case e: Throwable => s"ERROR ${e.getClass.getName}: ${e.getMessage}"
+          }
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(dir, s"${n}_$suffix.txt"),
+            p.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          println(s"[plandump] wrote $dir/${n}_$suffix.txt")
+        case None =>
+          println(s"========== $n ==========")
+          println(planOf(n))
+      }
     } else {
       // count only the AQE FINAL plan: the "Initial Plan" section that
       // follows it renders the pre-adaptive plan, whose operator set can

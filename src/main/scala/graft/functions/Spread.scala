@@ -50,15 +50,40 @@ object Spread {
     * call site is shuffle-free above the probe. */
   def across(df: DataFrame): DataFrame = {
     val conf = df.sparkSession.sessionState.conf
-    val target = conf.numShufflePartitions
+    val waveCap = conf.numShufflePartitions
     val floor = BigInt(conf.filesMaxPartitionBytes)
-    val cheap = floor * target
+    val cheap = floor * waveCap
     val size = df.queryExecution.optimizedPlan.stats.sizeInBytes
     // floor: an input that fits in ONE scan split is too small for the
     // exchange to pay for itself — measured +3 s on st16/st25, whose
     // per-micro-batch frames are a few hundred KB and re-enter this
     // probe once per batch; a single task IS the right plan there.
     // ceiling: see class doc (a well-laid-out big table never pays).
-    if (size > floor && size <= cheap) df.repartition(target) else df
+    if (size > floor && size <= cheap) {
+      // PROPORTIONAL target, not always the full wave: repartitioning
+      // a 2-split-sized input into `numShufflePartitions` pieces
+      // trades the skew it cures for per-task/exchange overhead — the
+      // r17 8-vs-32-core scaling leg measured the most-spread queries
+      // FASTER at 8 cores (d03 0.32x, t37 0.42x). But one partition
+      // per SCAN split is too coarse the other way: these call sites
+      // exist because the per-row work above them is CPU-amplified
+      // 10–100x over scan cost (shingle explodes, per-char gram
+      // hashing), so the spread unit is a FRACTION of a scan split
+      // (maxPartitionBytes / workFactor; measured sweep in
+      // OPTIMIZATION_r18.md pins the default). `size > floor`
+      // guarantees at least workFactor partitions; the wave cap and
+      // the floor/ceiling gates are unchanged.
+      // Default 16 from the measured sweep (OPTIMIZATION_r18.md): at
+      // sf0.1/local[32], workFactor 16 beat both the r17 full-wave
+      // target (d03 2.34 vs 2.54 s, t34 2.37 vs 2.42, t30 1.80 vs
+      // 1.95) and the one-partition-per-split literal (d03 4.61, t34
+      // 4.65 — starves the CPU-amplified consumers). Env-overridable
+      // for re-tuning on other hosts; everything stays derived from
+      // session conf, never a host constant.
+      val div = sys.env.getOrElse("SPARK_GRAFT_SPREAD_DIV", "16").toInt
+      val unit = (floor / div).max(BigInt(1))
+      val parts = ((size + unit - 1) / unit).toInt
+      df.repartition(math.min(waveCap, parts))
+    } else df
   }
 }

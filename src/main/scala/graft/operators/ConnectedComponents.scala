@@ -56,27 +56,34 @@ object ConnectedComponents {
     * logarithmically with chain length, never linearly). */
   def runWithRounds(pairs: DataFrame, a: String = "a", b: String = "b",
       maxIter: Int = 50): (DataFrame, Int) = {
-    // Materialize the pair list ONCE before fanning it out: sym + the
-    // self-loop branch reference it several times, and an unpersisted
-    // upstream (e.g. a near-dup candidate pipeline) would be recomputed
-    // per branch. Eager localCheckpoint also truncates the (possibly
-    // huge) upstream lineage before the iteration starts.
-    val e = pairs.select(col(a).cast("long").as("src"),
-      col(b).cast("long").as("dst"))
-      .localCheckpoint(true)
-    // Symmetrized edges PLUS a self-loop per node, hashed on src once
-    // and cached post-shuffle: min-over-neighbors then includes the
-    // node's own label, so each round is exactly ONE join + ONE min
-    // aggregation — no second join to merge the previous labels back
-    // in. The per-round join reuses the cached edge partitioning and
+    // Symmetrized edges PLUS a self-loop per endpoint, built in ONE
+    // pass over the pair list (guide §1.2): each input pair explodes
+    // row-locally into its four directed forms — (a,b), (b,a), (a,a),
+    // (b,b) — so the upstream (e.g. a near-dup candidate pipeline) is
+    // evaluated exactly once and needs no eager checkpoint, and the
+    // former three setup shuffles (sym distinct, node distinct,
+    // repartition) collapse into one: the explode repartitions by src
+    // FIRST, and because hash-on-src co-locates every (src, dst)
+    // group, the distinct that follows reuses that exchange (subset
+    // partitioning satisfies the aggregation's clustering) — the
+    // persisted frame keeps the src partitioning the per-round join
+    // needs. Self-loops make min-over-neighbors include the node's own
+    // label, so each round is exactly ONE join + ONE min aggregation;
+    // the per-round join reuses the cached edge partitioning and
     // shuffles only the (smaller) label table.
-    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-      .filter(col("src") =!= col("dst"))
-      .distinct()
-    val und = sym
-      .union(sym.select(col("src")).distinct()
-        .select(col("src"), col("src").as("dst")))
+    val und = pairs
+      .select(col(a).cast("long").as("s"), col(b).cast("long").as("d"))
+      // input self-loops contribute no connectivity; dropping them
+      // here (nulls too) preserves the pre-fusion node set exactly
+      .filter(col("s") =!= col("d"))
+      .select(explode(array(
+        struct(col("s").as("src"), col("d").as("dst")),
+        struct(col("d").as("src"), col("s").as("dst")),
+        struct(col("s").as("src"), col("s").as("dst")),
+        struct(col("d").as("src"), col("d").as("dst")))).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
       .repartition(col("src"))
+      .distinct()
       .persist()
     // Labels are per-node monotone non-increasing (min always includes
     // the node's own label via the self-loop), so the exact-decimal sum
@@ -94,9 +101,12 @@ object ConnectedComponents {
       val s = df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
       if (s == null) java.math.BigDecimal.ZERO else s
     }
-    var labels = und.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint(false)
+    // `und` is distinct and carries one (n, n) self-loop per node, so
+    // the initial label table is a FILTER over the persisted frame —
+    // no node-distinct shuffle, no checkpoint (the lineage is one
+    // cached scan)
+    var labels = und.filter(col("src") === col("dst"))
+      .select(col("src").as("node"), col("src").as("label"))
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false

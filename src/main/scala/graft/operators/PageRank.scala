@@ -56,34 +56,54 @@ object PageRank {
       s"PageRank.ranks: damping must satisfy 0 < num < den, " +
         s"got $dampNum/$dampDen")
     // every round references the edge list, and the node/out-weight
-    // tables bracket it — persist once or each round re-evaluates the
-    // caller's upstream (a graph derivation pipeline) per reference
-    val e = edges.persist()
+    // tables derive from it — persist once (hashed on src, the
+    // partitioning every per-round join and the wsum aggregation
+    // reuse) or each round re-evaluates the caller's upstream (a graph
+    // derivation pipeline) per reference
+    val e = edges.repartition(col("src")).persist()
     // one pass over the edge list (not a union of two scans)
     val nodes = e.select(explode(array(col("src"), col("dst"))).as("node"))
       .distinct().persist()
-    val wsum = e.groupBy("src").agg(sum("w").as("wsum")).persist()
-    val n = nodes.agg(count(lit(1)).as("n"))
-    // teleport inflow (1-d) * Unit / N, received every round
-    val base = expr(s"(($Unit * ${dampDen - dampNum}) div $dampDen) div n")
-    var r = nodes.crossJoin(broadcast(n))
-      .select(col("node"), expr(s"$Unit div n").as("r"))
+    // |nodes| is ONE bounded driver long, read once: the former
+    // per-round `crossJoin(broadcast(n))` re-ran a broadcast-exchange
+    // job every round for a value that never changes (guide §1.2).
+    // The count also materializes `nodes` and `e` before the loop.
+    val n = nodes.count()
+    if (n == 0) { // empty graph: empty (node, r) frame, as before
+      e.unpersist(); nodes.unpersist()
+      return nodes.select(col("node"), lit(0L).as("r"))
+    }
+    // out-weight attached to the edge ONCE: the former per-round
+    // `join(wsum, "src")` re-joined (and under AQE re-broadcast) the
+    // same static table every round; (src, dst, w, wsum) is the same
+    // width class as the edge list and both joins are on src, so the
+    // fused frame costs nothing extra to hold. No exchange: e and the
+    // aggregation over it share the src hash partitioning.
+    val ew = e.join(e.groupBy("src").agg(sum("w").as("wsum")), "src")
+      .persist()
+    // teleport inflow (1-d) * Unit / N, received every round — all
+    // operands positive, so Scala's truncating / matches SQL div
+    val base = ((Unit * (dampDen - dampNum)) / dampDen) / n
+    var r = nodes.select(col("node"), lit(Unit / n).as("r"))
     (1 to iters).foreach { _ =>
-      val contrib = e
+      val contrib = ew
         .join(r.select(col("node").as("src"), col("r")), "src")
-        .join(wsum, "src")
         .withColumn("c", expr(s"(((r * $dampNum) div $dampDen) * w) div wsum"))
         .groupBy(col("dst").as("node")).agg(sum("c").as("inflow"))
       // truncate lineage each round (as ConnectedComponents does): the
       // rank table is |nodes| rows — materializing it is cheap, while
       // the untruncated alternative re-plans and re-executes a plan
       // whose depth grows with the round count
-      r = nodes.crossJoin(broadcast(n))
+      r = nodes
         .join(contrib, Seq("node"), "left")
         .select(col("node"),
-          (base + coalesce(col("inflow"), lit(0L))).as("r"))
+          (lit(base) + coalesce(col("inflow"), lit(0L))).as("r"))
         .localCheckpoint(true)
     }
+    // the returned rank table is checkpointed — the caches only served
+    // the loop, and a leaked persist would pollute the session (the
+    // bench runs hundreds of queries in one JVM)
+    e.unpersist(); ew.unpersist(); nodes.unpersist()
     r
   }
 }

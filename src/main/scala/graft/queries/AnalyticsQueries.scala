@@ -66,6 +66,9 @@ object AnalyticsQueries {
         |       round(quantile_cont(value, 0.99), 4) AS p99
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
       (s, d) =>
+      // NOTE (r18): a respread form measured 1.7x (0.19 -> 0.32 s) and
+      // was reverted — exchange overhead dominates at this scale
+      // (OPTIMIZATION_r18.md, Finding 4)
       Tables.events(s, d).groupBy("event_type")
         .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
           round(expr("percentile(value, 0.9)"), 4).as("p90"),
@@ -76,6 +79,8 @@ object AnalyticsQueries {
     // ROLLUP grouping sets: per (type, day), per type, and grand total
     // in one pass — partial aggregation covers all three levels.
     // grouping() flags disambiguate the null super-aggregate rows.
+    // NOTE (r18): DECIMAL-sum + respread measured at 1.7x (0.33 ->
+    // 0.56 s) and reverted — see OPTIMIZATION_r18.md, Finding 4.
     "q35_rollup_sets" -> Q(
       """SELECT event_type, CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT)
         |         AS day_ts,
@@ -436,6 +441,12 @@ object AnalyticsQueries {
         |  SELECT 3, 'purchase', n3.n, (n3.n * 1000000) // n2.n
         |  FROM n3 CROSS JOIN n2)
         |ORDER BY step""".stripMargin) { (s, d) =>
+      // NOTE (r18): a respread form (events projected to the three
+      // funnel columns, then Spread.across) was measured at 0.59 ->
+      // 0.68-0.84 s across clean windows and reverted: the three step
+      // scans' map work (filter + partial min) is lighter than the
+      // exchange that would parallelize it (OPTIMIZATION_r18.md,
+      // Finding 4).
       val ev = Tables.events(s, d)
         .select(col("user_id"), col("event_type"),
           unix_timestamp(col("ts")).as("ts_s"))
@@ -512,6 +523,13 @@ object AnalyticsQueries {
         |            ELSE (n_triangles * 1000000) // (SELECT count(*) FROM w)
         |       END AS closure_ppm
         |FROM tri""".stripMargin) { (s, d) =>
+      // NOTE (r18): a respread form (ship-window filter + 2-column
+      // projection below the exchange, then Spread.across before the
+      // distinct) was measured at 1.80 -> 1.86-2.40 s across clean
+      // windows and reverted: the scan is not this query's bottleneck
+      // (the wedge-join pipeline is — no single dominant stage in the
+      // profile), so the extra exchange only adds cost
+      // (OPTIMIZATION_r18.md, Finding 4).
       val li = Tables.lineitem(s, d)
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
@@ -663,6 +681,8 @@ object AnalyticsQueries {
     // a single Expand + hash aggregate, where the reference's report
     // notebooks run one query per subtotal level. grouping_id()
     // disambiguates a rolled-up NULL from a data NULL cross-engine.
+    // NOTE (r18): DECIMAL-sum + respread measured ~2x vs the r17
+    // driver time and reverted — see OPTIMIZATION_r18.md, Finding 4.
     "q58_cube" -> Q(
       """SELECT coalesce(event_type,'ALL') AS event_type,
         |       coalesce(datestamp,'ALL') AS datestamp,
@@ -688,6 +708,8 @@ object AnalyticsQueries {
     // (no driver-side distinct-collect job to discover it), so the
     // whole pivot is a single map-side conditional projection + hash
     // aggregate — shuffle bounded by |users|, not |events|.
+    // NOTE (r18): DECIMAL-sum + respread measured at 3.0x (0.14 ->
+    // 0.43 s) and reverted — see OPTIMIZATION_r18.md, Finding 4.
     "q59_pivot" -> Q(
       """SELECT user_id,
         |  round(sum(CASE WHEN event_type='click' THEN value END),2) AS click,

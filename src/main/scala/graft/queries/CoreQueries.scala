@@ -19,6 +19,11 @@ object CoreQueries {
   val all: Map[String, Q] = Map(
     // A1 multi-agg rollup — the reference's core groupBy(keys).agg(sum,avg,min,max)
     // (Gold Aggregation/Step 05:91-98); TPC-H Q1 shape on lineitem.
+    // NOTE (r18): a DECIMAL(20,2)-summed + respread form of this query
+    // was implemented and measured at 2.1x (0.36 -> 0.75 s, clean
+    // window) — the decimal aggregation + extra exchange dominate at
+    // this query's 0.3 s scale — and reverted per the guide's
+    // measure-first discipline (OPTIMIZATION_r18.md, Finding 4).
     "q01_pricing_summary" -> Q(
       """SELECT l_returnflag, l_linestatus,
         |       sum(l_quantity) AS sum_qty,
@@ -221,6 +226,8 @@ object CoreQueries {
     },
 
     // A2 time-bucket derivation (hour) — date_trunc form of Step 05:84.
+    // NOTE (r18): DECIMAL-sum + respread measured at 2.6x (0.25 ->
+    // 0.65 s) and reverted — see q01's note / OPTIMIZATION_r18.md.
     "q13_hour_rollup" -> Q(
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS bucket_ts,
         |       event_type, count(*) AS n, round(sum(value), 3) AS sum_value,

@@ -118,12 +118,26 @@ object StreamingScd2 {
     // exactly its genuinely-new suffix.
     val ordered = tagged.filter(!isLate).drop("__open_from")
     if (nOrdered == 0) return // empty batch or pure replay of closed history
-    val foldOpen = openAffected
-      .join(ordered.select(keys.map(col): _*).distinct(), keys, "left_semi")
-    val updated = Scd2.applyChanges(foldOpen, ordered, keys, attrs,
-      tsCol, seqCol)
-    KeyedUpsert.upsert(spark, dimDir, updated,
-      keys :+ "valid_from", numBuckets = numBuckets)
+    // the semi-join restricting open rows to the ORDERED keys only
+    // matters when late replays were filtered out above; on the common
+    // all-ordered path (in-contract producers) ordered == the whole
+    // batch and openAffected is already exactly the fold's open set —
+    // skip the extra distinct + join per batch (guide §1.2)
+    val foldOpen0 =
+      if (nLate == 0) openAffected
+      else openAffected
+        .join(ordered.select(keys.map(col): _*).distinct(), keys, "left_semi")
+    // persisted because Scd2.applyChanges reads its dim twice (the
+    // closed pass-through branch + the open pseudo-change branch): an
+    // unpersisted foldOpen re-runs the stored read + semi-joins per
+    // branch, once per micro-batch (guide §1.2)
+    val foldOpen = foldOpen0.persist()
+    try {
+      val updated = Scd2.applyChanges(foldOpen, ordered, keys, attrs,
+        tsCol, seqCol)
+      KeyedUpsert.upsert(spark, dimDir, updated,
+        keys :+ "valid_from", numBuckets = numBuckets)
+    } finally foldOpen.unpersist()
     } finally tagged.unpersist()
   }
 
