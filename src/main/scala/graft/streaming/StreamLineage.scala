@@ -53,14 +53,20 @@ object StreamLineage {
       thresholdPpm: Long = StreamRefit.ThresholdPpm): Unit = {
     val spark = batch.sparkSession
     StreamRefit.enforceThresholdLineage(spark, root, thresholdPpm)
-    batch.select(col("doc_id"), col("text"), col("lang"))
-      .write.mode("overwrite").parquet(s"$root/docs/batch=$batchId")
-    StreamDrift.processBatch(batch, batchId, root, StreamRefit.axis,
-      cumulative = true)
-    val fired = StreamRefit.ownDecision(spark, root, batchId,
-      thresholdPpm)
-    StreamQuarantine.routeBatch(batch, batchId, root, fired)
-    StreamPromote.gateBatch(spark, batchId, root, thresholdPpm, fired)
+    // three actions consume the raw micro-batch (docs store, histogram
+    // scoring, routed write); cache it for the batch's scope so the
+    // topic file is decoded once, not per action (guide §1.2)
+    val b = batch.persist()
+    try {
+      b.select(col("doc_id"), col("text"), col("lang"))
+        .write.mode("overwrite").parquet(s"$root/docs/batch=$batchId")
+      StreamDrift.processBatch(b, batchId, root, StreamRefit.axis,
+        cumulative = true)
+      val fired = StreamRefit.ownDecision(spark, root, batchId,
+        thresholdPpm)
+      StreamQuarantine.routeBatch(b, batchId, root, fired)
+      StreamPromote.gateBatch(spark, batchId, root, thresholdPpm, fired)
+    } finally b.unpersist()
   }
 
   /** The per-document lineage: (doc_id, batch, route,

@@ -57,15 +57,21 @@ object StreamQuarantine {
     // batch's docs present under BOTH route directories
     val spark = batch.sparkSession
     StreamRefit.enforceThresholdLineage(spark, root, thresholdPpm)
-    StreamDrift.processBatch(batch, batchId, root, StreamRefit.axis,
-      cumulative = true)
-    // the route needs ONLY this batch's decision — one bounded
-    // decisionFor collect against strictly-earlier histograms, stored
-    // append-only so audits/replays read instead of re-deriving (an
-    // empty micro-batch has no histogram rows and its drift-test limit
-    // is clean: drift_num = 0 — see StreamRefit)
-    val fired = StreamRefit.ownDecision(spark, root, batchId, thresholdPpm)
-    routeBatch(batch, batchId, root, fired)
+    // two actions consume the raw micro-batch (histogram scoring, the
+    // routed write); cache it for the batch's scope so the topic file
+    // is decoded once, not per action (guide §1.2)
+    val b = batch.persist()
+    try {
+      StreamDrift.processBatch(b, batchId, root, StreamRefit.axis,
+        cumulative = true)
+      // the route needs ONLY this batch's decision — one bounded
+      // decisionFor collect against strictly-earlier histograms, stored
+      // append-only so audits/replays read instead of re-deriving (an
+      // empty micro-batch has no histogram rows and its drift-test limit
+      // is clean: drift_num = 0 — see StreamRefit)
+      val fired = StreamRefit.ownDecision(spark, root, batchId, thresholdPpm)
+      routeBatch(b, batchId, root, fired)
+    } finally b.unpersist()
   }
 
   /** The DATA-plane action alone, given an already-derived decision —

@@ -282,9 +282,15 @@ object StreamRefit {
     val spark = batch.sparkSession
     enforceThresholdLineage(spark, root, thresholdPpm)
     import spark.implicits._
-    batch.select(col("doc_id"), col("text"), col("lang"))
+    // two actions consume the raw micro-batch (docs store, histogram
+    // scoring); cache it for the batch's scope so the topic file is
+    // decoded once, not per action (guide §1.2). Released in the
+    // finally at the end of this method.
+    val b = batch.persist()
+    try {
+    b.select(col("doc_id"), col("text"), col("lang"))
       .write.mode("overwrite").parquet(s"$root/docs/batch=$batchId")
-    StreamDrift.processBatch(batch, batchId, root, axis,
+    StreamDrift.processBatch(b, batchId, root, axis,
       cumulative = true)
     // ONLY this batch's decision is derived (one bounded collect);
     // strictly-earlier batches' decisions come from the append-only
@@ -330,6 +336,7 @@ object StreamRefit {
       KeyedUpsert.upsert(spark, s"$root/weights", rows,
         keyCols = Seq("version", "bucket"), numBuckets = 8)
     }
+    } finally b.unpersist()
   }
 
   /** The published model history: every version's 64 weights plus the

@@ -64,14 +64,21 @@ object StreamingCuratedCorpus {
       thresholdPpm: Long = StreamRefit.ThresholdPpm): Unit = {
     val spark = batch.sparkSession
     StreamRefit.enforceThresholdLineage(spark, root, thresholdPpm)
-    StreamDrift.processBatch(batch, batchId, root, StreamRefit.axis,
-      cumulative = true)
-    val fired = StreamRefit.ownDecision(spark, root, batchId,
-      thresholdPpm)
-    StreamQuarantine.routeBatch(batch, batchId, root, fired)
-    if (!fired)
-      StreamingCorpusBuild.processBatch(
-        batch.select("doc_id", "text"), batchId, root)
+    // the raw micro-batch is consumed by up to THREE actions here
+    // (histogram scoring, the routed write, the build's gate scan) and
+    // an unpersisted batch frame re-decodes the topic file per action
+    // (guide §1.2) — cache it for the batch's scope
+    val b = batch.persist()
+    try {
+      StreamDrift.processBatch(b, batchId, root, StreamRefit.axis,
+        cumulative = true)
+      val fired = StreamRefit.ownDecision(spark, root, batchId,
+        thresholdPpm)
+      StreamQuarantine.routeBatch(b, batchId, root, fired)
+      if (!fired)
+        StreamingCorpusBuild.processBatch(
+          b.select("doc_id", "text"), batchId, root)
+    } finally b.unpersist()
   }
 
   /** Publish, stream, route-and-build per batch, cut the release —

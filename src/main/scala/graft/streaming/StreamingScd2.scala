@@ -57,12 +57,18 @@ object StreamingScd2 {
       if (KeyedUpsert.versions(spark, dimDir).nonEmpty)
         KeyedUpsert.read(spark, dimDir)
       else Scd2.emptyDim(changes, keys, attrs, tsCol)
+    // the change frame appears twice in the tag plan (its own rows +
+    // the distinct-keys semi-join side) and again on the late path —
+    // each occurrence re-decodes the micro-batch unpersisted
+    // (guide §1.2); cached for the fold's scope
+    val ch = changes.persist()
+    try {
     val openAffected = stored.filter(col("valid_to").isNull)
-      .join(changes.select(keys.map(col): _*).distinct(), keys, "left_semi")
+      .join(ch.select(keys.map(col): _*).distinct(), keys, "left_semi")
     // ONE join tags every change with its key's open valid_from; the
     // guard, the replay filter and the fold all read it (persisted —
     // three consumers, and isEmpty is its own job)
-    val tagged = changes
+    val tagged = ch
       .join(openAffected.select(keys.map(col) :+
         col("valid_from").as("__open_from"): _*), keys, "left_outer")
       .persist()
@@ -92,7 +98,7 @@ object StreamingScd2 {
       val c = lateChanges.select(
         lateChanges.columns.map(n => col(n).as(s"c_$n")): _*)
       val s = stored
-        .join(changes.select(keys.map(col): _*).distinct(), keys, "left_semi")
+        .join(ch.select(keys.map(col): _*).distinct(), keys, "left_semi")
         .select(stored.columns.map(n => col(n).as(s"s_$n")): _*)
       val covering =
         keys.map(k => col(s"c_$k") === col(s"s_$k")).reduce(_ && _) &&
@@ -139,6 +145,7 @@ object StreamingScd2 {
         keys :+ "valid_from", numBuckets = numBuckets)
     } finally foldOpen.unpersist()
     } finally tagged.unpersist()
+    } finally ch.unpersist()
   }
 
   /** Drive a full bounded run: decode `topicDir` as an events change
